@@ -1,0 +1,156 @@
+"""Micro-batch projector: Kafka-event batches -> one quad-store transaction.
+
+This replaces the reference's entire hand-built write path
+(FusekiProjector.java:233-479 — transactional micro-batcher, DLQ router,
+abort-and-replay, good-prefix guarantee) with a declarative formulation:
+
+- **Micro-batch = transaction** (reference A6): every call to
+  ``apply_event_batch`` is exactly one QuadStore commit.  Batch sizing is
+  the streaming trigger's job (``maxOffsetsPerTrigger`` etc.), not code —
+  see SURVEY.md §4.
+
+- **Good-prefix guarantee, declaratively** (reference A10/A11,
+  FusekiProjector.java:362-379): instead of abort-and-replay, malformed
+  events are filtered out *before* the single commit, so all parseable
+  events land and no batch-mate is lost.  The end state is identical to the
+  reference's replay dance.
+
+- **Ordered deletes without a driver loop** (reference §7.4 "delete
+  ordering"): the net effect of an ordered op sequence is "for each quad,
+  the last op wins".  We assign each op a global sequence number
+  (partition-ordered by (topic, partition, offset, op index) — the
+  reference requires single-partition topics for delete workloads,
+  README.md:148-153, and we preserve that documented constraint for
+  cross-batch ordering) and reduce with max_by.  This is a single shuffle
+  on the quad key and scales linearly; no collect(), no per-event loop.
+
+- **DLQ side-output** (reference A10, FusekiProjector.java:287-320): bad
+  rows are returned enriched with the same four ``Dead-Letter-*`` headers
+  the reference sets; the caller produces them to the DLQ topic (or a
+  parquet dead-letter table when Kafka isn't attached).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import QUAD_COLS
+from ..store import QuadStore
+from .payloads import PARSED_SCHEMA, parse_events_pdf
+
+DLQ_REASON = "Dead-Letter-Reason"
+DLQ_EXC_CLASS = "Dead-Letter-Exception-Class"
+DLQ_ROOT_CAUSE = "Dead-Letter-Root-Cause"
+DLQ_ROOT_CAUSE_CLASS = "Dead-Letter-Root-Cause-Class"
+
+
+def parse_events(events: DataFrame) -> DataFrame:
+    """EVENT_SCHEMA -> PARSED_SCHEMA via Arrow-batched mapInPandas."""
+    return events.mapInPandas(parse_events_pdf, schema=PARSED_SCHEMA)
+
+
+def net_effect(parsed_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Reduce an ordered op stream to net (adds, deletes).
+
+    Input: PARSED_SCHEMA rows with non-null ``ops``.
+    The global op order is (partition, offset, op index) — offset order
+    within a Kafka partition is the reference's correctness axis
+    (SURVEY.md §2 "ordering, not time").
+    """
+    ops = (
+        parsed_ok.select(
+            "partition",
+            "offset",
+            F.posexplode("ops").alias("op_idx", "o"),
+        )
+        # one monotone sequence per (partition, offset, op_idx); offsets are
+        # < 2^40 and ops-per-event < 2^20 in practice
+        .select(
+            ((F.col("offset") * F.lit(1 << 20)) + F.col("op_idx")).alias("seq"),
+            F.col("partition"),
+            F.col("o.op").alias("op"),
+            F.col("o.graph").alias("graph"),
+            F.col("o.subject").alias("subject"),
+            F.col("o.predicate").alias("predicate"),
+            F.col("o.object_kind").alias("object_kind"),
+            F.col("o.object_value").alias("object_value"),
+            F.col("o.object_datatype").alias("object_datatype"),
+            F.col("o.object_lang").alias("object_lang"),
+        )
+    )
+    # last-op-wins per quad: single hash aggregation, no window, no sort
+    last = ops.groupBy(*QUAD_COLS).agg(F.max_by("op", F.col("seq")).alias("last_op"))
+    adds = last.filter(F.col("last_op") == "A").drop("last_op")
+    deletes = last.filter(F.col("last_op") == "D").drop("last_op")
+    return adds, deletes
+
+
+def dlq_rows(parsed_bad: DataFrame) -> DataFrame:
+    """Enrich failed events with the reference's Dead-Letter-* headers
+    (FusekiProjector.java:309-314 naming) for DLQ production."""
+    enriched_headers = F.concat(
+        F.coalesce(F.col("headers"), F.array()),
+        F.array(
+            F.struct(F.lit(DLQ_REASON).alias("key"), F.encode(F.col("error"), "utf-8").alias("value")),
+            F.struct(
+                F.lit(DLQ_EXC_CLASS).alias("key"), F.encode(F.col("error_class"), "utf-8").alias("value")
+            ),
+            F.struct(
+                F.lit(DLQ_ROOT_CAUSE).alias("key"), F.encode(F.col("error"), "utf-8").alias("value")
+            ),
+            F.struct(
+                F.lit(DLQ_ROOT_CAUSE_CLASS).alias("key"),
+                F.encode(F.col("error_class"), "utf-8").alias("value"),
+            ),
+        ),
+    )
+    return parsed_bad.withColumn("headers", enriched_headers).drop("ops", "error", "error_class")
+
+
+def apply_event_batch(
+    spark: SparkSession,
+    store: QuadStore,
+    events: DataFrame,
+    txn_id: str | None = None,
+) -> dict:
+    """Apply one micro-batch of events transactionally.
+
+    Returns {"version": int, "dlq": DataFrame, "n_adds": int, "n_deletes": int}.
+    The caller (streaming foreachBatch or a batch driver) writes the dlq
+    DataFrame to the configured dead-letter sink.
+    """
+    # cache: parse once, consumed by the ok branch, the bad branch, and the
+    # adds/deletes actions inside commit
+    parsed = parse_events(events).persist()
+    try:
+        ok = parsed.filter(F.col("error").isNull())
+        bad = parsed.filter(F.col("error").isNotNull())
+        adds, deletes = net_effect(ok)
+        adds = adds.persist()
+        deletes = deletes.persist()
+        n_adds = adds.count()
+        n_deletes = deletes.count()
+        version = store.commit(
+            spark,
+            adds=adds if n_adds else None,
+            deletes=deletes if n_deletes else None,
+            txn_id=txn_id or uuid.uuid4().hex,
+        )
+        # materialize the DLQ branch before dropping the parse cache so the
+        # caller's DLQ write doesn't re-parse the batch
+        dlq = dlq_rows(bad).persist()
+        n_dlq = dlq.count()
+        adds.unpersist()
+        deletes.unpersist()
+        return {
+            "version": version,
+            "dlq": dlq,
+            "n_adds": n_adds,
+            "n_deletes": n_deletes,
+            "n_dlq": n_dlq,
+        }
+    finally:
+        parsed.unpersist()

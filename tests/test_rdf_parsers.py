@@ -1,0 +1,178 @@
+"""Parser unit tests, modeled on the reference's fixture files
+(jena-fuseki-kafka-module/src/test/files/: data.ttl, data.nq, patch1.rdfp,
+malformed.ttl, malformed.rdfp)."""
+
+import pytest
+
+from jena_fuseki_kafka_spark.model import (
+    DEFAULT_GRAPH,
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    RdfParseError,
+    XSD_INTEGER,
+)
+from jena_fuseki_kafka_spark.rdf import parse_nquads, parse_patch, parse_payload, parse_turtle
+from jena_fuseki_kafka_spark.rdf.turtle import RDF_TYPE, parse_trig
+
+
+class TestNQuads:
+    def test_ntriples_literal(self):
+        # mirrors reference data.nq
+        ops = parse_nquads('<http://example/sq> <http://example/pq> "abc" .')
+        assert ops == [("A", DEFAULT_GRAPH, "http://example/sq", "http://example/pq", KIND_LITERAL, "abc", None, None)]
+
+    def test_quad_with_graph(self):
+        ops = parse_nquads("<http://e/s> <http://e/p> <http://e/o> <http://e/g> .")
+        assert ops[0][1] == "http://e/g"
+        assert ops[0][4] == KIND_IRI
+
+    def test_typed_and_lang_literals(self):
+        text = (
+            '<http://e/s> <http://e/p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+            '<http://e/s> <http://e/p> "hi"@en .'
+        )
+        ops = parse_nquads(text)
+        assert ops[0][6] == XSD_INTEGER
+        assert ops[1][7] == "en"
+
+    def test_bnode_subject(self):
+        ops = parse_nquads("_:b0 <http://e/p> _:b1 .")
+        assert ops[0][2] == "_:b0"
+        assert ops[0][4] == KIND_BNODE
+
+    def test_escapes(self):
+        ops = parse_nquads('<http://e/s> <http://e/p> "a\\"b\\nc\\u0041" .')
+        assert ops[0][5] == 'a"b\ncA'
+
+    def test_comments_and_blanks(self):
+        ops = parse_nquads("# comment\n\n<http://e/s> <http://e/p> <http://e/o> . # trailing\n")
+        assert len(ops) == 1
+
+    def test_malformed_raises(self):
+        with pytest.raises(RdfParseError):
+            parse_nquads("<http://e/s> <http://e/p> .")
+        with pytest.raises(RdfParseError):
+            parse_nquads("not rdf at all")
+        with pytest.raises(RdfParseError):
+            parse_nquads('<http://e/s> <http://e/p> "x"')  # missing dot
+
+
+class TestTurtle:
+    def test_reference_fixture_shape(self):
+        # mirrors reference data.ttl
+        ops = parse_turtle("PREFIX : <http://example/>\n\n:s1 :p :o .")
+        assert ops == [("A", DEFAULT_GRAPH, "http://example/s1", "http://example/p", KIND_IRI, "http://example/o", None, None)]
+
+    def test_at_prefix_and_semicolon_comma(self):
+        text = """@prefix ex: <http://ex.org/> .
+        ex:s a ex:T ; ex:p ex:o1 , "lit" ; ex:q 5 .
+        """
+        ops = parse_turtle(text)
+        assert ("A", "", "http://ex.org/s", RDF_TYPE, KIND_IRI, "http://ex.org/T", None, None) in ops
+        preds = [(o[3], o[5]) for o in ops]
+        assert ("http://ex.org/p", "http://ex.org/o1") in preds
+        assert ("http://ex.org/p", "lit") in preds
+        assert ("http://ex.org/q", "5") in preds
+        q = [o for o in ops if o[3] == "http://ex.org/q"][0]
+        assert q[6] == XSD_INTEGER
+
+    def test_numeric_and_boolean_shorthand(self):
+        ops = parse_turtle("PREFIX : <http://e/>\n:s :p 3.14 . :s :q true .")
+        assert ops[0][6].endswith("decimal")
+        assert ops[1][6].endswith("boolean")
+
+    def test_anonymous_bnode(self):
+        ops = parse_turtle("PREFIX : <http://e/>\n:s :p [ :q :o ] .")
+        assert len(ops) == 2
+        bn = [o for o in ops if o[3] == "http://e/p"][0][5]
+        assert bn.startswith("_:")
+        inner = [o for o in ops if o[2] == bn]
+        assert inner and inner[0][3] == "http://e/q"
+
+    def test_long_string_and_lang(self):
+        ops = parse_turtle('PREFIX : <http://e/>\n:s :p """multi\nline""" ; :q "fr"@fr .')
+        assert ops[0][5] == "multi\nline"
+        assert ops[1][7] == "fr"
+
+    def test_malformed_raises(self):
+        with pytest.raises(RdfParseError):
+            parse_turtle(":s :p :o .")  # unknown prefix
+        with pytest.raises(RdfParseError):
+            parse_turtle("PREFIX : <http://e/>\n:s :p")  # no terminator
+
+    def test_trig_graph_block(self):
+        ops = parse_trig('PREFIX : <http://e/>\nGRAPH :g { :s :p :o . :s :p :o2 . }\n:t :q :u .')
+        graphs = {o[1] for o in ops}
+        assert graphs == {"http://e/g", DEFAULT_GRAPH}
+        assert len(ops) == 3
+
+
+class TestPatch:
+    REFERENCE_PATCH = """H id <uuid:73323f12-4011-4a3a-add3-5754baf3fda9> .
+TX .
+A <http://example/s> <http://example/p> "two" <http://example/patch> .
+A <http://example/s> <http://example/p> "one" <http://example/patch> .
+A <http://example/s> <http://example/p> "three" <http://example/patch> .
+A <http://example/s> <http://example/p> "four" <http://example/patch> .
+TC .
+"""
+
+    def test_reference_patch1(self):
+        # mirrors reference patch1.rdfp exactly
+        ops, committed = parse_patch(self.REFERENCE_PATCH)
+        assert committed is True
+        assert len(ops) == 4
+        assert all(o[0] == "A" and o[1] == "http://example/patch" for o in ops)
+        assert [o[5] for o in ops] == ["two", "one", "three", "four"]
+
+    def test_delete_op(self):
+        ops, _ = parse_patch('A <http://e/s> <http://e/p> "x" .\nD <http://e/s> <http://e/p> "x" .')
+        assert [o[0] for o in ops] == ["A", "D"]
+
+    def test_aborted_segment_dropped(self):
+        text = 'TX .\nA <http://e/s> <http://e/p> "x" .\nTA .\nTX .\nA <http://e/s> <http://e/p> "y" .\nTC .'
+        ops, committed = parse_patch(text)
+        assert [o[5] for o in ops] == ["y"]
+        assert committed
+
+    def test_invalid_marker_sequences(self):
+        # mirrors TestFusekiProjector malformed-patch cases (:235-269)
+        with pytest.raises(RdfParseError):
+            parse_patch("TC .")  # TC without TX
+        with pytest.raises(RdfParseError):
+            parse_patch("TX .\nTX .")  # nested
+        with pytest.raises(RdfParseError):
+            parse_patch('TX .\nA <http://e/s> <http://e/p> "x" .')  # unterminated
+        with pytest.raises(RdfParseError):
+            parse_patch('TX .\nTC .\nA <http://e/s> <http://e/p> "x" .')  # op after close
+
+    def test_prefix_ops_accepted(self):
+        ops, _ = parse_patch('PA "ex" <http://e/> .\nA <http://e/s> <http://e/p> "x" .')
+        assert len(ops) == 1
+
+
+class TestContentTypeDispatch:
+    def test_default_is_nquads(self):
+        ops = parse_payload(b'<http://e/s> <http://e/p> "v" .', None)
+        assert len(ops) == 1
+
+    def test_turtle_by_header(self):
+        ops = parse_payload(b"PREFIX : <http://example/>\n:s1 :p :o .", "text/turtle")
+        assert ops[0][2] == "http://example/s1"
+
+    def test_patch_by_header(self):
+        ops = parse_payload(TestPatch.REFERENCE_PATCH.encode(), "application/rdf-patch")
+        assert len(ops) == 4
+
+    def test_charset_parameter_stripped(self):
+        ops = parse_payload(b"PREFIX : <http://e/>\n:s :p :o .", "text/turtle; charset=utf-8")
+        assert len(ops) == 1
+
+    def test_unknown_content_type(self):
+        with pytest.raises(RdfParseError):
+            parse_payload(b"x", "application/json")
+
+    def test_invalid_utf8(self):
+        with pytest.raises(RdfParseError):
+            parse_payload(b"\xff\xfe<bad>", None)

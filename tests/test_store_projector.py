@@ -1,0 +1,192 @@
+"""QuadStore + projector tests, mirroring the reference's unit strategy:
+exact counts per commit trigger (TestFusekiProjector.java:136-232), DLQ
+routing with Dead-Letter-* headers (:345-374), good-prefix guarantee
+(:377-394), set semantics (FKS.java:95-98), delete ordering (README.md:148-153).
+"""
+
+import datetime
+
+import pytest
+
+from jena_fuseki_kafka_spark.ingest import EVENT_SCHEMA, apply_event_batch, parse_events
+from jena_fuseki_kafka_spark.ingest.projector import DLQ_REASON, net_effect
+from jena_fuseki_kafka_spark.model import QUAD_COLS, QUAD_SCHEMA
+from jena_fuseki_kafka_spark.store import QuadStore
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def ev(value: str, offset: int, content_type: str | None = None, partition: int = 0):
+    headers = [("Content-Type", content_type.encode())] if content_type else []
+    return (b"k", value.encode(), headers, "t1", partition, offset, TS)
+
+
+def events_df(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def quads(store, spark):
+    return {
+        (r.graph, r.subject, r.predicate, r.object_value)
+        for r in store.read(spark).collect()
+    }
+
+
+class TestQuadStore:
+    def test_empty_read(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        assert store.count(spark) == 0
+        assert store.read(spark).columns == QUAD_COLS
+
+    def test_commit_and_set_semantics(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        rows = [("", "s1", "p", "iri", "o", None, None), ("", "s1", "p", "iri", "o", None, None)]
+        df = spark.createDataFrame(rows, QUAD_SCHEMA)
+        store.commit(spark, adds=df)
+        assert store.count(spark) == 1  # dup within batch collapsed
+        store.commit(spark, adds=df)
+        assert store.count(spark) == 1  # dup across commits collapsed
+
+    def test_delete(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        rows = [("", f"s{i}", "p", "iri", "o", None, None) for i in range(10)]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA))
+        dels = spark.createDataFrame(rows[:3], QUAD_SCHEMA)
+        store.commit(spark, deletes=dels)
+        assert store.count(spark) == 7
+
+    def test_idempotent_txn(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        df = spark.createDataFrame([("", "s", "p", "iri", "o", None, None)], QUAD_SCHEMA)
+        v1 = store.commit(spark, adds=df, txn_id="batch-1")
+        v2 = store.commit(spark, adds=df, txn_id="batch-1")  # crash-replay
+        assert v1 == v2
+        assert store.count(spark) == 1
+
+    def test_mvcc_snapshot(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        df1 = spark.createDataFrame([("", "s1", "p", "iri", "o", None, None)], QUAD_SCHEMA)
+        store.commit(spark, adds=df1)
+        snapshot = store.read(spark)
+        df2 = spark.createDataFrame([("", "s2", "p", "iri", "o", None, None)], QUAD_SCHEMA)
+        store.commit(spark, adds=df2)
+        # the frozen snapshot still sees 1 row; a fresh read sees 2
+        assert snapshot.count() == 1
+        assert store.count(spark) == 2
+
+
+class TestProjector:
+    def test_dataset_event_apply(self, spark, tmp_path):
+        # reference: applyDatasetEvent streams all quads in (FusekiSink.java:74-77)
+        store = QuadStore(str(tmp_path / "q"))
+        df = events_df(spark, [ev('<http://e/s> <http://e/p> "v" .', 0)])
+        res = apply_event_batch(spark, store, df)
+        assert res["n_adds"] == 1 and res["n_dlq"] == 0
+        assert store.count(spark) == 1
+
+    def test_reference_acceptance_mix(self, spark, tmp_path):
+        # data.ttl + data.nq + patch1.rdfp = 1 + 1 + 4 = 6 quads
+        # (the reference's DockerTestConfigFK golden count)
+        store = QuadStore(str(tmp_path / "q"))
+        ttl = "PREFIX : <http://example/>\n\n:s1 :p :o ."
+        nq = '<http://example/sq> <http://example/pq> "abc" .'
+        patch = (
+            "H id <uuid:1> .\nTX .\n"
+            'A <http://example/s> <http://example/p> "two" <http://example/patch> .\n'
+            'A <http://example/s> <http://example/p> "one" <http://example/patch> .\n'
+            'A <http://example/s> <http://example/p> "three" <http://example/patch> .\n'
+            'A <http://example/s> <http://example/p> "four" <http://example/patch> .\nTC .'
+        )
+        df = events_df(
+            spark,
+            [
+                ev(ttl, 0, "text/turtle"),
+                ev(nq, 1),
+                ev(patch, 2, "application/rdf-patch"),
+            ],
+        )
+        res = apply_event_batch(spark, store, df)
+        assert res["n_adds"] == 6
+        assert store.count(spark) == 6
+
+    def test_good_prefix_guarantee(self, spark, tmp_path):
+        # valid, malformed, valid => 2 quads + 1 DLQ row
+        # (mirrors DockerTestConfigFK.java:267-310)
+        store = QuadStore(str(tmp_path / "q"))
+        df = events_df(
+            spark,
+            [
+                ev('<http://e/s1> <http://e/p> "a" .', 0),
+                ev("this is not rdf", 1),
+                ev('<http://e/s2> <http://e/p> "b" .', 2),
+            ],
+        )
+        res = apply_event_batch(spark, store, df)
+        assert store.count(spark) == 2
+        assert res["n_dlq"] == 1
+        dlq_row = res["dlq"].collect()[0]
+        header_keys = [h["key"] for h in dlq_row["headers"]]
+        assert DLQ_REASON in header_keys
+        assert dlq_row["offset"] == 1
+
+    def test_patch_delete_ordering(self, spark, tmp_path):
+        # add then delete in later event => gone; delete-then-add => present.
+        # order = (partition, offset): single-partition constraint documented
+        # by the reference (README.md:148-153)
+        store = QuadStore(str(tmp_path / "q"))
+        add = 'A <http://e/s> <http://e/p> "x" .'
+        delete = 'D <http://e/s> <http://e/p> "x" .'
+        add2 = 'A <http://e/s2> <http://e/p> "y" .'
+        df = events_df(
+            spark,
+            [
+                ev(add, 0, "application/rdf-patch"),
+                ev(delete, 1, "application/rdf-patch"),
+                ev(delete.replace("/s", "/s2").replace('"x"', '"y"'), 2, "application/rdf-patch"),
+                ev(add2, 3, "application/rdf-patch"),
+            ],
+        )
+        apply_event_batch(spark, store, df)
+        got = quads(store, spark)
+        assert ("", "http://e/s2", "http://e/p", "y") in got
+        assert ("", "http://e/s", "http://e/p", "x") not in got
+
+    def test_delete_from_prior_batch(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "q"))
+        apply_event_batch(
+            spark, store, events_df(spark, [ev('<http://e/s> <http://e/p> "x" .', 0)]), txn_id="b1"
+        )
+        assert store.count(spark) == 1
+        apply_event_batch(
+            spark,
+            store,
+            events_df(spark, [ev('D <http://e/s> <http://e/p> "x" .', 1, "application/rdf-patch")]),
+            txn_id="b2",
+        )
+        assert store.count(spark) == 0
+
+    def test_malformed_patch_dlq(self, spark, tmp_path):
+        # invalid marker sequence => whole event to DLQ, batch-mates kept
+        # (TestFusekiProjector.java:235-342)
+        store = QuadStore(str(tmp_path / "q"))
+        df = events_df(
+            spark,
+            [
+                ev("TC .", 0, "application/rdf-patch"),
+                ev('<http://e/s> <http://e/p> "ok" .', 1),
+            ],
+        )
+        res = apply_event_batch(spark, store, df)
+        assert store.count(spark) == 1
+        assert res["n_dlq"] == 1
+
+    def test_net_effect_last_op_wins(self, spark):
+        df = events_df(
+            spark,
+            [
+                ev('A <http://e/s> <http://e/p> "x" .\nD <http://e/s> <http://e/p> "x" .\nA <http://e/s> <http://e/p> "x" .', 0, "application/rdf-patch"),
+            ],
+        )
+        adds, deletes = net_effect(parse_events(df))
+        assert adds.count() == 1
+        assert deletes.count() == 0
