@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect).  A warmup query
+runs first so JVM/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jena_fuseki_kafka_spark.queries import QUERIES  # noqa: E402
+from jena_fuseki_kafka_spark.session import build_session  # noqa: E402
+
+# headline set: the scan/join/agg relational core + one of each
+# training-data operator family + the RDF quad surface
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q14_window_top_order_per_cust",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "d01_exact_dedup",
+    "d02_minhash_lsh",
+    "d03_simhash",
+    "s01_ann_bruteforce_topk",
+    "s02_ann_lsh_bucketed",
+    "t03_token_count",
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = build_session(
+        app_name="jfk-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: trivial action to pay JVM/codegen startup once
+    QUERIES["q04_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

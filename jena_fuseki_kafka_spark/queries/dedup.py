@@ -1,0 +1,329 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.  These are the training-data-pipeline dedup primitives; each
+is implemented Spark-first (explode -> hash-aggregate -> bucket-join; no
+Python UDFs) with a DuckDB oracle computing the *identical deterministic
+algorithm* (md5-derived 60-bit hashes verified byte-equal across engines).
+
+Scale notes:
+- MinHash/LSH is the 100 TB path: candidate generation is a bucket
+  equi-join on (band_id, band_hash) — shuffle proportional to docs x bands,
+  never all-pairs.  Verification joins only candidate pairs to shingle sets.
+- SimHash pair generation here is all-pairs within 16-bit prefix blocks
+  (a standard bit-sampling block key); at cluster scale you'd use 4-way
+  table rotations instead.
+- Exact dedup is one hash aggregate on a normalized content hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.4
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+# ---------------------------------------------------------------- helpers
+def _hash60_spark(col):
+    """60-bit deterministic hash, byte-identical to the DuckDB formula."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+def _shingles_spark(d):
+    """doc_id -> exploded distinct 3-word shingles (JVM-side arrays)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.expr(
+        "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, -1)), "
+        "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+_SHINGLES_SQL = r"""
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+"""
+
+
+# ---------------------------------------------------------------- d01 exact
+@query(
+    "d01_exact_dedup",
+    oracle=r"""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    groups AS (
+      SELECT h, COUNT(*) AS group_size, MIN(doc_id) AS keeper_doc_id
+      FROM hashed GROUP BY h
+    )
+    SELECT COUNT(*) AS n_unique,
+           SUM(group_size) AS n_docs,
+           SUM(group_size) - COUNT(*) AS n_duplicates,
+           SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+    FROM groups
+    """,
+)
+def d01(spark, sf_dir):
+    """Exact dedup: normalized content hash -> group -> keep min doc_id.
+    One hash aggregate; at scale this is the cheapest dedup pass and runs
+    first in any pipeline."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary"))
+    groups = d.select("doc_id", h.alias("h")).groupBy("h").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    return groups.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("group_size").alias("n_docs"),
+        (F.sum("group_size") - F.count("*")).alias("n_duplicates"),
+        F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+# ---------------------------------------------------------------- d02 minhash+LSH
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        "MIN({h}) AS m{s}".format(h=_hash60_sql("'%d:' || shingle" % seed), s=seed)
+        for seed in range(N_HASHES)
+    )
+    bands = ",\n             ".join(
+        "md5(" + " || ',' || ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"      FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    minhashes AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             {bands}
+      FROM minhashes
+    ),
+    candidates AS (
+{band_union}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter), 4) AS jaccard
+    FROM verified v
+    JOIN sizes za ON za.doc_id = v.doc_a
+    JOIN sizes zb ON zb.doc_id = v.doc_b
+    WHERE CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) >= {JACCARD_THRESHOLD}
+    ORDER BY v.doc_a, v.doc_b
+    """
+
+
+@query("d02_minhash_lsh", oracle=_minhash_oracle())
+def d02(spark, sf_dir):
+    """MinHash + LSH near-dup detection: shingle -> 16 minhashes -> 4 bands
+    of 4 -> bucket equi-join for candidates -> exact-Jaccard verification of
+    candidates only.  The banding keeps the join linear in docs; the oracle
+    runs the same deterministic hashes, so candidate sets match exactly."""
+    d = load(spark, sf_dir, "documents")
+    shingles = _shingles_spark(d).persist()
+
+    minhashes = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(_hash60_spark(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"m{seed}")
+            for seed in range(N_HASHES)
+        ]
+    )
+    banded = minhashes.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+                ).cast("binary")
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    ).persist()
+
+    cands = None
+    for b in range(N_BANDS):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        bb = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        pairs = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    out = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- d03 simhash
+def _simhash_sql(hash_expr: str) -> str:
+    """SQL for a 32-bit simhash aggregated over token hashes."""
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ({hash_expr} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return bits
+
+
+def _simhash_oracle() -> str:
+    h = _hash60_sql("w") + " & 4294967295"
+    return f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    sims AS (
+      SELECT doc_id, {_simhash_sql(h)} AS simhash
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b
+      ON (a.simhash >> {SIMHASH_BITS - 16}) = (b.simhash >> {SIMHASH_BITS - 16})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("d03_simhash", oracle=_simhash_oracle())
+def d03(spark, sf_dir):
+    """SimHash near-dup: 32-bit sign-aggregated token-hash fingerprint;
+    candidate pairs share the high-16-bit prefix block (bit-sampling
+    blocking), verified by Hamming distance <= 6."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    h = _hash60_spark(F.col("w")).bitwiseAND(F.lit(4294967295))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sims = sums.select("doc_id", simhash.alias("simhash"))
+
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b_ = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    block = F.shiftright(F.col("sim_a"), SIMHASH_BITS - 16) == F.shiftright(
+        F.col("sim_b"), SIMHASH_BITS - 16
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b_, block & (F.col("doc_a") < F.col("doc_b")))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- d04 ngram jaccard (blocked exact)
+@query(
+    "d04_ngram_jaccard_blocked",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    docmeta AS (SELECT doc_id, lang, n_chars // 200 AS len_bucket FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docmeta a JOIN docmeta b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sa.shingle = sb.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(v.i AS DOUBLE) / (za.n + zb.n - v.i), 4) AS jaccard
+    FROM inter v
+    JOIN sizes za ON za.doc_id = v.doc_a
+    JOIN sizes zb ON zb.doc_id = v.doc_b
+    WHERE CAST(v.i AS DOUBLE) / (za.n + zb.n - v.i) >= 0.25
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d04(spark, sf_dir):
+    """Exact n-gram Jaccard within blocking keys (lang, length-bucket):
+    the candidate space is pairs within a block, so cost is sum of block^2
+    instead of n^2 — the classic blocked-dedup shape."""
+    d = load(spark, sf_dir, "documents")
+    shingles = _shingles_spark(d)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
+    a = meta.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
+    b = meta.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
+    pairs = a.join(b, ["lang", "len_bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= 0.25)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,141 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference has no event-time operators (SURVEY.md §2 "Streaming-only
+operators: none"), but its data model feeds a queryable store; these are the
+windowed/sessionized workloads a Spark engine adds for free and the driver's
+events table exists to exercise.  Batch formulations here; the streaming
+module runs the same aggregations under Structured Streaming with
+watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "q20_tumbling_window_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    LIMIT 100
+    """,
+)
+def q20(spark, sf_dir):
+    """Tumbling event-time window (hourly) aggregation.  In streaming mode
+    this is window(ts, '1 hour') + watermark; the batch equivalent is
+    date_trunc — one hash aggregate, partial map-side."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+        .limit(100)
+    )
+
+
+_SESSION_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query("q21_sessionization", oracle=_SESSION_SQL)
+def q21(spark, sf_dir):
+    """Session windows (30-min inactivity gap) via gaps-and-islands: lag ->
+    marker -> running sum.  Identical ANSI SQL runs on Spark and the oracle.
+    Streaming equivalent: session_window(ts, '30 minutes')."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SESSION_SQL)
+
+
+@query(
+    "q22_json_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(28,6))) AS DOUBLE) AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q22(spark, sf_dir):
+    """Semi-structured extraction: JSON props column -> typed value
+    (get_json_object is JVM-side, no Python UDF)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k.cast("decimal(28,6)")).cast("double").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q23_funnel_signup_to_purchase",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+           SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM f
+    """,
+)
+def q23(spark, sf_dir):
+    """Funnel analysis: conditional-min per user then conversion counts —
+    one shuffle on user_id, no self-join."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )

@@ -1,0 +1,139 @@
+"""RDF/quad query surface exercised through the correctness gate.
+
+These queries materialize the ``events`` table as RDF quads (the same
+row->quads mapping a Graph Store Protocol PUT would produce — each event
+becomes a subject with one quad per column, partitioned into named graphs
+by event_type) and then run the reference's own acceptance patterns over
+the quad relation:
+
+- r01: the exact count query the reference's e2e tests poll
+  (DockerTestConfigFK.java:394:
+  ``SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }``)
+- r02: a BGP join (two triple patterns sharing a subject variable) +
+  FILTER + aggregate — SPARQL algebra over the quad table as DataFrame ops
+  (SURVEY.md §2B mapping rows: BGP/join/FILTER/GROUP BY)
+- r03: GRAPH quantification — per-named-graph counts (GSP read surface)
+
+The quads here are constructed declaratively (select/union, no parser) so
+the correctness gate exercises the quad *query* layer; the byte-level
+parsers are exercised by the ingest test suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import DEFAULT_GRAPH, KIND_IRI, KIND_LITERAL, XSD, XSD_INTEGER
+from . import load, query
+
+EX = "http://example.org/"
+
+
+def events_to_quads(ev: DataFrame) -> DataFrame:
+    """Map event rows to quads: subject = event IRI; one quad per column;
+    named graph per event_type (default graph for the type quad itself).
+
+    Single narrow transform + union — no shuffle at all: each union branch
+    is a projection of the same scan, and Spark unions are no-ops at the
+    partition level."""
+    subj = F.concat(F.lit(EX + "event/"), F.col("event_id").cast("string"))
+    graph = F.concat(F.lit(EX + "graph/"), F.col("event_type"))
+
+    def quad(pred: str, value, kind: str, dt, g):
+        return ev.select(
+            g.alias("graph"),
+            subj.alias("subject"),
+            F.lit(EX + pred).alias("predicate"),
+            F.lit(kind).alias("object_kind"),
+            value.cast("string").alias("object_value"),
+            (F.lit(dt) if dt else F.lit(None).cast("string")).alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+        )
+
+    parts = [
+        quad("type", F.col("event_type"), KIND_LITERAL, None, F.lit(DEFAULT_GRAPH)),
+        quad("user", F.concat(F.lit(EX + "user/"), F.col("user_id").cast("string")), KIND_IRI, None, graph),
+        quad("value", F.col("value"), KIND_LITERAL, XSD + "double", graph),
+        quad("ts", F.col("ts"), KIND_LITERAL, XSD + "dateTime", graph),
+        quad("id", F.col("event_id"), KIND_LITERAL, XSD_INTEGER, graph),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "r01_sparql_acceptance_count",
+    oracle="""
+    SELECT 1 * COUNT(*) + 4 * COUNT(*) AS C FROM events
+    """,
+)
+def r01(spark, sf_dir):
+    """The reference's acceptance query: count over default graph UNION all
+    named graphs.  1 default-graph quad + 4 named-graph quads per event."""
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    default_g = quads.filter(F.col("graph") == DEFAULT_GRAPH).select("subject", "predicate", "object_value")
+    named_g = quads.filter(F.col("graph") != DEFAULT_GRAPH).select("subject", "predicate", "object_value")
+    return default_g.unionAll(named_g).agg(F.count("*").alias("C"))
+
+
+@query(
+    "r02_bgp_join_filter",
+    oracle="""
+    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user_iri,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 10
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_iri
+    LIMIT 20
+    """,
+)
+def r02(spark, sf_dir):
+    """BGP of three triple patterns sharing ?s (type/user/value) + FILTER +
+    aggregate, evaluated as self-joins on the quad table — the SPARQL->
+    DataFrame mapping of SURVEY.md §2B.  Predicate equality filters push
+    into the scan; the join keys are the shared subject variable."""
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+
+    type_p = quads.filter(
+        (F.col("predicate") == EX + "type") & (F.col("object_value") == "purchase")
+    ).select(F.col("subject").alias("s"))
+    user_p = quads.filter(F.col("predicate") == EX + "user").select(
+        F.col("subject").alias("s"), F.col("object_value").alias("user_iri")
+    )
+    value_p = quads.filter(F.col("predicate") == EX + "value").select(
+        F.col("subject").alias("s"), F.col("object_value").cast("double").alias("v")
+    )
+    joined = type_p.join(user_p, "s").join(value_p, "s").filter(F.col("v") > 10)
+    return (
+        joined.groupBy("user_iri")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select("user_iri", "n", "total_value")
+        .orderBy(F.desc("total_value"), "user_iri")
+        .limit(20)
+    )
+
+
+@query(
+    "r03_graph_quantification",
+    oracle="""
+    SELECT 'http://example.org/graph/' || event_type AS graph, 4 * COUNT(*) AS n_quads
+    FROM events GROUP BY event_type ORDER BY graph
+    """,
+)
+def r03(spark, sf_dir):
+    """GRAPH ?g { ?s ?p ?o } — quantify over named graphs and count per
+    graph (the Graph Store Protocol read surface; SURVEY.md §2B GRAPH row)."""
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    return (
+        quads.filter(F.col("graph") != DEFAULT_GRAPH)
+        .groupBy("graph")
+        .agg(F.count("*").alias("n_quads"))
+        .orderBy("graph")
+    )

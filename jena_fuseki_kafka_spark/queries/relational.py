@@ -1,0 +1,527 @@
+"""Relational query suite over the TPC-H-ish tables.
+
+Each query exercises one or more operators from SURVEY.md §2B's SPARQL->
+Spark mapping table (BGP joins, OPTIONAL/left join, UNION, FILTER/EXISTS/
+MINUS, aggregates, HAVING, ORDER/LIMIT/OFFSET, subqueries, VALUES) plus the
+engine-grade relational operators the reference delegates to its query layer
+(windows, rollup; SURVEY.md §2C).
+
+Determinism notes (the driver value-hashes results):
+- double aggregates go through DECIMAL so the sum is exact and
+  order-independent, then cast back to double — identical in Spark & DuckDB.
+- every ORDER BY carries a unique tiebreaker before any LIMIT.
+
+Scale notes: filters are expressed on scan columns so they push into
+parquet; small dimensions (region/nation/supplier/part at TPC-H ratios) are
+explicitly broadcast; aggregates are partial-agg friendly (no distinct-heavy
+shapes except where the operator itself is DISTINCT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+# exact, order-independent sum of a double expression: per-row cast to
+# decimal (deterministic), exact decimal sum, cast back
+def _dsum(col, alias):
+    return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash aggregate (SPARQL: FILTER +
+    GROUP BY + aggregates). Partial aggregation map-side; shipdate filter
+    pushes to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k (SPARQL: BGP join chain +
+    ORDER/LIMIT). customer is the small side -> broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q03_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way snowflake join (SPARQL: star BGP).  All
+    dimension tables broadcast; only orders|><|lineitem shuffles."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q04_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q04(spark, sf_dir):
+    """TPC-H Q6 shape: pure pushed-down filter + global agg (SPARQL: FILTER
+    with range predicates).  No shuffle beyond the final 1-row agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@query(
+    "q05_order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q05(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left-semi join (SPARQL: FILTER EXISTS)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count")).orderBy(
+        "o_orderpriority"
+    )
+
+
+@query(
+    "q06_customers_without_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q06(spark, sf_dir):
+    """NOT EXISTS -> left-anti join (SPARQL: MINUS / FILTER NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q07_optional_left_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COALESCE(t.order_count, 0) AS order_count
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    ORDER BY order_count DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q07(spark, sf_dir):
+    """OPTIONAL -> left outer join + COALESCE (SPARQL: OPTIONAL + BIND +
+    COALESCE, the exact in-repo pattern KafkaConnectorAssembler.java:380-390)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(F.count("*").alias("order_count"))
+    return (
+        c.join(t, c.c_custkey == t.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
+        )
+        .orderBy(F.desc("order_count"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q08_union_all_parts_suppliers",
+    oracle="""
+    SELECT kind, name FROM (
+      SELECT 'part' AS kind, p_name AS name FROM part WHERE p_size > 45
+      UNION ALL
+      SELECT 'supplier' AS kind, s_name AS name FROM supplier WHERE s_acctbal > 9000
+    ) ORDER BY kind, name
+    """,
+)
+def q08(spark, sf_dir):
+    """UNION (SPARQL UNION is bag union -> unionByName)."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 45)
+        .select(F.lit("part").alias("kind"), F.col("p_name").alias("name"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.lit("supplier").alias("kind"), F.col("s_name").alias("name"))
+    )
+    return p.unionByName(s).orderBy("kind", "name")
+
+
+@query(
+    "q09_distinct_projection",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q09(spark, sf_dir):
+    """DISTINCT (SPARQL SELECT DISTINCT)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q10_aggregate_functions",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal,
+           CAST(MIN(c.c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_bal,
+           string_agg(c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 10
+    ORDER BY n.n_name
+    """,
+)
+def q10(spark, sf_dir):
+    """Full aggregate set + GROUP_CONCAT + HAVING (SPARQL aggregates;
+    GROUP_CONCAT = sorted collect_list for determinism)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            _dsum(F.col("c_acctbal"), "total_bal"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal"),
+            F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias("segments"),
+        )
+        .filter(F.col("n_cust") > 10)
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q11_order_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def q11(spark, sf_dir):
+    """ORDER BY + LIMIT + OFFSET (SPARQL solution modifiers; OFFSET via
+    Spark's native offset)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(20)
+        .limit(10)
+    )
+
+
+@query(
+    "q12_subquery_above_avg",
+    oracle="""
+    SELECT COUNT(*) AS n_above FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def q12(spark, sf_dir):
+    """Scalar subquery (SPARQL nested SELECT). Decorrelated by Catalyst
+    when written as a cross join with a 1-row aggregate."""
+    c = load(spark, sf_dir, "customer")
+    avg = c.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@query(
+    "q13_values_inline_join",
+    oracle="""
+    SELECT t.seg, COUNT(*) AS n FROM customer c
+    JOIN (VALUES ('BUILDING'), ('MACHINERY')) AS t(seg) ON c.c_mktsegment = t.seg
+    GROUP BY t.seg ORDER BY t.seg
+    """,
+)
+def q13(spark, sf_dir):
+    """VALUES inline table -> createDataFrame + broadcast join (SPARQL
+    VALUES)."""
+    c = load(spark, sf_dir, "customer")
+    vals = c.sparkSession.createDataFrame([("BUILDING",), ("MACHINERY",)], ["seg"])
+    return (
+        c.join(F.broadcast(vals), c.c_mktsegment == vals.seg)
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+        .orderBy("seg")
+    )
+
+
+@query(
+    "q14_window_top_order_per_cust",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) WHERE rn = 1 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q14(spark, sf_dir):
+    """Window function: top-1 per group (engine-grade operator, SURVEY §2C).
+    Single shuffle on the partition key; rank pushdown via WindowTopK in
+    Spark 3.5+."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "q15_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q15(spark, sf_dir):
+    """ROLLUP grouping sets (engine-grade, SURVEY §2C)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_extendedprice"), "total"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q16_conditional_agg_case",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS total,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q16(spark, sf_dir):
+    """Conditional aggregation (SPARQL IF inside aggregates)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q17_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_uc,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           md5(p_name) AS name_md5,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS material
+    FROM part WHERE p_size BETWEEN 10 AND 20 AND regexp_matches(p_name, 'a.*e')
+    ORDER BY p_partkey LIMIT 50
+    """,
+)
+def q17(spark, sf_dir):
+    """SPARQL builtin-function surface: UCASE/STRLEN/SUBSTR/REGEX/MD5/IF
+    (SURVEY §2B builtins row) as JVM-side column expressions."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 20) & F.col("p_name").rlike("a.*e"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+            F.when(F.col("p_type").like("%BRASS%"), "brass").otherwise("other").alias("material"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q18_multi_join_part_supplier_stats",
+    oracle="""
+    SELECT p.p_brand, s.s_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand, s.s_name
+    HAVING COUNT(*) >= 5
+    ORDER BY total_qty DESC, p_brand, s_name
+    LIMIT 30
+    """,
+)
+def q18(spark, sf_dir):
+    """Fact-to-two-dimensions star join; both dims broadcast so the fact
+    table never shuffles before aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("n_items") >= 5)
+        .orderBy(F.desc("total_qty"), "p_brand", "s_name")
+        .limit(30)
+    )

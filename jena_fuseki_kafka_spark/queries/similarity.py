@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- s01: brute-force cosine top-k — the correctness baseline.  The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` expression, not a
+  Python UDF; query vectors are a broadcast side.
+- s02: LSH-bucketed ANN (random-hyperplane signs with deterministic
+  md5-derived hyperplanes) — the scale path: candidates come from a bucket
+  equi-join, so the pair space is linear-ish in rows instead of q x n.
+  Deterministic hyperplanes make the DuckDB oracle reproduce the exact same
+  buckets, so results hash-match.
+- s03: embedding-cosine near-duplicate pairs (dedup by vector similarity).
+
+All cosines are computed in double with the same left-to-right summation
+order in both engines, then rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+TOP_K = 10
+N_QUERY_VECS = 5  # vec_id 0..4 are the query set
+N_PLANES = 8
+DIM = 64
+NEAR_DUP_COSINE = 0.95
+
+
+def _cos_spark(a, b):
+    """cosine(a,b) as a JVM expression; inputs array<float> -> double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+)
+
+
+@query(
+    "s01_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_COS_SQL.format(a='q.qv', b='e.embedding')}, 4) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def s01(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the query set, score every row,
+    per-query window top-k.  At 100 TB this is the rerank stage; s02 is the
+    candidate-generation stage."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def _plane_sign_sql(vec: str, plane: int) -> str:
+    """Deterministic hyperplane sign: plane p has component
+    sign(bit of md5) in {-1,+1} per dimension; sign of the dot product."""
+    terms = " + ".join(
+        "(CASE WHEN ('0x'||substr(md5('{p}:{d}'),1,15))::BIGINT & 1 = 1 THEN 1 ELSE -1 END)"
+        " * CAST({v}[{d1}] AS DOUBLE)".format(p=plane, d=d, v=vec, d1=d + 1)
+        for d in range(DIM)
+    )
+    return f"(CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END)"
+
+
+def _bucket_sql(vec: str) -> str:
+    return " + ".join(f"({_plane_sign_sql(vec, p)} * {1 << p})" for p in range(N_PLANES))
+
+
+def _plane_sign_spark(vec, plane: int):
+    import hashlib
+
+    # driver-side precompute of the deterministic hyperplane (+1/-1 per dim),
+    # matching the oracle's md5-parity formula bit-for-bit
+    signs = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        signs.append(1.0 if (h & 1) == 1 else -1.0)
+    dot = None
+    for d in range(DIM):
+        term = F.element_at(vec, d + 1).cast("double") * F.lit(signs[d])
+        dot = term if dot is None else dot + term
+    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+@query(
+    "s02_ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+          WHERE vec_id < {N_QUERY_VECS}),
+    cands AS (
+      SELECT q.query_id, e.vec_id, q.qv, e.embedding
+      FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id != q.query_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) AS cosine
+      FROM cands
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def s02(spark, sf_dir):
+    """LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket id; search
+    only within the query's bucket.  Candidate generation is an equi-join on
+    bucket (shuffle ~ rows, not q x rows) — the 100 TB path."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for p in range(N_PLANES):
+        term = _plane_sign_spark(F.col("embedding"), p) * F.lit(1 << p)
+        bucket = term if bucket is None else bucket + term
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    cands = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id", "vec_id", F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "s03_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {NEAR_DUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def s03(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by cluster label
+    (at scale the label comes from coarse quantization / k-means; here the
+    table ships one)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    cos = _cos_spark(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

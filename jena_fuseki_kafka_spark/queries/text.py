@@ -1,0 +1,162 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting.  All JVM-side column
+expressions (no Python UDFs in the hot path); each has an exact DuckDB
+oracle computing the same deterministic formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# chosen to be expressible identically in Spark and DuckDB SQL
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+    "zh": ["de", "le", "he"],
+}
+
+
+def _count_word_sql(word: str) -> str:
+    # occurrences of a whole word, DuckDB side
+    return f"len(regexp_extract_all(' ' || text || ' ', '[^a-z]{word}[^a-z]'))"
+
+
+def _count_word_spark(word: str):
+    return F.size(F.expr(f"regexp_extract_all(concat(' ', text, ' '), '[^a-z]{word}[^a-z]', 0)"))
+
+
+@query(
+    "t01_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_count_word_sql('the')} + {_count_word_sql('a')} + {_count_word_sql('of')} AS score_en,
+             {_count_word_sql('el')} + {_count_word_sql('la')} + {_count_word_sql('de')} AS score_es,
+             {_count_word_sql('le')} + {_count_word_sql('la')} + {_count_word_sql('et')} AS score_fr,
+             {_count_word_sql('der')} + {_count_word_sql('die')} + {_count_word_sql('und')} AS score_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                WHEN score_fr >= score_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           score_en, score_es, score_fr, score_de
+    FROM scored ORDER BY doc_id
+    """,
+)
+def t01(spark, sf_dir):
+    """Language ID: stopword-marker scoring with deterministic argmax
+    tie-breaking (en > es > fr > de).  Real deployments swap the marker
+    lists for char-n-gram models; the Spark plumbing is identical."""
+    d = load(spark, sf_dir, "documents")
+    scores = {
+        "score_en": _count_word_spark("the") + _count_word_spark("a") + _count_word_spark("of"),
+        "score_es": _count_word_spark("el") + _count_word_spark("la") + _count_word_spark("de"),
+        "score_fr": _count_word_spark("le") + _count_word_spark("la") + _count_word_spark("et"),
+        "score_de": _count_word_spark("der") + _count_word_spark("die") + _count_word_spark("und"),
+    }
+    d = d.select("doc_id", *[v.alias(k) for k, v in scores.items()])
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_de")),
+            "en",
+        )
+        .when((F.col("score_es") >= F.col("score_fr")) & (F.col("score_es") >= F.col("score_de")), "es")
+        .when(F.col("score_fr") >= F.col("score_de"), "fr")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id", predicted.alias("predicted_lang"), "score_en", "score_es", "score_fr", "score_de"
+    ).orderBy("doc_id")
+
+
+@query(
+    "t02_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
+           CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 20 AND 1000
+                     AND length(text) >= 100
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t02(spark, sf_dir):
+    """Quality scoring: length / punctuation / word-shape features + a
+    pass/fail gate (the Gopher-style rule shape used by training-data
+    pipelines)."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chars = F.length("text")
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)"))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        F.round(n_chars.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.when((n_words >= 20) & (n_words <= 1000) & (n_chars >= 100), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t03_token_count",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens,
+           SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_ish_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def t03(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenization
+    (letters / digits / punctuation runs), aggregated per source —
+    the 'how many tokens is this corpus' pipeline primitive."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_ish_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "t04_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8) AS shard_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t04(spark, sf_dir):
+    """Document fingerprinting: whitespace-normalized, case-folded content
+    hash (the canonical-form fingerprint used for exact-dup detection and
+    sharding)."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(normalized.cast("binary"))
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")).orderBy(
+        "doc_id"
+    )
