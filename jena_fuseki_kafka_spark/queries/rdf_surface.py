@@ -121,6 +121,40 @@ def r02(spark, sf_dir):
 
 
 @query(
+    "r04_sparql_engine_group_by",
+    oracle="""
+    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user, COUNT(*) AS n
+    FROM events
+    WHERE value > 50
+    GROUP BY user_id
+    ORDER BY n DESC, user
+    LIMIT 10
+    """,
+)
+def r04(spark, sf_dir):
+    """End-to-end SPARQL execution: a real SPARQL string (GRAPH + BGP join
+    + FILTER + GROUP BY/COUNT + ORDER/LIMIT) parsed and translated by the
+    SparqlEngine into a DataFrame plan over the quad table."""
+    from ..sparql import SparqlEngine
+
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?user (COUNT(*) AS ?n) WHERE {
+          GRAPH ?g { ?e ex:user ?user . ?e ex:value ?v }
+          FILTER(?v > 50)
+        } GROUP BY ?user ORDER BY DESC(?n) ?user LIMIT 10
+        """
+    )
+    return df.select(
+        F.col("user")["value"].alias("user"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )
+
+
+@query(
     "r03_graph_quantification",
     oracle="""
     SELECT 'http://example.org/graph/' || event_type AS graph, 4 * COUNT(*) AS n_quads

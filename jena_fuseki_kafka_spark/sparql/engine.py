@@ -1,0 +1,54 @@
+"""SparqlEngine: the user-facing query entry point over a quad DataFrame.
+
+Mirrors the read side of the reference contract (SURVEY.md §3.2): where the
+reference populates a DatasetGraph and lets Fuseki/ARQ serve SPARQL over
+HTTP, this engine takes the quad table (a QuadStore snapshot or any
+DataFrame in QUAD_SCHEMA) and answers SPARQL directly as DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import QUAD_COLS
+from ..store import QuadStore
+from .ast import AskQuery, ConstructQuery, SelectQuery
+from .parser import parse_sparql
+from .translate import Translator
+
+
+class SparqlEngine:
+    def __init__(self, quads: DataFrame, max_path_iterations: int = 32):
+        missing = [c for c in QUAD_COLS if c not in quads.columns]
+        if missing:
+            raise ValueError(f"quads DataFrame missing columns: {missing}")
+        self.quads = quads
+        self.max_path_iterations = max_path_iterations
+
+    @classmethod
+    def from_store(cls, spark, store: QuadStore, **kw) -> "SparqlEngine":
+        return cls(store.read(spark), **kw)
+
+    def query(self, text: str):
+        """Run a SPARQL query.
+
+        SELECT    -> DataFrame with one struct column per projected variable
+                     (fields kind/value/datatype/lang)
+        ASK       -> bool
+        CONSTRUCT -> DataFrame in QUAD_SCHEMA
+        """
+        ast = parse_sparql(text)
+        translator = Translator(self.quads, self.max_path_iterations)
+        df = translator.translate(ast)
+        if isinstance(ast, AskQuery):
+            return df.count() > 0
+        return df
+
+    def select_values(self, text: str) -> DataFrame:
+        """SELECT with result columns flattened to their lexical values
+        (plain string columns) — convenient for tests and SQL interop."""
+        ast = parse_sparql(text)
+        if not isinstance(ast, SelectQuery):
+            raise ValueError("select_values requires a SELECT query")
+        df = Translator(self.quads, self.max_path_iterations).translate(ast)
+        return df.select(*[F.col(c)["value"].alias(c) for c in df.columns])

@@ -1,0 +1,300 @@
+"""SPARQL facade tests.
+
+Fixtures mirror the reference's own SPARQL usage: the acceptance count
+query (DockerTestConfigFK.java:394), the OPTIONAL/BIND/COALESCE pattern
+(KafkaConnectorAssembler.java:380-390), plus spec-level checks for each
+algebra operator (SURVEY.md §2B).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jena_fuseki_kafka_spark.model import DEFAULT_GRAPH, QUAD_SCHEMA
+from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+EX = "http://example.org/"
+
+
+def q(s, p, o, kind="iri", dt=None, lang=None, g=DEFAULT_GRAPH):
+    return (g, EX + s, EX + p, kind, (EX + o) if kind == "iri" else o, dt, lang)
+
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [
+        # people with names, ages, knows-edges
+        q("alice", "name", "Alice", kind="literal"),
+        q("alice", "age", "30", kind="literal", dt=XSD_INT),
+        q("alice", "knows", "bob"),
+        q("bob", "name", "Bob", kind="literal"),
+        q("bob", "age", "25", kind="literal", dt=XSD_INT),
+        q("bob", "knows", "carol"),
+        q("carol", "name", "Carol", kind="literal"),
+        q("carol", "age", "35", kind="literal", dt=XSD_INT),
+        q("dave", "name", "Dave", kind="literal"),  # no age, no knows
+        # typed data in a named graph
+        q("alice", "email", "alice@example.org", kind="literal", g=EX + "g1"),
+        q("bob", "email", "bob@example.org", kind="literal", g=EX + "g1"),
+        # labels with language tags
+        q("alice", "label", "Alicia", kind="literal", lang="es"),
+    ]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    return SparqlEngine(quads)
+
+
+def vals(df, col):
+    return [r[col] for r in df.collect()]
+
+
+class TestBasicPatterns:
+    def test_spo_scan(self, engine):
+        df = engine.select_values("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+        assert df.count() == 10  # default graph only
+
+    def test_constant_predicate(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> SELECT ?s ?name WHERE { ?s ex:name ?name }"
+        )
+        assert sorted(vals(df, "name")) == ["Alice", "Bob", "Carol", "Dave"]
+
+    def test_bgp_join(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n1 ?n2 WHERE { ?a ex:knows ?b . ?a ex:name ?n1 . ?b ex:name ?n2 }"
+        )
+        got = {(r.n1, r.n2) for r in df.collect()}
+        assert got == {("Alice", "Bob"), ("Bob", "Carol")}
+
+    def test_literal_object_match(self, engine):
+        df = engine.select_values(
+            'PREFIX ex: <http://example.org/> SELECT ?s WHERE { ?s ex:name "Alice" }'
+        )
+        assert vals(df, "s") == [EX + "alice"]
+
+    def test_reference_acceptance_query(self, engine):
+        # DockerTestConfigFK.java:394 — the reference's golden-count query
+        df = engine.query(
+            "SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }"
+        )
+        row = df.collect()[0]
+        assert row["C"]["value"] == "12"  # 10 default + 2 named
+
+
+class TestAlgebra:
+    def test_optional(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?name ?age WHERE { ?s ex:name ?name OPTIONAL { ?s ex:age ?age } }"
+        )
+        rows = {r.name: r.age for r in df.collect()}
+        assert rows["Dave"] is None
+        assert rows["Alice"] == "30"
+
+    def test_optional_bind_coalesce(self, engine):
+        # the KafkaConnectorAssembler.java:380-390 pattern shape
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?name ?x WHERE { ?s ex:name ?name "
+            "OPTIONAL { ?s ex:age ?age } BIND(COALESCE(?age, 'none') AS ?x) }"
+        )
+        rows = {r.name: r.x for r in df.collect()}
+        assert rows["Dave"] == "none"
+        assert rows["Carol"] == "35"
+
+    def test_union(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?v WHERE { { ?s ex:name ?v } UNION { ?s ex:label ?v } }"
+        )
+        assert len(vals(df, "v")) == 5
+
+    def test_minus(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:name ?n MINUS { ?s ex:age ?a } }"
+        )
+        assert vals(df, "s") == [EX + "dave"]
+
+    def test_filter_numeric(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:age ?age FILTER(?age > 28) }"
+        )
+        assert sorted(vals(df, "s")) == [EX + "alice", EX + "carol"]
+
+    def test_filter_regex_and_str(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?n WHERE { ?s ex:name ?n FILTER(REGEX(?n, "^A")) }'
+        )
+        assert vals(df, "n") == ["Alice"]
+
+    def test_filter_exists(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n FILTER EXISTS { ?s ex:knows ?o } }"
+        )
+        assert sorted(vals(df, "n")) == ["Alice", "Bob"]
+
+    def test_filter_not_exists(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n FILTER NOT EXISTS { ?s ex:knows ?o } }"
+        )
+        assert sorted(vals(df, "n")) == ["Carol", "Dave"]
+
+    def test_graph_var(self, engine):
+        df = engine.select_values(
+            "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } }"
+        )
+        assert set(vals(df, "g")) == {EX + "g1"}
+        assert df.count() == 2
+
+    def test_graph_iri(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?email WHERE { GRAPH ex:g1 { ?s ex:email ?email } }"
+        )
+        assert len(vals(df, "email")) == 2
+
+    def test_values(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?age WHERE { ?s ex:age ?age VALUES ?s { ex:alice ex:bob } }"
+        )
+        assert sorted(vals(df, "age")) == ["25", "30"]
+
+    def test_bind_arithmetic(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?agex2 WHERE { ?s ex:age ?age BIND(?age * 2 AS ?agex2) }"
+        )
+        rows = dict(zip(vals(df, "s"), vals(df, "agex2")))
+        assert float(rows[EX + "alice"]) == 60.0
+
+    def test_lang_accessor(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?l WHERE { ?s ex:label ?l FILTER(LANG(?l) = "es") }'
+        )
+        assert vals(df, "l") == ["Alicia"]
+
+
+class TestAggregatesAndModifiers:
+    def test_count_group_by(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s ORDER BY ?s"
+        )
+        rows = {r["s"]["value"]: r["n"]["value"] for r in df.collect()}
+        assert rows[EX + "alice"] == "4"
+
+    def test_sum_avg_min_max(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (SUM(?a) AS ?sum) (AVG(?a) AS ?avg) (MIN(?a) AS ?min) (MAX(?a) AS ?max) "
+            "WHERE { ?s ex:age ?a }"
+        )
+        r = df.collect()[0]
+        assert float(r["sum"]["value"]) == 90.0
+        assert float(r["avg"]["value"]) == 30.0
+
+    def test_group_concat(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) WHERE { ?s ex:name ?n }'
+        )
+        assert df.collect()[0]["names"]["value"] == "Alice,Bob,Carol,Dave"
+
+    def test_having(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
+            "HAVING (COUNT(?o) > 2) ORDER BY ?s"
+        )
+        assert {r["s"]["value"] for r in df.collect()} == {EX + "alice", EX + "bob"}
+
+    def test_order_limit_offset(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1"
+        )
+        assert vals(df, "n") == ["Carol", "Bob"]
+
+    def test_distinct(self, engine):
+        df = engine.select_values("SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+        assert df.count() == 4  # name, age, knows, label (email is named-graph only)
+
+
+class TestQueryForms:
+    def test_ask_true_false(self, engine):
+        assert engine.query(
+            'PREFIX ex: <http://example.org/> ASK { ?s ex:name "Alice" }'
+        ) is True
+        assert engine.query(
+            'PREFIX ex: <http://example.org/> ASK { ?s ex:name "Nobody" }'
+        ) is False
+
+    def test_construct(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+            "CONSTRUCT { ?s foaf:name ?n } WHERE { ?s ex:name ?n }"
+        )
+        assert df.count() == 4
+        assert df.filter(F.col("predicate") == "http://xmlns.com/foaf/0.1/name").count() == 4
+
+
+class TestPropertyPaths:
+    def test_sequence_path(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ex:alice ex:knows/ex:name ?n }"
+        )
+        assert vals(df, "n") == ["Bob"]
+
+    def test_inverse_path(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ex:bob ^ex:knows ?s }"
+        )
+        assert vals(df, "s") == [EX + "alice"]
+
+    def test_alternative_path(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?v WHERE { ex:alice ex:name|ex:age ?v }"
+        )
+        assert sorted(vals(df, "v")) == ["30", "Alice"]
+
+    def test_plus_path(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?x WHERE { ex:alice ex:knows+ ?x }"
+        )
+        assert sorted(vals(df, "x")) == [EX + "bob", EX + "carol"]
+
+    def test_star_path_includes_self(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?x WHERE { ex:alice ex:knows* ?x }"
+        )
+        assert EX + "alice" in vals(df, "x")
+        assert EX + "carol" in vals(df, "x")
+
+
+class TestParserErrors:
+    def test_unknown_prefix(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError):
+            engine.query("SELECT ?s WHERE { ?s ex:name ?n }")
+
+    def test_unterminated(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError):
+            engine.query("SELECT ?s WHERE { ?s ?p ?o")
