@@ -1,0 +1,173 @@
+"""Structured Streaming ingestion: the ProjectorDriver/poll-loop replacement.
+
+The reference runs a hand-built poll loop per connector with adaptive
+batching, offset files, and pause flags (SURVEY.md §2A A1-A16).  Structured
+Streaming gives every one of those structurally:
+
+- poll loop            -> micro-batch trigger
+- batch-size knobs     -> maxOffsetsPerTrigger / minOffsetsPerTrigger +
+                          maxTriggerDelay (high-lag catch-up, A8)
+- offset state file    -> checkpoint dir (commit-then-record ordering, A12)
+- stall handler        -> empty micro-batches end transactions naturally (A9)
+- pause/resume         -> query.stop() between batches + restart from
+                          checkpoint (A14)
+- abort-and-replay     -> idempotent per-batch txn_id: a crashed batch
+                          re-applies as a no-op (A11 + §7.4 at-least-once)
+
+Sources: Kafka (``format("kafka")``, requires the spark-sql-kafka package
+on the cluster) or a file directory of EVENT_SCHEMA parquet (used by tests
+and by file-drop ingestion).  Sinks for DLQ rows: Kafka topic or parquet
+dead-letter table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ConnectorConfig
+from ..store import QuadStore
+from .payloads import EVENT_SCHEMA
+from .projector import apply_event_batch
+
+
+def kafka_stream(spark: SparkSession, conn: ConnectorConfig) -> DataFrame:
+    """Build the Kafka source stream for a connector (A1/A2).
+
+    Consumer tuning mirrors SysJenaKafka.java:114-144: auto-commit off
+    (Spark manages offsets via checkpoint), 50 MiB fetch, bounded records
+    per trigger.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", conn.bootstrap_servers)
+        .option("subscribe", ",".join(conn.topics))
+        .option("startingOffsets", conn.starting_offsets())
+        .option("failOnDataLoss", "false")
+        .option("includeHeaders", "true")
+        .option("maxOffsetsPerTrigger", str(conn.batch_size))
+        .option("kafka.fetch.max.bytes", str(conn.batch_bytes))
+        .option("kafka.group.id", conn.group_id)
+    )
+    for k, v in conn.kafka_properties.items():
+        reader = reader.option(f"kafka.{k}", v)
+    return reader.load().select(
+        "key", "value", "headers", "topic", "partition", "offset", "timestamp"
+    )
+
+
+def file_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-based event source in EVENT_SCHEMA (tests; file-drop ingest)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+
+
+class IngestStream:
+    """One connector's streaming query: source -> foreachBatch projector."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        conn: ConnectorConfig,
+        store: QuadStore | None = None,
+        source: DataFrame | None = None,
+        dlq_path: str | None = None,
+    ):
+        self.spark = spark
+        self.conn = conn
+        self.store = store or QuadStore(conn.dataset)
+        self.dlq_path = dlq_path
+        self._source = source
+        self.query = None
+        self._paused = False
+        self.metrics = {"batches": 0, "adds": 0, "deletes": 0, "dlq": 0}
+
+    def _resolve_source(self) -> DataFrame:
+        if self._source is not None:
+            return self._source
+        if self.conn.bootstrap_servers:
+            return kafka_stream(self.spark, self.conn)
+        raise ValueError(
+            f"connector {self.conn.name!r}: no bootstrap_servers and no explicit source"
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._paused:
+            # pause safe-point: skip processing; checkpoint does not advance
+            # past unprocessed data because foreachBatch must succeed first
+            raise RuntimeError("paused")  # forces the query to stop cleanly
+        res = apply_event_batch(
+            self.spark,
+            self.store,
+            batch_df,
+            # idempotent replay key: same query + same batch -> same txn
+            txn_id=f"{self.conn.name}-{batch_id}",
+        )
+        self.metrics["batches"] += 1
+        self.metrics["adds"] += res["n_adds"]
+        self.metrics["deletes"] += res["n_deletes"]
+        self.metrics["dlq"] += res["n_dlq"]
+        if res["n_dlq"]:
+            self._write_dlq(res["dlq"])
+        res["dlq"].unpersist()
+
+    def _write_dlq(self, dlq: DataFrame) -> None:
+        if self.conn.dlq_topic and self.conn.bootstrap_servers:
+            (
+                dlq.select(
+                    F.col("key").cast("binary"),
+                    F.col("value").cast("binary"),
+                    F.col("headers"),
+                )
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", self.conn.bootstrap_servers)
+                .option("topic", self.conn.dlq_topic)
+                .option("includeHeaders", "true")
+                .save()
+            )
+        elif self.dlq_path:
+            dlq.write.mode("append").parquet(self.dlq_path)
+        # no DLQ configured: the reference aborts the pipeline
+        # (FusekiProjector.java:258-277); we surface via metrics + raise
+        elif self.conn.dlq_topic is None and self.dlq_path is None:
+            raise RuntimeError(
+                f"connector {self.conn.name!r}: malformed events and no DLQ configured"
+            )
+
+    def start(self, trigger_available_now: bool = False):
+        source = self._resolve_source()
+        checkpoint = self.conn.state_dir or os.path.join(self.store.path, "_checkpoint")
+        writer = (
+            source.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint)
+            .queryName(f"jfk-{self.conn.name}")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="10 seconds")  # FKConst poll cadence
+        self.query = writer.start()
+        return self.query
+
+    # -- lifecycle (A13/A14) ---------------------------------------------
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def pause(self) -> None:
+        """Safe-point pause: stop between micro-batches (the Spark analog of
+        the reference's commit-then-park, FusekiProjector.java:619-671)."""
+        self.stop()
+        self._paused = True
+
+    def resume(self, trigger_available_now: bool = False):
+        self._paused = False
+        return self.start(trigger_available_now=trigger_available_now)
+
+    def run_available(self) -> None:
+        """Process everything currently available, then stop (test/batch
+        mode; used for exact-count soak verification)."""
+        q = self.start(trigger_available_now=True)
+        q.awaitTermination()
+        self.query = None
