@@ -39,14 +39,17 @@ def _hash60_sql(expr: str) -> str:
 
 
 def _shingles_spark(d):
-    """doc_id -> exploded distinct 3-word shingles (JVM-side arrays)."""
+    """doc_id -> exploded distinct 3-word shingles (JVM-side arrays).
+    Words are materialized once per row; the shingle build is a single
+    transform over index positions (no repeated splits)."""
     words = F.split(F.trim(F.col("text")), r"\s+")
+    with_words = d.select("doc_id", words.alias("w"))
     sh = F.expr(
-        "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, -1)), "
-        "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))"
+        "transform(sequence(1, greatest(size(w) - 2, 0)), "
+        "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
     )
     return (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        with_words.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -95,9 +98,22 @@ def d01(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- d02 minhash+LSH
+# universal-hash family over a single 30-bit base hash: one md5 per shingle
+# instead of N_HASHES; h_i = (a_i*h + b_i) mod P with odd a_i — deterministic
+# and overflow-safe in both engines (a_i*h < 2^36)
+_MINHASH_P = 1073741789  # largest prime < 2^30
+
+
+def _minhash_params(seed: int) -> tuple[int, int]:
+    return (2 * seed + 1, (seed * 2654435761) % _MINHASH_P)
+
+
 def _minhash_oracle() -> str:
+    base = f"({_hash60_sql('shingle')} & 1073741823)"
     mins = ",\n             ".join(
-        "MIN({h}) AS m{s}".format(h=_hash60_sql("'%d:' || shingle" % seed), s=seed)
+        "MIN(({a} * {h} + {b}) % {p}) AS m{s}".format(
+            a=_minhash_params(seed)[0], b=_minhash_params(seed)[1], h=base, p=_MINHASH_P, s=seed
+        )
         for seed in range(N_HASHES)
     )
     bands = ",\n             ".join(
@@ -151,9 +167,14 @@ def d02(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).persist()
 
-    minhashes = shingles.groupBy("doc_id").agg(
+    base_hash = (_hash60_spark(F.col("shingle")).bitwiseAND(F.lit(1073741823))).alias("h")
+    hashed = shingles.select("doc_id", base_hash)
+    minhashes = hashed.groupBy("doc_id").agg(
         *[
-            F.min(_hash60_spark(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"m{seed}")
+            F.min(
+                (F.lit(_minhash_params(seed)[0]) * F.col("h") + F.lit(_minhash_params(seed)[1]))
+                % F.lit(_MINHASH_P)
+            ).alias(f"m{seed}")
             for seed in range(N_HASHES)
         ]
     )
@@ -169,13 +190,20 @@ def d02(spark, sf_dir):
         ],
     ).persist()
 
-    cands = None
-    for b in range(N_BANDS):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        bb = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        pairs = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    # one equi-join on (band_index, band_hash) instead of N_BANDS separate
+    # joins: explode the band columns to rows, self-join once, dedup pairs
+    exploded = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("bi", "bh"),
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "bi", "bh")
+    bb = exploded.select(F.col("doc_id").alias("doc_b"), "bi", "bh")
+    cands = (
+        a.join(bb, ["bi", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -1,0 +1,225 @@
+"""Multimodal column processing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs over
+``mapInPandas``.
+
+This is the training-data-pipeline shape for media at 100 TB: media bytes
+never leave the executors, decode/feature-extraction is batched through
+Arrow, and outputs are typed columns that downstream dedup/similarity
+operators consume.  The actual codec calls are STUBBED (this container has
+no image/audio libraries): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless the optional library import succeeds, and the
+tests exercise the pipeline with the deterministic FAKE container formats
+below — the Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and tested.
+
+FAKE formats (deterministic, self-describing):
+  image: b"FAKEIMG" + width:u16 + height:u16 + width*height gray bytes
+  audio: b"FAKEAUD" + sample_rate:u32 + n:u32 + n samples of s16le
+  video: b"FAKEVID" + n_frames:u16 + frame_w:u16 + frame_h:u16 + frames
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("histogram", T.ArrayType(T.LongType()), True),  # 8 bins
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------- codecs
+def decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an image to (width, height, grayscale bytes).
+
+    Real codecs (PIL/opencv) are unavailable in this container — only the
+    deterministic FAKEIMG container is supported; anything else raises
+    NotImplementedError (the documented stub boundary)."""
+    if data[:7] == b"FAKEIMG":
+        w, h = struct.unpack_from("<HH", data, 7)
+        pixels = data[11 : 11 + w * h]
+        return w, h, pixels
+    try:  # pragma: no cover - not installed here
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv (not in this environment); "
+            "only the FAKEIMG container is supported"
+        ) from None
+    raise NotImplementedError("real decode path not implemented")
+
+
+def decode_audio(data: bytes) -> tuple[int, list[int]]:
+    if data[:7] == b"FAKEAUD":
+        rate, n = struct.unpack_from("<II", data, 7)
+        samples = list(struct.unpack_from(f"<{n}h", data, 15))
+        return rate, samples
+    raise NotImplementedError(
+        "real audio decode requires an audio library (not in this environment)"
+    )
+
+
+def split_video_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    if data[:7] == b"FAKEVID":
+        n, w, h = struct.unpack_from("<HHH", data, 7)
+        size = w * h
+        frames = [data[13 + i * size : 13 + (i + 1) * size] for i in range(n)]
+        return w, h, frames
+    raise NotImplementedError("real video demux requires a video library")
+
+
+# ---------------------------------------------------------------- operators
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images: mean intensity and an 8-bin
+    histogram.  mapInPandas: one Arrow batch in, one out; failed decodes go
+    to an error column (same DLQ discipline as the ingest path)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    w, h, pixels = decode_image(bytes(data))
+                    if not pixels:
+                        raise ValueError("empty pixel data")
+                    hist = [0] * 8
+                    total = 0
+                    for b in pixels:
+                        hist[b >> 5] += 1
+                        total += b
+                    out.append((mid, w, h, total / len(pixels), hist, None))
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    out.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_intensity", "histogram", "error"],
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "data").mapInPandas(
+        extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Nearest-neighbor resize of FAKEIMG grayscale images — the plumbing
+    (binary in, binary out, metadata update) is what matters at scale."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, datas, metas = [], [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                w, h, pixels = decode_image(bytes(data))
+                resized = bytearray()
+                for y in range(new_h):
+                    sy = min(h - 1, y * h // new_h)
+                    row = pixels[sy * w : (sy + 1) * w]
+                    for x in range(new_w):
+                        resized.append(row[min(w - 1, x * w // new_w)])
+                ids.append(mid)
+                kinds.append("image")
+                datas.append(
+                    b"FAKEIMG" + struct.pack("<HH", new_w, new_h) + bytes(resized)
+                )
+                metas.append(
+                    {"format": "FAKEIMG", "width": new_w, "height": new_h,
+                     "sample_rate": None, "duration_ms": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "data": datas, "meta": metas}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    rate, samples = decode_audio(bytes(data))
+                    n = len(samples)
+                    rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+                    out.append((mid, rate, n, rms, None))
+                except (NotImplementedError, struct.error) as e:
+                    out.append((mid, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "n_samples", "rms", "error"]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "data").mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: every ``stride``-th frame of each video, exploded to
+    one row per sampled frame (the shape a captioning/embedding stage
+    consumes)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                w, h, frames = split_video_frames(bytes(data))
+                for idx in range(0, len(frames), stride):
+                    out.append((mid, idx, frames[idx], w, h))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_index", "frame", "width", "height"]
+            )
+
+    return media.filter(F.col("kind") == "video").select("media_id", "data").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )

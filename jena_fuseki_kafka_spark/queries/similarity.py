@@ -108,19 +108,27 @@ def _bucket_sql(vec: str) -> str:
     return " + ".join(f"({_plane_sign_sql(vec, p)} * {1 << p})" for p in range(N_PLANES))
 
 
-def _plane_sign_spark(vec, plane: int):
+def _plane_signs(plane: int) -> list[float]:
     import hashlib
 
     # driver-side precompute of the deterministic hyperplane (+1/-1 per dim),
     # matching the oracle's md5-parity formula bit-for-bit
-    signs = []
-    for d in range(DIM):
-        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
-        signs.append(1.0 if (h & 1) == 1 else -1.0)
-    dot = None
-    for d in range(DIM):
-        term = F.element_at(vec, d + 1).cast("double") * F.lit(signs[d])
-        dot = term if dot is None else dot + term
+    return [
+        1.0 if (int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16) & 1) == 1 else -1.0
+        for d in range(DIM)
+    ]
+
+
+def _plane_sign_spark(vec, plane: int):
+    # zip_with against a literal sign array keeps the expression tree small
+    # (3 nodes per plane instead of 2*DIM) — same left-to-right summation
+    # order as the SQL oracle, so results are bit-identical
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane)])
+    dot = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
