@@ -1,0 +1,89 @@
+"""Streaming analytics tests: run the windowed/session operators over a
+file stream and check they agree with the batch formulations (q20/q21 are
+the oracle-verified batch twins)."""
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from jena_fuseki_kafka_spark.queries.streaming_ops import (
+    session_window_counts,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_path(spark, tmp_path):
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=i * 7),  # spans ~23h
+                i % 5,
+                ["view", "click"][i % 2],
+                float(i),
+            )
+        )
+    path = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(2).write.parquet(path)
+    return path
+
+
+def run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestWindowedStreaming:
+    def test_tumbling_window_matches_batch(self, spark, events_path):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+        out = run_stream_to_memory(
+            spark, windowed_event_counts(stream, "1 hour"), "win_counts"
+        ).collect()
+        batch = (
+            spark.read.parquet(events_path)
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+        got = {(r.hour, r.event_type): r.n_events for r in out}
+        want = {(r.hour, r.event_type): r.n_events for r in batch}
+        assert got == want
+
+    def test_session_windows(self, spark, events_path):
+        # events are 7 min apart per stream but 35 min apart per user
+        # (5 users round-robin) => with a 30-min gap each user event is its
+        # own session; with a 40-min gap each user has one session
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+        tight = run_stream_to_memory(
+            spark, session_window_counts(stream, gap="30 minutes"), "sess_tight"
+        )
+        assert tight.count() == 200  # every event its own session
+        stream2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+        loose = run_stream_to_memory(
+            spark, session_window_counts(stream2, gap="40 minutes"), "sess_loose"
+        )
+        rows = loose.collect()
+        assert len(rows) == 5  # one session per user
+        assert all(r.n_events == 40 for r in rows)
