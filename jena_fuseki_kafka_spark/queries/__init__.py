@@ -50,5 +50,6 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import rdf_surface  # noqa: E402,F401
+from . import multimodal_surface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "load"]

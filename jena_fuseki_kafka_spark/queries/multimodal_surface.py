@@ -1,0 +1,214 @@
+"""Multimodal operators exercised through the correctness gate.
+
+There is no media table in the driver testdata, so these queries derive a
+deterministic FAKE media corpus from ``documents`` (kind = doc_id % 3;
+pixel/sample values are closed-form functions of doc_id and index) and push
+it through the REAL multimodal pipeline — binary container encode, Arrow
+batches, ``mapInPandas`` decode/feature-extract/frame-sample from
+``queries.multimodal`` — then project exact-integer features that a DuckDB
+``generate_series`` oracle reproduces.  The byte-level decode is therefore
+verified end-to-end: if the binary plumbing corrupted a single byte, the
+intensity/checksum sums would hash-mismatch.
+
+Fake-media generation formulas (all positive ints; ``%`` agrees between
+Python and DuckDB):
+  image (doc_id%3==0): w=8+id%8, h=8+id%5, pixel[i]=(id*31+i*7)%256
+  audio (doc_id%3==1): rate=8000+(id%4)*4000, n=16+id%32,
+                       sample[i]=((id*13+i*17)%65536)-32768
+  video (doc_id%3==2): nf=2+id%5, w=4+id%4, h=4+id%3,
+                       pixel[f][i]=(id*31+f*911+i*7)%256
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import load, query
+from .multimodal import (
+    FRAME_SCHEMA,
+    MEDIA_SCHEMA,
+    audio_features,
+    image_features,
+    sample_frames,
+)
+
+
+def fake_media(docs: DataFrame) -> DataFrame:
+    """documents -> deterministic FAKE media rows (MEDIA_SCHEMA).
+
+    One Arrow-batched pass; media bytes are built executor-side and never
+    hit the driver — the same data-locality contract a real 100 TB media
+    pipeline needs (binary column + typed metadata, SURVEY-adjacent
+    multimodal design)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    w, h = 8 + did % 8, 8 + did % 5
+                    px = bytes((did * 31 + i * 7) % 256 for i in range(w * h))
+                    data = b"FAKEIMG" + struct.pack("<HH", w, h) + px
+                    meta = {"format": "FAKEIMG", "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None}
+                    rows.append((did, "image", data, meta))
+                elif did % 3 == 1:
+                    rate, n = 8000 + (did % 4) * 4000, 16 + did % 32
+                    samples = [((did * 13 + i * 17) % 65536) - 32768 for i in range(n)]
+                    data = b"FAKEAUD" + struct.pack("<II", rate, n) + struct.pack(f"<{n}h", *samples)
+                    meta = {"format": "FAKEAUD", "width": None, "height": None,
+                            "sample_rate": rate, "duration_ms": 1000 * n // rate}
+                    rows.append((did, "audio", data, meta))
+                else:
+                    nf, w, h = 2 + did % 5, 4 + did % 4, 4 + did % 3
+                    frames = b"".join(
+                        bytes((did * 31 + f * 911 + i * 7) % 256 for i in range(w * h))
+                        for f in range(nf)
+                    )
+                    data = b"FAKEVID" + struct.pack("<HHH", nf, w, h) + frames
+                    meta = {"format": "FAKEVID", "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None}
+                    rows.append((did, "video", data, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+@query(
+    "m01_image_features",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, (doc_id*31 + i*7) % 256 AS p
+      FROM imgs, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(p) AS BIGINT) AS intensity_sum,
+           CAST(SUM(CASE WHEN p < 32 THEN 1 ELSE 0 END) AS BIGINT) AS hist0
+    FROM px GROUP BY doc_id, w, h ORDER BY media_id
+    """,
+)
+def m01(spark, sf_dir):
+    """Image decode + feature extraction over binary media columns
+    (mapInPandas, Arrow batches).  intensity_sum is recovered exactly from
+    the pipeline's mean (sum < 2^53, so round(mean*n) is exact) — a
+    byte-level equality check on the decode path."""
+    media = fake_media(load(spark, sf_dir, "documents"))
+    feats = image_features(media)
+    n_px = F.col("width") * F.col("height")
+    return (
+        feats.filter(F.col("error").isNull())
+        .select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round(F.col("mean_intensity") * n_px).cast("long").alias("intensity_sum"),
+            F.col("histogram")[0].alias("hist0"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "m02_audio_features",
+    oracle="""
+    WITH auds AS (
+      SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, 16 + doc_id % 32 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    smp AS (
+      SELECT doc_id, rate, n, ((doc_id*13 + i*17) % 65536) - 32768 AS s
+      FROM auds, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM smp GROUP BY doc_id, rate, n ORDER BY media_id
+    """,
+)
+def m02(spark, sf_dir):
+    """Audio decode + RMS over binary media (mapInPandas).  sum_sq is
+    recovered exactly from rms (round(rms^2 * n); sums < 2^53)."""
+    media = fake_media(load(spark, sf_dir, "documents"))
+    feats = audio_features(media)
+    return (
+        feats.filter(F.col("error").isNull())
+        .select(
+            "media_id",
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("n_samples").alias("n_samples"),
+            F.round(F.col("rms") * F.col("rms") * F.col("n_samples")).cast("long").alias("sum_sq"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_FRAME_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "m03_video_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 2 + doc_id % 5 AS nf, 4 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    sampled AS (
+      SELECT doc_id, nf, w, h, f
+      FROM vids, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS f)
+    ),
+    px AS (
+      SELECT doc_id, w, h, f, (doc_id*31 + f*911 + i*7) % 256 AS p
+      FROM sampled, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_index,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(p) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, f, w, h ORDER BY media_id, frame_index
+    """,
+)
+def m03(spark, sf_dir):
+    """Video demux + stride-2 frame sampling (mapInPandas explode to one
+    row per frame), then a second Arrow pass computing a byte checksum of
+    each sampled frame — two chained mapInPandas stages, the exact shape a
+    caption/embedding stage consumes at scale."""
+    media = fake_media(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, stride=2)
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_index": pdf["frame_index"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "checksum": [sum(bytes(b)) for b in pdf["frame"]],
+                }
+            )
+
+    return frames.mapInPandas(checksum, schema=_FRAME_SUM_SCHEMA).orderBy(
+        "media_id", "frame_index"
+    )

@@ -171,3 +171,156 @@ def r03(spark, sf_dir):
         .agg(F.count("*").alias("n_quads"))
         .orderBy("graph")
     )
+
+
+def _order_quads(spark, sf_dir) -> DataFrame:
+    """Orders as quads in the default graph: ex:customer (IRI), ex:total
+    (double literal), and ex:bigtotal only when o_totalprice > 200000 —
+    the conditional quad creates genuinely-unbound OPTIONAL matches."""
+    o = load(spark, sf_dir, "orders")
+    subj = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+
+    def quad(df, pred, kind, value, dt=None):
+        return df.select(
+            F.lit(DEFAULT_GRAPH).alias("graph"),
+            subj.alias("subject"),
+            F.lit(EX + pred).alias("predicate"),
+            F.lit(kind).alias("object_kind"),
+            value.cast("string").alias("object_value"),
+            (F.lit(dt) if dt else F.lit(None).cast("string")).alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+        )
+
+    cust = quad(o, "customer", KIND_IRI, F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")))
+    total = quad(o, "total", KIND_LITERAL, F.col("o_totalprice"), XSD + "double")
+    big = quad(o.filter(F.col("o_totalprice") > 200000), "bigtotal", KIND_LITERAL, F.lit("big"))
+    jumbo = quad(o.filter(F.col("o_totalprice") > 350000), "jumbototal", KIND_LITERAL, F.lit("jumbo"))
+    return cust.unionByName(total).unionByName(big).unionByName(jumbo)
+
+
+def _customer_quads(spark, sf_dir) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.lit(DEFAULT_GRAPH).alias("graph"),
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit(EX + "segment").alias("predicate"),
+        F.lit(KIND_LITERAL).alias("object_kind"),
+        F.col("c_mktsegment").alias("object_value"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    )
+
+
+@query(
+    "r05_property_path_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS u, user_id // 2 AS p FROM events WHERE user_id >= 2
+    ),
+    anc AS (
+      SELECT u, p AS a FROM edges
+      UNION
+      SELECT anc.u, e.p FROM anc JOIN edges e ON anc.a = e.u
+    )
+    SELECT 'http://example.org/user/' || CAST(a AS VARCHAR) AS ancestor, COUNT(*) AS n
+    FROM anc GROUP BY a ORDER BY n DESC, ancestor LIMIT 20
+    """,
+)
+def r05(spark, sf_dir):
+    """Property-path transitive closure (SPARQL ``p+``) — the one operator
+    SURVEY.md §7.3 marks as genuinely custom: a distributed semi-naive
+    fixpoint (translate.py:_closure_pattern).  The parent forest u -> u//2
+    over event users gives log-depth chains; the DuckDB oracle is the
+    equivalent recursive CTE."""
+    from ..sparql import SparqlEngine
+
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").filter(F.col("user_id") >= 2).distinct()
+    quads = users.select(
+        F.lit(DEFAULT_GRAPH).alias("graph"),
+        F.concat(F.lit(EX + "user/"), F.col("user_id").cast("string")).alias("subject"),
+        F.lit(EX + "parent").alias("predicate"),
+        F.lit(KIND_IRI).alias("object_kind"),
+        F.concat(F.lit(EX + "user/"), (F.col("user_id") / 2).cast("long").cast("string")).alias("object_value"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    )
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?a (COUNT(*) AS ?n) WHERE { ?u ex:parent+ ?a }
+        GROUP BY ?a ORDER BY DESC(?n) ?a LIMIT 20
+        """
+    )
+    return df.select(
+        F.col("a")["value"].alias("ancestor"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )
+
+
+@query(
+    "r06_optional_bind_coalesce",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY size
+    """,
+)
+def r06(spark, sf_dir):
+    """OPTIONAL + BIND + COALESCE over genuinely-unbound solutions — the
+    reference's own config-lookup SPARQL shape
+    (KafkaConnectorAssembler.java:380-390 uses OPTIONAL/BIND/COALESCE);
+    unbound ?bt coalesces to the literal 'small'."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?size (COUNT(*) AS ?n) WHERE {
+          ?o ex:customer ?c .
+          OPTIONAL { ?o ex:bigtotal ?bt }
+          BIND(COALESCE(?bt, "small") AS ?size)
+        } GROUP BY ?size ORDER BY ?size
+        """
+    )
+    return df.select(
+        F.col("size")["value"].alias("size"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )
+
+
+@query(
+    "r07_not_exists_antijoin",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000
+    )
+    GROUP BY c_mktsegment ORDER BY seg
+    """,
+)
+def r07(spark, sf_dir):
+    """FILTER NOT EXISTS -> left-anti join (SURVEY.md §2B FILTER row):
+    customers with no jumbo order; the NOT EXISTS group is itself a
+    two-pattern BGP (order->customer join + the conditional jumbototal quad)."""
+    from ..sparql import SparqlEngine
+
+    quads = _customer_quads(spark, sf_dir).unionByName(_order_quads(spark, sf_dir))
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {
+          ?c ex:segment ?seg .
+          FILTER NOT EXISTS { ?o ex:customer ?c . ?o ex:jumbototal ?bt }
+        } GROUP BY ?seg ORDER BY ?seg
+        """
+    )
+    return df.select(
+        F.col("seg")["value"].alias("seg"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )

@@ -525,3 +525,44 @@ def q18(spark, sf_dir):
         .orderBy(F.desc("total_qty"), "p_brand", "s_name")
         .limit(30)
     )
+
+
+@query(
+    "q19_disjunctive_predicate_join",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicate spanning
+    both join sides.  The part-only disjuncts (brand/size) are replicated as
+    a pre-join filter so the broadcast side shrinks before the join and the
+    scan prunes; the mixed lineitem+part residual evaluates post-join inside
+    whole-stage codegen — the standard Q19 rewrite Catalyst can't derive
+    itself because the OR spans relations."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    part_side = p.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35))
+    )
+    q = F.col("l_quantity")
+    residual = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part_side), li.l_partkey == part_side.p_partkey)
+        .filter(residual)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

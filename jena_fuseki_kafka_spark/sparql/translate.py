@@ -317,14 +317,32 @@ class Translator:
 
         edges = pairs related by one step of ``base``; closure grows by
         joining the frontier to edges until no new pairs appear.  Each
-        iteration is a distributed join + anti-join; results are cached.
+        iteration is a distributed join + anti-join.
+
+        Every iteration's frontier is ``localCheckpoint``-ed (eager): without
+        lineage truncation the logical plan doubles per iteration (closure
+        references frontier references closure...) and the driver OOMs
+        building plan strings long before data size matters.  With it, the
+        closure is a flat union of materialized leaves — plan size is linear
+        in iterations, and the shuffles stay bounded by the frontier size
+        (the semi-naive property).  On a multi-executor cluster prefer
+        ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+        fault-tolerant truncation; localCheckpoint trades lineage
+        re-computability for speed, which is the right default here.
         """
         sv, ov = ("var", "__closure_s"), ("var", "__closure_o")
-        edges = (
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            # truncate lineage, then re-alias every column so the checkpointed
+            # leaf gets fresh attribute ids — unions of leaves that share ids
+            # break Catalyst's constraint rewriting
+            df = df.localCheckpoint(eager=True)
+            return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+        edges = ckpt(
             self._triple_pattern(sv, base, ov, graph)
             .select(F.col("__closure_s").alias("src"), F.col("__closure_o").alias("dst"))
             .distinct()
-            .persist()
         )
         closure = edges
         frontier = edges
@@ -335,10 +353,10 @@ class Translator:
                 .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
                 .distinct()
             )
-            new = grown.join(closure, on=["src", "dst"], how="left_anti").persist()
-            if new.limit(1).count() == 0:
+            new = ckpt(grown.join(closure, on=["src", "dst"], how="left_anti"))
+            if not new.take(1):
                 break
-            closure = closure.unionByName(new).persist()
+            closure = closure.unionByName(new)
             frontier = new
         result = closure
 
