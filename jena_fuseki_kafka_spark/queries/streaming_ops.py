@@ -48,3 +48,56 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------- stateful
+def streaming_first_seen(
+    stream: DataFrame,
+    key_col: str = "fingerprint",
+    order_col: str = "ts",
+) -> DataFrame:
+    """Cross-batch streaming dedup: emit only the FIRST row seen for each
+    ``key_col`` value, across micro-batches — the streaming twin of
+    d01_exact_dedup, implemented as a custom stateful operator with
+    ``applyInPandasWithState`` (SURVEY.md-adjacent: the reference has no
+    stateful streaming ops; this is the training-data-pipeline primitive a
+    streaming ingest needs so duplicate documents never reach the corpus).
+
+    State design for 100 TB: the stream is grouped BY THE KEY ITSELF, so
+    state is one boolean per distinct key, hash-partitioned across
+    executors by the state store — no global set, no driver bottleneck.
+    Within a batch the winner is the min-``order_col`` row (deterministic).
+    In production add a state TTL (GroupStateTimeout / watermark eviction)
+    to bound the store for unbounded key domains.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+    from collections.abc import Iterator
+
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col).iloc[[0]]
+            if best is None or cand.iloc[0][order_col] < best.iloc[0][order_col]:
+                best = cand
+        if best is not None:
+            state.update((True,))
+            yield best
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,83 @@
+"""Plan-shape regression tests: the 100 TB safeguards.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives a 1000-executor scale-up: filters reach the parquet scan
+(row-group pruning), small dimensions broadcast (no fact-table shuffle
+before aggregation), scans prune columns, and the JVM-path queries never
+fall back to row-at-a-time Python evaluation.
+"""
+
+import re
+
+import pytest
+
+from jena_fuseki_kafka_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+class TestPushdown:
+    def test_q01_shipdate_filter_pushed_to_scan(self, spark):
+        p = plan(spark, "q01_pricing_summary")
+        assert "PushedFilters" in p
+        assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", p), p
+
+    def test_q01_column_pruning(self, spark):
+        # 7 needed columns of 11; the scan schema must not include the rest
+        p = plan(spark, "q01_pricing_summary")
+        m = re.search(r"ReadSchema: (.*)", p)
+        assert m and "l_partkey" not in m.group(1) and "l_suppkey" not in m.group(1)
+
+    def test_q19_part_filter_pushed(self, spark):
+        p = plan(spark, "q19_disjunctive_predicate_join")
+        assert re.search(r"PushedFilters: \[[^\]]*p_brand", p), p
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name",
+        ["q03_local_supplier_volume", "q18_multi_join_part_supplier_stats",
+         "q19_disjunctive_predicate_join"],
+    )
+    def test_dimension_joins_broadcast(self, spark, name):
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" in p, p
+        # the fact table must not shuffle for the join itself:
+        # every SortMergeJoin would imply a lineitem exchange
+        assert "SortMergeJoin" not in p, p
+
+
+class TestAggregation:
+    def test_q01_partial_aggregation(self, spark):
+        # map-side partial agg -> one exchange for the final agg, one for
+        # the output sort; any more would mean a lost partial-agg
+        p = plan(spark, "q01_pricing_summary")
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+        assert "partial_sum" in p, p
+
+
+class TestNoPythonInHotPath:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q01_pricing_summary",
+            "d01_exact_dedup",
+            "d02_minhash_lsh",
+            "d03_simhash",
+            "t01_language_id",
+            "t03_token_count",
+            "s01_ann_bruteforce_topk",
+            "s02_ann_lsh_bucketed",
+        ],
+    )
+    def test_no_python_udf(self, spark, name):
+        # dedup/text/similarity are pure JVM column expressions; a Python
+        # eval node would mean a 10-100x slowdown at scale
+        p = plan(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name

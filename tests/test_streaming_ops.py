@@ -87,3 +87,57 @@ class TestWindowedStreaming:
         rows = loose.collect()
         assert len(rows) == 5  # one session per user
         assert all(r.n_events == 40 for r in rows)
+
+
+class TestStatefulStreaming:
+    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+        """Two separate parquet files => two (or more) micro-batch splits
+        with maxFilesPerTrigger=1; duplicates of the same fingerprint in a
+        later batch must be suppressed by the cross-batch state."""
+        import datetime
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("fingerprint", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        base = datetime.datetime(2026, 1, 1)
+        path = str(tmp_path / "docs")
+        # batch 1: fp a (doc 0), fp b (doc 1); batch 2: fp a again (doc 2), fp c (doc 3)
+        spark.createDataFrame(
+            [(0, "a", base), (1, "b", base + datetime.timedelta(seconds=1))], schema
+        ).coalesce(1).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            [
+                (2, "a", base + datetime.timedelta(seconds=2)),
+                (3, "c", base + datetime.timedelta(seconds=3)),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+
+        from jena_fuseki_kafka_spark.queries.streaming_ops import streaming_first_seen
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.format("memory")
+            .queryName("first_seen")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.fingerprint: r.doc_id for r in spark.sql("SELECT * FROM first_seen").collect()}
+        assert set(rows) == {"a", "b", "c"}
+        assert rows["b"] == 1 and rows["c"] == 3
+        # fp 'a': the first-seen doc must win (doc 0 if both files land in
+        # one batch order; with maxFilesPerTrigger=1 file order decides —
+        # either way doc 2 must NOT appear if doc 0's batch ran first)
+        assert rows["a"] in (0, 2)
+        assert len(rows) == 3
