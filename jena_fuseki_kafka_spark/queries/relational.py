@@ -566,3 +566,62 @@ def q19(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q24_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q24(spark, sf_dir):
+    """Exact interpolated percentiles per group (SPARQL has no percentile;
+    this is the engine-grade aggregate surface, SURVEY §2C).  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the p*(n-1)
+    linear-interpolation definition, so exact values agree.  At 100 TB
+    swap to approx_percentile (t-digest) — exact percentile sorts each
+    group; the group-by keys here are low-cardinality so each sort is a
+    single partition's work."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q25_cube_aggregation",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q25(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (Spark expands grouping sets before the partial aggregate, so it
+    still map-side combines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity"), "total_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

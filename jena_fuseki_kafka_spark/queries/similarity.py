@@ -213,3 +213,84 @@ def s03(spark, sf_dir):
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+N_PROBE = 2
+CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
+
+
+@query(
+    "s04_ann_ivf",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    cell AS (
+      SELECT vec_id, embedding, cid, sim, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+      )
+    ),
+    assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM cell WHERE vec_id < {N_QUERY_VECS} AND crk <= {N_PROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.embedding
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) DESC, vec_id) AS rk
+      FROM cands
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def s04(spark, sf_dir):
+    """IVF-style ANN: a deterministic coarse quantizer (every 61st vec_id
+    seeds a cell; at scale these are k-means centroids), each vector
+    assigned to its nearest cell, queries probing the N_PROBE nearest cells
+    and scoring only those cells' members.  The centroid set is broadcast;
+    the cell search is an equi-join on cell id — shuffle is linear in rows
+    and the probe fan-out, never q x n.  This is the inverted-file layout
+    FAISS-style systems use; the cells map 1:1 to partition pruning when the
+    table is written bucketed by cell id."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored_c = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "embedding", "cid", _cos_spark(F.col("embedding"), F.col("cv")).alias("sim")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    cell = scored_c.withColumn("crk", F.row_number().over(wc))
+    assign = cell.filter(F.col("crk") == 1).select("vec_id", "embedding", "cid")
+    probes = cell.filter((F.col("vec_id") < N_QUERY_VECS) & (F.col("crk") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    )
+    cands = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "embedding")
+        .distinct()
+    )
+    cos = F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
