@@ -27,6 +27,7 @@ HEADLINE = [
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
     "q14_window_top_order_per_cust",
+    "q19_disjunctive_predicate_join",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
     "d01_exact_dedup",
@@ -34,9 +35,11 @@ HEADLINE = [
     "d03_simhash",
     "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
+    "s04_ann_ivf",
     "t03_token_count",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
+    "m01_image_features",
 ]
 
 

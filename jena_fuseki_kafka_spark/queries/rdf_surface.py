@@ -324,3 +324,89 @@ def r07(spark, sf_dir):
         F.col("seg")["value"].alias("seg"),
         F.col("n")["value"].cast("long").alias("n"),
     )
+
+
+@query(
+    "r08_construct_quads",
+    oracle="""
+    SELECT '' AS graph,
+           'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+           'http://example.org/spentBy' AS predicate,
+           'iri' AS object_kind,
+           'http://example.org/customer/' || CAST(o_custkey AS VARCHAR) AS object_value,
+           CAST(NULL AS VARCHAR) AS object_datatype,
+           CAST(NULL AS VARCHAR) AS object_lang
+    FROM orders WHERE o_totalprice > 200000
+    ORDER BY subject
+    """,
+)
+def r08(spark, sf_dir):
+    """CONSTRUCT — project solutions into new quads (SURVEY.md §2B
+    CONSTRUCT row): big-ticket orders rewritten to ex:spentBy edges.  The
+    output is QUAD_SCHEMA, i.e. directly insertable into a QuadStore (the
+    materialized-view path)."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT { ?o ex:spentBy ?c }
+        WHERE { ?o ex:customer ?c . ?o ex:bigtotal ?bt }
+        """
+    )
+    return df.orderBy("subject")
+
+
+@query(
+    "r09_values_inline_data",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment ORDER BY seg
+    """,
+)
+def r09(spark, sf_dir):
+    """VALUES — inline binding table joined against the pattern solutions
+    (SURVEY.md §2B VALUES row)."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_customer_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {
+          ?c ex:segment ?seg .
+          VALUES ?seg { "BUILDING" "MACHINERY" }
+        } GROUP BY ?seg ORDER BY ?seg
+        """
+    )
+    return df.select(
+        F.col("seg")["value"].alias("seg"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )
+
+
+@query(
+    "r10_ask",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) > 0 AS jumbo_exists,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice > 10000000) > 0 AS impossible_exists
+    """,
+)
+def r10(spark, sf_dir):
+    """ASK — non-empty test (SURVEY.md §2B ASK row), one true and one
+    vacuous pattern.  ASK evaluates as limit(1)-count on the translated
+    pattern; the two booleans are returned as a single comparison row."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    yes = engine.query(
+        "PREFIX ex: <http://example.org/> ASK { ?o ex:jumbototal ?t }"
+    )
+    no = engine.query(
+        "PREFIX ex: <http://example.org/> ASK { ?o ex:nosuchpredicate ?t }"
+    )
+    return spark.createDataFrame(
+        [(bool(yes), bool(no))], "jumbo_exists boolean, impossible_exists boolean"
+    )
