@@ -55,8 +55,17 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: trivial action to pay JVM/codegen startup once
-    QUERIES["q04_forecast_revenue"](spark, sf_dir).collect()
+    # warmup: run every headline plan once at the smallest SF so the timed
+    # runs measure steady-state execution (whole-stage codegen generates the
+    # same source regardless of input path, so compilation + JIT are paid
+    # here) — the scale question is per-row throughput, not JVM startup
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -82,6 +82,7 @@ class ConnectorConfig:
     batch_bytes: int = DEFAULT_BATCH_BYTES
     max_txn_duration_s: int = DEFAULT_MAX_TXN_DURATION_S
     default_content_type: str | None = None
+    check_topics: bool = False        # A15 strict startup gate (fk:checkTopics)
     kafka_properties: dict[str, str] = field(default_factory=dict)  # fk:config (k v) pairs
 
     def __post_init__(self):

@@ -52,7 +52,15 @@ class Engine:
         return stream
 
     # ------------------------------------------------------------ lifecycle
-    def start(self, trigger_available_now: bool = False) -> None:
+    def start(self, trigger_available_now: bool = False, topic_checker=None) -> None:
+        from .ingest.topics import check_topics_exist, default_topic_checker
+
+        for stream in self.streams.values():
+            conn = stream.conn
+            if conn.check_topics and conn.bootstrap_servers:
+                # A15 strict startup: fail fast if a topic is missing
+                checker = topic_checker or default_topic_checker(conn.bootstrap_servers)
+                check_topics_exist(conn.topics, checker)
         for stream in self.streams.values():
             if stream.query is None and not stream._paused:
                 stream.start(trigger_available_now=trigger_available_now)

@@ -27,16 +27,30 @@ DIM = 64
 NEAR_DUP_COSINE = 0.95
 
 
-def _cos_spark(a, b):
-    """cosine(a,b) as a JVM expression; inputs array<float> -> double."""
-    dot = F.aggregate(
+def _dot_spark(a, b):
+    """dot(a,b), left-to-right summation — identical order to the oracle's
+    ``list_sum(list_transform(list_zip(...)))`` so doubles are bit-equal."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+
+
+def _norm_spark(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def _cos_spark(a, b):
+    """cosine(a,b) as a JVM expression; inputs array<float> -> double.
+
+    Only used where one side is per-row unique; when the same vector meets
+    many partners (every join below), precompute the norms per ROW and pay
+    only the dot per PAIR — the norms are the same doubles either way, so
+    rounding is unaffected."""
+    return _dot_spark(a, b) / (_norm_spark(a) * _norm_spark(b))
 
 
 _COS_SQL = (
@@ -72,17 +86,14 @@ def s01(spark, sf_dir):
     candidate-generation stage."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
+    cos = _dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4).alias("cosine"),
-        )
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -170,14 +181,13 @@ def s02(spark, sf_dir):
     for p in range(N_PLANES):
         term = _plane_sign_spark(F.col("embedding"), p) * F.lit(1 << p)
         bucket = term if bucket is None else bucket + term
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"), _norm_spark(F.col("embedding")).alias("nrm"))
     q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket", F.col("nrm").alias("qn")
     )
     cands = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cands.select(
-        "query_id", "vec_id", F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4).alias("cosine")
-    )
+    cos = _dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -202,10 +212,10 @@ def s03(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by cluster label
     (at scale the label comes from coarse quantization / k-means; here the
     table ships one)."""
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
-    cos = _cos_spark(F.col("ea"), F.col("eb"))
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -266,26 +276,38 @@ def s04(spark, sf_dir):
     table is written bucketed by cell id."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
+    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     scored_c = e.crossJoin(F.broadcast(c)).select(
-        "vec_id", "embedding", "cid", _cos_spark(F.col("embedding"), F.col("cv")).alias("sim")
+        "vec_id", "embedding", "nrm", "cid", sim.alias("sim")
     )
+    # nearest-cell assignment as a hash aggregate (max_by with the same
+    # (sim DESC, cid ASC) tiebreak the oracle's window uses) — no global
+    # sort; the per-group embedding is constant so first() is exact
+    assign = scored_c.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+    # probe ranking needs top-N_PROBE only for the query vectors: window
+    # over a 5-row-per-query slice, not the whole table
     wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    cell = scored_c.withColumn("crk", F.row_number().over(wc))
-    assign = cell.filter(F.col("crk") == 1).select("vec_id", "embedding", "cid")
-    probes = cell.filter((F.col("vec_id") < N_QUERY_VECS) & (F.col("crk") <= N_PROBE)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    probes = (
+        scored_c.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn"), "cid")
     )
     cands = (
         assign.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "vec_id", "embedding")
+        .select("query_id", "qv", "qn", "vec_id", "embedding", "nrm")
         .distinct()
     )
-    cos = F.round(_cos_spark(F.col("qv"), F.col("embedding")), 4)
+    cos = F.round(_dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 4)
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cands.select("query_id", "vec_id", cos.alias("cosine"))

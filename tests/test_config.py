@@ -131,3 +131,45 @@ class TestRegistry:
         r.unregister("c1")
         assert r.connector_for_topic("t1") is None
         r.register(conn())  # re-register works
+
+
+class TestTopicGate:
+    """A15 topic-existence gate (FKS.java:140-194 contract)."""
+
+    def test_all_exist(self):
+        from jena_fuseki_kafka_spark.ingest.topics import check_topics_exist
+
+        assert check_topics_exist(["t1", "t2"], lambda ts: {"t1", "t2", "x"})
+
+    def test_unknown_checker_passes_open(self):
+        from jena_fuseki_kafka_spark.ingest.topics import check_topics_exist
+
+        assert check_topics_exist(["t1"], lambda ts: None)
+
+    def test_missing_topic_fails_after_timeout(self):
+        import pytest as _pytest
+
+        from jena_fuseki_kafka_spark.config import ConfigError
+        from jena_fuseki_kafka_spark.ingest.topics import check_topics_exist
+
+        clock = iter([0.0, 0.2, 0.4, 5.1, 5.2]).__next__
+        with _pytest.raises(ConfigError, match="t2"):
+            check_topics_exist(
+                ["t1", "t2"],
+                lambda ts: {"t1"},
+                timeout_s=5.0,
+                clock=clock,
+                sleep=lambda s: None,
+            )
+
+    def test_topic_appears_within_retries(self):
+        from jena_fuseki_kafka_spark.ingest.topics import check_topics_exist
+
+        answers = iter([{"t1"}, {"t1"}, {"t1", "t2"}])
+        assert check_topics_exist(
+            ["t1", "t2"],
+            lambda ts: next(answers),
+            timeout_s=5.0,
+            clock=iter([0.0, 0.1, 0.2, 0.3]).__next__,
+            sleep=lambda s: None,
+        )
