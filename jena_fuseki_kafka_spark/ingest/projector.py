@@ -60,6 +60,14 @@ def net_effect(parsed_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     within a Kafka partition is the reference's correctness axis
     (SURVEY.md §2 "ordering, not time").
     """
+    last = _net_last(parsed_ok)
+    adds = last.filter(F.col("last_op") == "A").drop("last_op")
+    deletes = last.filter(F.col("last_op") == "D").drop("last_op")
+    return adds, deletes
+
+
+def _net_last(parsed_ok: DataFrame) -> DataFrame:
+    """The shared net-effect aggregate: quad cols + last_op."""
     ops = (
         parsed_ok.select(
             "partition",
@@ -82,10 +90,7 @@ def net_effect(parsed_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     # last-op-wins per quad: single hash aggregation, no window, no sort
-    last = ops.groupBy(*QUAD_COLS).agg(F.max_by("op", F.col("seq")).alias("last_op"))
-    adds = last.filter(F.col("last_op") == "A").drop("last_op")
-    deletes = last.filter(F.col("last_op") == "D").drop("last_op")
-    return adds, deletes
+    return ops.groupBy(*QUAD_COLS).agg(F.max_by("op", F.col("seq")).alias("last_op"))
 
 
 def dlq_rows(parsed_bad: DataFrame) -> DataFrame:
@@ -125,26 +130,35 @@ def apply_event_batch(
     # cache: parse once, consumed by the ok branch, the bad branch, and the
     # adds/deletes actions inside commit
     parsed = parse_events(events).persist()
+    last = None
     try:
         ok = parsed.filter(F.col("error").isNull())
         bad = parsed.filter(F.col("error").isNotNull())
-        adds, deletes = net_effect(ok)
-        adds = adds.persist()
-        deletes = deletes.persist()
-        n_adds = adds.count()
-        n_deletes = deletes.count()
+        # both A and D branches share the net-effect aggregate as their
+        # parent — persist THAT, so the shuffle runs once and the branches
+        # are cached-filter reads (previously each count re-ran the groupBy)
+        last = _net_last(ok).persist()
+        counts = {
+            r["last_op"]: r["n"]
+            for r in last.groupBy("last_op").agg(F.count("*").alias("n")).collect()
+        }
+        n_adds = counts.get("A", 0)
+        n_deletes = counts.get("D", 0)
+        adds = last.filter(F.col("last_op") == "A").drop("last_op")
+        deletes = last.filter(F.col("last_op") == "D").drop("last_op")
         version = store.commit(
             spark,
             adds=adds if n_adds else None,
             deletes=deletes if n_deletes else None,
             txn_id=txn_id or uuid.uuid4().hex,
+            # net-effect already reduced to unique quads — skip the
+            # within-batch dropDuplicates shuffle in the store
+            assume_unique=True,
         )
         # materialize the DLQ branch before dropping the parse cache so the
         # caller's DLQ write doesn't re-parse the batch
         dlq = dlq_rows(bad).persist()
         n_dlq = dlq.count()
-        adds.unpersist()
-        deletes.unpersist()
         return {
             "version": version,
             "dlq": dlq,
@@ -154,3 +168,5 @@ def apply_event_batch(
         }
     finally:
         parsed.unpersist()
+        if last is not None:
+            last.unpersist()

@@ -117,3 +117,8 @@ class ConstructQuery:
     template: list = field(default_factory=list)  # [(s,p,o,g)]
     pattern: Any = None
     limit: int | None = None
+
+@dataclass
+class DescribeQuery:
+    terms: list = field(default_factory=list)  # [("iri", v) | ("var", name)]
+    pattern: Any = None

@@ -32,6 +32,7 @@ from .ast import (
     BGP,
     Call,
     ConstructQuery,
+    DescribeQuery,
     ExistsExpr,
     Extend,
     Filter,
@@ -157,6 +158,8 @@ class SparqlParser:
             return self._ask()
         if tl == "construct":
             return self._construct()
+        if tl == "describe":
+            return self._describe()
         raise RdfParseError(f"sparql: unsupported query form {t!r}")
 
     # ------------------------------------------------------------ forms
@@ -215,6 +218,28 @@ class SparqlParser:
         if self.peek_kw("limit"):
             self.next()
             q.limit = int(self.next())
+        return q
+
+    def _describe(self) -> DescribeQuery:
+        self.expect("describe")
+        terms: list = []
+        while True:
+            t = self.peek()
+            if t is None or t.lower() == "where" or t == "{":
+                break
+            if t.startswith(("?", "$")):
+                terms.append(("var", self.next()[1:]))
+            else:
+                terms.append(("iri", self._iri_value(self.next())))
+        if not terms:
+            raise RdfParseError("sparql: DESCRIBE needs at least one term")
+        q = DescribeQuery(terms=terms)
+        if self.peek_kw("where"):
+            self.next()
+        if self.peek() == "{":
+            q.pattern = self._group_graph_pattern()
+        elif any(k == "var" for k, _ in terms):
+            raise RdfParseError("sparql: DESCRIBE ?var requires a WHERE pattern")
         return q
 
     def _solution_modifiers(self, q: SelectQuery) -> None:

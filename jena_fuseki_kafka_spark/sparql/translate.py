@@ -39,6 +39,7 @@ from .ast import (
     BGP,
     Call,
     ConstructQuery,
+    DescribeQuery,
     ExistsExpr,
     Extend,
     Filter,
@@ -90,7 +91,32 @@ class Translator:
             return self._pattern(query.pattern, graph=None).limit(1)
         if isinstance(query, ConstructQuery):
             return self._construct(query)
+        if isinstance(query, DescribeQuery):
+            return self._describe(query)
         raise TypeError(f"unsupported query type {type(query)}")
+
+    def _describe(self, q: DescribeQuery) -> DataFrame:
+        """DESCRIBE: all quads (any graph) whose subject is a described
+        node — the simple subject-CBD reading, distributed as a broadcast
+        semi-join of the (small) node set against the quad table."""
+        iris = [t[1] for t in q.terms if t[0] == "iri"]
+        variables = [t[1] for t in q.terms if t[0] == "var"]
+        spark = self.quads.sparkSession
+        nodes = None
+        if iris:
+            nodes = spark.createDataFrame([(i,) for i in iris], "node string")
+        if variables:
+            sol = self._pattern(q.pattern, graph=None)
+            for v in variables:
+                if v not in sol.columns:
+                    continue
+                vals = sol.select(F.col(v)["value"].alias("node")).distinct()
+                nodes = vals if nodes is None else nodes.unionByName(vals).distinct()
+        if nodes is None:
+            return self.quads.limit(0)
+        return self.quads.join(
+            F.broadcast(nodes), self.quads["subject"] == nodes["node"], "left_semi"
+        )
 
     # ------------------------------------------------------------ patterns
     def _pattern(self, node, graph) -> DataFrame:

@@ -68,6 +68,16 @@ def _anti_join_quads(left: DataFrame, right: DataFrame, broadcast_right: bool = 
     return left.join(r, cond, "left_anti")
 
 
+def _semi_join_quads(left: DataFrame, right: DataFrame, broadcast_right: bool = False) -> DataFrame:
+    """left SEMI JOIN right on all quad columns, null-safe (rows of left
+    that exist in right)."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond = reduce(
+        lambda a, b: a & b, [left[c].eqNullSafe(r[c]) for c in QUAD_COLS]
+    )
+    return left.join(r, cond, "left_semi")
+
+
 class QuadStore:
     def __init__(self, path: str, n_buckets: int = 16):
         self.path = path
@@ -118,12 +128,16 @@ class QuadStore:
         adds: DataFrame | None = None,
         deletes: DataFrame | None = None,
         txn_id: str | None = None,
+        assume_unique: bool = False,
     ) -> int:
         """Atomically apply net adds and deletes; returns new version.
 
         ``adds``/``deletes`` are DataFrames with QUAD_COLS columns.  The
         caller is responsible for net-effect ordering (ingest.projector
-        computes last-op-wins before calling commit).
+        computes last-op-wins before calling commit).  ``assume_unique``
+        skips the within-batch dropDuplicates shuffle when the caller
+        already reduced to unique quads (the projector's net-effect
+        aggregate guarantees it).
         """
         manifest = self._read_manifest()
         if txn_id is not None and txn_id in manifest["txns"]:
@@ -134,7 +148,9 @@ class QuadStore:
         drop_files: list[str] = []
 
         if deletes is not None:
-            deletes = deletes.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
+            deletes = deletes.select(*QUAD_COLS)
+            if not assume_unique:
+                deletes = deletes.dropDuplicates(QUAD_COLS)
             del_rows = deletes.count()
         else:
             del_rows = 0
@@ -153,12 +169,20 @@ class QuadStore:
             current_files = [fname]
 
         if adds is not None:
-            adds = adds.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
+            adds = adds.select(*QUAD_COLS)
+            if not assume_unique:
+                adds = adds.dropDuplicates(QUAD_COLS)
             if current_files:
                 paths = [os.path.join(self.files_dir, f) for f in current_files]
                 current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
-                # set semantics: only insert quads not already present
-                adds = _anti_join_quads(adds, current)
+                # set semantics: only insert quads not already present.
+                # The store side is the big one — find the duplicates by
+                # broadcasting the (micro-batch-sized) adds and scanning the
+                # store WITHOUT a shuffle, then anti-join adds against that
+                # small duplicate set.  The store is read, never shuffled;
+                # at bucketed layout this becomes a bucket-pruned scan.
+                dups = _semi_join_quads(current, adds, broadcast_right=True)
+                adds = _anti_join_quads(adds, dups, broadcast_right=True)
             fname = f"{uuid.uuid4().hex}.parquet"
             written = adds.repartition(self.n_buckets, F.col("subject"))
             written.write.mode("overwrite").parquet(os.path.join(self.files_dir, fname))

@@ -298,3 +298,30 @@ class TestParserErrors:
 
         with pytest.raises(RdfParseError):
             engine.query("SELECT ?s WHERE { ?s ?p ?o")
+
+
+class TestDescribe:
+    def test_describe_iri(self, engine):
+        df = engine.query("DESCRIBE <http://example.org/alice>")
+        rows = df.collect()
+        assert rows and all(r.subject == "http://example.org/alice" for r in rows)
+
+    def test_describe_var(self, engine):
+        df = engine.query(
+            """
+            PREFIX ex: <http://example.org/>
+            DESCRIBE ?p WHERE { ?p ex:age ?a . FILTER(?a > 28) }
+            """
+        )
+        subs = {r.subject for r in df.collect()}
+        assert subs  # at least one matching subject, fully described
+        # every described subject carries ALL its quads, not just matched ones
+        from collections import Counter
+        c = Counter(r.subject for r in df.collect())
+        assert all(n >= 1 for n in c.values())
+
+    def test_describe_var_without_where_fails(self, engine):
+        import pytest as _p
+        from jena_fuseki_kafka_spark.model import RdfParseError
+        with _p.raises(RdfParseError):
+            engine.query("DESCRIBE ?x")
