@@ -268,28 +268,42 @@ def d03(spark, sf_dir):
     tokens = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
-    h = _hash60_spark(F.col("w")).bitwiseAND(F.lit(4294967295))
+    # hash each DISTINCT (doc, token) once and weight the +-1 contribution
+    # by the occurrence count — integer-exact, identical to the oracle's
+    # per-occurrence sum, and it cuts the md5 work by the repeat ratio
+    counted = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    # materialize the hash as a column: referencing the raw expression from
+    # all 32 aggregates would evaluate the md5 32x per row
+    hashed = counted.select(
+        "doc_id",
+        "cnt",
+        _hash60_spark(F.col("w")).bitwiseAND(F.lit(4294967295)).alias("h"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     sims = sums.select("doc_id", simhash.alias("simhash"))
 
-    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b_ = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    block = F.shiftright(F.col("sim_a"), SIMHASH_BITS - 16) == F.shiftright(
-        F.col("sim_b"), SIMHASH_BITS - 16
-    )
+    # materialize the 16-bit prefix block as a JOIN COLUMN: an expression
+    # condition would force a nested-loop join (O(n^2) comparisons); an
+    # equi-join on the block hashes and shuffles only within blocks
+    blocked = sims.withColumn("block", F.shiftright(F.col("simhash"), SIMHASH_BITS - 16))
+    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
+    b_ = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b_, block & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b_, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")

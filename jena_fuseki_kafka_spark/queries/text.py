@@ -160,3 +160,51 @@ def t04(spark, sf_dir):
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")).orderBy(
         "doc_id"
     )
+
+
+EMB_DIM = 64
+
+
+@query(
+    "t05_feature_hash_embedding",
+    oracle=rf"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x'||substr(md5(w),1,15))::BIGINT % {EMB_DIM} AS idx,
+             CASE WHEN (('0x'||substr(md5(w),1,15))::BIGINT >> 6) & 1 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tokens
+    )
+    SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, idx
+    HAVING SUM(sgn) != 0
+    ORDER BY doc_id, idx
+    """,
+)
+def t05(spark, sf_dir):
+    """Feature-hashed text embedding (the hashing trick): token -> md5 ->
+    (dimension = h mod 64, sign = h bit 6); the sparse vector is the signed
+    count per dimension, emitted as (doc_id, idx, val) rows — the
+    scale-friendly sparse layout (dense assembly is a collect_list away).
+    Pure JVM column expressions; the text->vector stage that feeds the
+    s01-s04 similarity operators."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    hashed = tokens.select(
+        "doc_id",
+        (h % EMB_DIM).alias("idx"),
+        F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "idx")
+        .agg(F.sum("sgn").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "idx")
+    )
