@@ -169,15 +169,18 @@ def d02(spark, sf_dir):
 
     base_hash = (_hash60_spark(F.col("shingle")).bitwiseAND(F.lit(1073741823))).alias("h")
     hashed = shingles.select("doc_id", base_hash)
+    # one aggregation pass produces all 16 minhashes AND the shingle-set
+    # size (saves a second scan+shuffle of the shingle relation)
     minhashes = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
             F.min(
                 (F.lit(_minhash_params(seed)[0]) * F.col("h") + F.lit(_minhash_params(seed)[1]))
                 % F.lit(_MINHASH_P)
             ).alias(f"m{seed}")
             for seed in range(N_HASHES)
-        ]
-    )
+        ],
+    ).persist()
     banded = minhashes.select(
         "doc_id",
         *[
@@ -188,7 +191,7 @@ def d02(spark, sf_dir):
             ).alias(f"band{b}")
             for b in range(N_BANDS)
         ],
-    ).persist()
+    )
 
     # one equi-join on (band_index, band_hash) instead of N_BANDS separate
     # joins: explode the band columns to rows, self-join once, dedup pairs
@@ -205,7 +208,7 @@ def d02(spark, sf_dir):
         .distinct()
     )
 
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = minhashes.select("doc_id", "n")
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -139,3 +139,89 @@ def q23(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+@query(
+    "q26_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def q26(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity day; per
+    (cohort_day, day_offset) distinct active users.  The cohort map is a
+    per-user aggregate broadcast back onto the fact table — the standard
+    retention-triangle shape; at 100 TB the cohort side is users (small)
+    and the fact side never shuffles twice."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "q27_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT value, unnest(ARRAY[
+        to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)),
+        to_timestamp(CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT))
+      ]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start ORDER BY window_start
+    """,
+)
+def q27(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide): each event
+    lands in exactly two windows; Spark's window() expands them inline (a
+    projection, no shuffle beyond the aggregate).  The streaming twin is the
+    same expression under a watermark."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )

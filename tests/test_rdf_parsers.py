@@ -176,3 +176,108 @@ class TestContentTypeDispatch:
     def test_invalid_utf8(self):
         with pytest.raises(RdfParseError):
             parse_payload(b"\xff\xfe<bad>", None)
+
+
+class TestNQuadsProperty:
+    """Property-based: serialize random quads -> parse -> identical terms,
+    and the regex fast path must agree with the TermScanner slow path."""
+
+    @staticmethod
+    def _serialize_term(kind, value, dt, lang):
+        def esc(s):
+            return (
+                s.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+                .replace("\t", "\\t")
+            )
+
+        if kind == "iri":
+            return f"<{esc(value)}>"
+        if kind == "bnode":
+            return value
+        lit = f'"{esc(value)}"'
+        if dt:
+            return f"{lit}^^<{dt}>"
+        if lang:
+            return f"{lit}@{lang}"
+        return lit
+
+    def test_roundtrip_random_quads(self):
+        from hypothesis import given, settings, strategies as st
+
+        from jena_fuseki_kafka_spark.rdf.nquads import parse_nquads
+
+        iri_chars = st.text(
+            alphabet=st.characters(
+                blacklist_characters='<>"{}|^`\\', blacklist_categories=("Cs", "Cc", "Zs")
+            ),
+            min_size=1,
+            max_size=30,
+        )
+        lit_chars = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+        )
+        bnode = st.from_regex(r"_:[A-Za-z0-9][A-Za-z0-9_-]{0,10}", fullmatch=True)
+        lang = st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,4})?", fullmatch=True)
+
+        subject = st.one_of(
+            iri_chars.map(lambda v: ("iri", v, None, None)),
+            bnode.map(lambda v: ("bnode", v, None, None)),
+        )
+        obj = st.one_of(
+            iri_chars.map(lambda v: ("iri", v, None, None)),
+            bnode.map(lambda v: ("bnode", v, None, None)),
+            lit_chars.map(lambda v: ("literal", v, None, None)),
+            st.tuples(lit_chars, iri_chars).map(lambda t: ("literal", t[0], t[1], None)),
+            st.tuples(lit_chars, lang).map(lambda t: ("literal", t[0], None, t[1])),
+        )
+        graph = st.one_of(st.none(), iri_chars)
+
+        @settings(max_examples=200, deadline=None)
+        @given(s=subject, p=iri_chars, o=obj, g=graph)
+        def check(s, p, o, g):
+            line = (
+                f"{self._serialize_term(*s)} <{p}> {self._serialize_term(*o)}"
+                + (f" <{g}>" if g is not None else "")
+                + " ."
+            )
+            ops = parse_nquads(line)
+            assert len(ops) == 1
+            op, got_g, got_s, got_p, o_kind, o_val, o_dt, o_lang = ops[0]
+            assert op == "A"
+            assert got_g == (g if g is not None else "")
+            assert got_s == s[1]
+            assert got_p == p
+            assert (o_kind, o_val, o_dt, o_lang) == (o[0], o[1], o[2], o[3])
+
+        check()
+
+    def test_fast_path_agrees_with_scanner(self):
+        from hypothesis import given, settings, strategies as st
+
+        import jena_fuseki_kafka_spark.rdf.nquads as nq
+
+        # lines constrained to the fast path's shape, parsed both ways
+        simple_iri = st.from_regex(r"[A-Za-z0-9:/#.?=_-]{1,25}", fullmatch=True)
+        word = st.from_regex(r"[A-Za-z0-9 .,:;@()'!-]{0,30}", fullmatch=True)
+
+        @settings(max_examples=200, deadline=None)
+        @given(s=simple_iri, p=simple_iri, o=word, g=st.one_of(st.none(), simple_iri))
+        def check(s, p, o, g):
+            line = f'<{s}> <{p}> "{o}"' + (f" <{g}>" if g else "") + " ."
+            fast = nq._fast_line(line)
+            assert fast is not None, f"fast path rejected well-formed line: {line!r}"
+            # slow path: force scanner by asking for the full parse of a
+            # line the regex can't see (prepend nothing — call TermScanner
+            # through parse with the fast path monkey-patched off)
+            orig = nq._fast_line
+            nq._fast_line = lambda _l: None
+            try:
+                slow = nq.parse_nquads(line)[0]
+            finally:
+                nq._fast_line = orig
+            assert fast == slow
+
+        check()
