@@ -8,8 +8,9 @@ directly: an append-mostly file log plus an atomically-swapped JSON
 manifest.
 
 Layout:
-    <path>/files/<uuid>.parquet     immutable data files
-    <path>/_manifest.json           {"version": N, "files": [...], "txn": {...}}
+    <path>/files/<uuid>/bucket=N/   immutable data leaves, partitioned by a
+                                    stable subject-hash bucket
+    <path>/_manifest.json           {"version": N, "files": ["<uuid>/bucket=N", ...]}
     <path>/_manifest.json.tmp       write-then-os.replace for atomicity
 
 Commit protocol (single writer per store, like the reference's one
@@ -30,10 +31,11 @@ Set semantics: adds are deduped against the current snapshot with a
 left-anti join before writing (README.md:148-153 — duplicates must not
 accumulate).
 
-Scale notes (100 TB): data files are partitioned by a stable hash bucket of
-subject so the delete anti-join only touches matching buckets; on a real
-cluster you would add graph/predicate partition columns + file-level min/max
-pruning.  Reads are plain ``spark.read.parquet`` over the manifest's file
+Scale notes (100 TB): data leaves are partitioned by a stable hash bucket
+of subject and the manifest is bucket-granular, so the delete rewrite reads
+and rewrites ONLY the buckets the delete keys hash to — unaffected leaves
+carry over untouched.  On a real cluster you would add graph/predicate
+partition columns + file-level min/max pruning.  Reads are plain ``spark.read.parquet`` over the manifest's file
 list — column pruning and predicate pushdown apply as usual.
 """
 
@@ -86,6 +88,34 @@ class QuadStore:
         os.makedirs(self.files_dir, exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"version": 0, "files": [], "txns": []})
+
+    # -- bucket layout ------------------------------------------------------
+    # manifest entries are leaf directories "<uuid>/bucket=N": data is
+    # physically partitioned by a stable subject-hash bucket, so deletes
+    # (and snapshot dedup) read ONLY the buckets their keys hash to —
+    # O(affected buckets), not O(store)
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col("subject")), F.lit(self.n_buckets))
+
+    @staticmethod
+    def _bucket_of(entry: str) -> int | None:
+        if "/bucket=" in entry:
+            return int(entry.rsplit("=", 1)[1])
+        return None  # legacy flat entry: always read
+
+    def _write_partitioned(self, df: DataFrame) -> list[str]:
+        """Write df bucket-partitioned under a fresh uuid dir; return the
+        manifest entries (one per non-empty bucket leaf)."""
+        name = uuid.uuid4().hex
+        out = os.path.join(self.files_dir, name)
+        df.withColumn("bucket", self._bucket_col()).repartition(
+            self.n_buckets, F.col("bucket")
+        ).write.partitionBy("bucket").mode("overwrite").parquet(out)
+        entries = []
+        for d in sorted(os.listdir(out)):
+            if d.startswith("bucket="):
+                entries.append(f"{name}/{d}")
+        return entries
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -156,24 +186,41 @@ class QuadStore:
             del_rows = 0
 
         if del_rows > 0 and current_files:
-            # Rewrite-on-delete, restricted to files that can contain hits.
-            # At bucket-partitioned layout only matching buckets are read.
-            paths = [os.path.join(self.files_dir, f) for f in current_files]
-            current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
-            survivors = _anti_join_quads(current, deletes, broadcast_right=True)
-            fname = f"{uuid.uuid4().hex}.parquet"
-            survivors.coalesce(max(1, self.n_buckets)).write.mode("overwrite").parquet(
-                os.path.join(self.files_dir, fname)
-            )
-            drop_files = current_files
-            current_files = [fname]
+            # Rewrite-on-delete, restricted to the buckets the delete keys
+            # hash to: unaffected bucket leaves are carried over untouched.
+            del_buckets = {
+                r["b"]
+                for r in deletes.select(self._bucket_col().alias("b")).distinct().collect()
+            }
+            affected = [
+                f
+                for f in current_files
+                if self._bucket_of(f) is None or self._bucket_of(f) in del_buckets
+            ]
+            untouched = [f for f in current_files if f not in affected]
+            if affected:
+                paths = [os.path.join(self.files_dir, f) for f in affected]
+                current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
+                survivors = _anti_join_quads(current, deletes, broadcast_right=True)
+                survivor_entries = self._write_partitioned(survivors)
+                drop_files = affected
+                current_files = untouched + survivor_entries
 
         if adds is not None:
             adds = adds.select(*QUAD_COLS)
             if not assume_unique:
                 adds = adds.dropDuplicates(QUAD_COLS)
-            if current_files:
-                paths = [os.path.join(self.files_dir, f) for f in current_files]
+            # snapshot dedup only needs the buckets the new subjects hash to
+            add_buckets = {
+                r["b"] for r in adds.select(self._bucket_col().alias("b")).distinct().collect()
+            }
+            scan_files = [
+                f
+                for f in current_files
+                if self._bucket_of(f) is None or self._bucket_of(f) in add_buckets
+            ]
+            if scan_files:
+                paths = [os.path.join(self.files_dir, f) for f in scan_files]
                 current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
                 # set semantics: only insert quads not already present.
                 # The store side is the big one — find the duplicates by
@@ -183,11 +230,7 @@ class QuadStore:
                 # at bucketed layout this becomes a bucket-pruned scan.
                 dups = _semi_join_quads(current, adds, broadcast_right=True)
                 adds = _anti_join_quads(adds, dups, broadcast_right=True)
-            fname = f"{uuid.uuid4().hex}.parquet"
-            written = adds.repartition(self.n_buckets, F.col("subject"))
-            written.write.mode("overwrite").parquet(os.path.join(self.files_dir, fname))
-            # only record the file if it has rows (empty adds after dedup)
-            new_files.append(fname)
+            new_files.extend(self._write_partitioned(adds))
 
         manifest["version"] += 1
         manifest["files"] = current_files + new_files

@@ -190,3 +190,27 @@ class TestProjector:
         adds, deletes = net_effect(parse_events(df))
         assert adds.count() == 1
         assert deletes.count() == 0
+
+
+class TestBucketPruning:
+    def test_delete_rewrites_only_affected_buckets(self, spark, tmp_path):
+        """Bucket-granular manifest: a delete must carry over every leaf
+        whose bucket none of the delete keys hash to."""
+        store = QuadStore(str(tmp_path / "q"), n_buckets=8)
+        rows = [("", f"s{i}", "p", "iri", f"o{i}", None, None) for i in range(64)]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA))
+        before = set(store._read_manifest()["files"])
+        assert len(before) > 1  # multiple bucket leaves
+
+        dels = spark.createDataFrame([rows[0]], QUAD_SCHEMA)
+        from pyspark.sql import functions as F
+
+        target_bucket = dels.select(
+            F.pmod(F.xxhash64("subject"), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+        store.commit(spark, deletes=dels)
+        after = set(store._read_manifest()["files"])
+
+        untouched_before = {f for f in before if not f.endswith(f"bucket={target_bucket}")}
+        assert untouched_before <= after  # carried over byte-identical
+        assert store.count(spark) == 63
