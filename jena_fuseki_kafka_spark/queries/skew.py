@@ -1,0 +1,72 @@
+"""Skew-handling utilities: salting for hot keys.
+
+AQE's skew-join split (enabled in session.py) handles most skew at runtime;
+these are the explicit tools for the cases AQE can't fix — a replicated
+(fragment-and-replicate) join for a skewed equi-join key, and a two-stage
+salted aggregation for hot grouping keys whose single reducer would
+otherwise bottleneck a 1000-executor job.
+
+Both are result-identical to their naive counterparts (tests assert it);
+only the physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join of a big (skewed) side with a small side.
+
+    The big side gets a deterministic per-row salt in [0, n_salt); the
+    small side is replicated n_salt times; the join key becomes
+    (key, salt), so a hot key's rows spread over n_salt reducers instead
+    of one.  Equivalent to ``big.join(small, on, how)`` for inner/left —
+    the salt never changes which rows match, only where they meet.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys: partial sums/counts per
+    (keys, salt), then combine per keys.  Spark's map-side partial
+    aggregation usually makes this unnecessary — use it when the DISTINCT
+    post-shuffle key set is tiny but row counts per key are huge, so even
+    the reduce side of one key overflows a task.
+
+    Output columns: keys + ``sum_<col>`` per sum col + ``n`` (row count).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count("*").alias("__n"),
+            *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],
+        )
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("__n").alias("n"),
+        *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
