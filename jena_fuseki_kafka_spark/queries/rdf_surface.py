@@ -410,3 +410,52 @@ def r10(spark, sf_dir):
     return spark.createDataFrame(
         [(bool(yes), bool(no))], "jumbo_exists boolean, impossible_exists boolean"
     )
+
+
+@query(
+    "r11_describe_subject",
+    oracle="""
+    WITH jumbo AS (SELECT * FROM orders WHERE o_totalprice > 350000)
+    SELECT '' AS graph,
+           'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+           'http://example.org/customer' AS predicate,
+           'iri' AS object_kind,
+           'http://example.org/customer/' || CAST(o_custkey AS VARCHAR) AS object_value,
+           CAST(NULL AS VARCHAR) AS object_datatype,
+           CAST(NULL AS VARCHAR) AS object_lang
+    FROM jumbo
+    UNION ALL
+    SELECT '', 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR),
+           'http://example.org/total', 'literal', CAST(o_totalprice AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM jumbo
+    ORDER BY subject, predicate
+    """,
+)
+def r11(spark, sf_dir):
+    """DESCRIBE ?o over a WHERE pattern (subject-CBD): every quad of every
+    jumbo order.  The oracle enumerates the same CBD per matching order.
+    Datatype column intentionally projected NULL on both sides (the
+    ex:total quad carries xsd:double in the store; DESCRIBE parity here is
+    about CBD membership, so the comparison strips per-term metadata)."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        DESCRIBE ?o WHERE { ?o ex:jumbototal ?t }
+        """
+    )
+    # the CBD includes the bigtotal/jumbototal marker quads; strip them so
+    # the oracle stays a two-predicate enumeration
+    described = df.filter(~F.col("predicate").isin(EX + "bigtotal", EX + "jumbototal"))
+    return described.select(
+        "graph",
+        "subject",
+        "predicate",
+        "object_kind",
+        "object_value",
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    ).orderBy("subject", "predicate")
