@@ -48,17 +48,17 @@ DLQ_ROOT_CAUSE_CLASS = "Dead-Letter-Root-Cause-Class"
 
 
 def parse_events(events: DataFrame) -> DataFrame:
-    """EVENT_SCHEMA -> PARSED_SCHEMA via Arrow-batched mapInPandas."""
+    """EVENT_SCHEMA -> flat PARSED_SCHEMA (one row per op; one NULL-op row
+    per failed event) via Arrow-batched mapInPandas."""
     return events.mapInPandas(parse_events_pdf, schema=PARSED_SCHEMA)
 
 
 def net_effect(parsed_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Reduce an ordered op stream to net (adds, deletes).
 
-    Input: PARSED_SCHEMA rows with non-null ``ops``.
-    The global op order is (partition, offset, op index) — offset order
-    within a Kafka partition is the reference's correctness axis
-    (SURVEY.md §2 "ordering, not time").
+    Input: flat PARSED_SCHEMA rows.  The global op order is (partition,
+    offset, op index) — offset order within a Kafka partition is the
+    reference's correctness axis (SURVEY.md §2 "ordering, not time").
     """
     last = _net_last(parsed_ok)
     adds = last.filter(F.col("last_op") == "A").drop("last_op")
@@ -67,27 +67,17 @@ def net_effect(parsed_ok: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _net_last(parsed_ok: DataFrame) -> DataFrame:
-    """The shared net-effect aggregate: quad cols + last_op."""
-    ops = (
-        parsed_ok.select(
-            "partition",
-            "offset",
-            F.posexplode("ops").alias("op_idx", "o"),
-        )
-        # one monotone sequence per (partition, offset, op_idx); offsets are
-        # < 2^40 and ops-per-event < 2^20 in practice
-        .select(
-            ((F.col("offset") * F.lit(1 << 20)) + F.col("op_idx")).alias("seq"),
-            F.col("partition"),
-            F.col("o.op").alias("op"),
-            F.col("o.graph").alias("graph"),
-            F.col("o.subject").alias("subject"),
-            F.col("o.predicate").alias("predicate"),
-            F.col("o.object_kind").alias("object_kind"),
-            F.col("o.object_value").alias("object_value"),
-            F.col("o.object_datatype").alias("object_datatype"),
-            F.col("o.object_lang").alias("object_lang"),
-        )
+    """The shared net-effect aggregate: quad cols + last_op.
+
+    Input is already one row per op (flat PARSED_SCHEMA).  One monotone
+    sequence per (partition, offset, op_idx); offsets are < 2^40 and
+    ops-per-event < 2^20 in practice.
+    """
+    ops = parsed_ok.filter(F.col("op").isNotNull()).select(
+        ((F.col("offset") * F.lit(1 << 20)) + F.col("op_idx")).alias("seq"),
+        F.col("partition"),
+        "op",
+        *QUAD_COLS,
     )
     # last-op-wins per quad: single hash aggregation, no window, no sort
     return ops.groupBy(*QUAD_COLS).agg(F.max_by("op", F.col("seq")).alias("last_op"))
@@ -112,7 +102,9 @@ def dlq_rows(parsed_bad: DataFrame) -> DataFrame:
             ),
         ),
     )
-    return parsed_bad.withColumn("headers", enriched_headers).drop("ops", "error", "error_class")
+    return parsed_bad.withColumn("headers", enriched_headers).select(
+        "key", "value", "headers", "topic", "partition", "offset", "timestamp"
+    )
 
 
 def apply_event_batch(
