@@ -119,6 +119,14 @@ def apply_event_batch(
     The caller (streaming foreachBatch or a batch driver) writes the dlq
     DataFrame to the configured dead-letter sink.
     """
+    # Fan the batch out to every core before the parse UDF: a micro-batch
+    # is typically a handful of Kafka partitions (or one small file split),
+    # so without this the Python parse runs on 1-2 tasks while the rest of
+    # the cluster idles.  The shuffle moves only the bounded batch payload
+    # (<= batch_bytes), always cheaper than single-threaded parsing.
+    parallelism = spark.sparkContext.defaultParallelism
+    if events.rdd.getNumPartitions() < parallelism:
+        events = events.repartition(parallelism)
     # cache: parse once, consumed by the ok branch, the bad branch, and the
     # adds/deletes actions inside commit
     parsed = parse_events(events).persist()
