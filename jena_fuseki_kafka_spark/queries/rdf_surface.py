@@ -459,3 +459,56 @@ def r11(spark, sf_dir):
         F.lit(None).cast("string").alias("object_datatype"),
         F.lit(None).cast("string").alias("object_lang"),
     ).orderBy("subject", "predicate")
+
+
+@query(
+    "r12_group_concat",
+    oracle="""
+    SELECT 'http://example.org/region/' || CAST(n_regionkey AS VARCHAR) AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY region
+    """,
+)
+def r12(spark, sf_dir):
+    """GROUP_CONCAT aggregate through the SPARQL engine (SURVEY.md §2B
+    aggregates row): nation names per region, sorted inside the group so
+    the concatenation is deterministic on any partitioning (the engine
+    sort_array's the collected set — order-independence is what makes the
+    aggregate safe at 1000 executors)."""
+    from ..sparql import SparqlEngine
+
+    n = load(spark, sf_dir, "nation")
+    quads = n.select(
+        F.lit(DEFAULT_GRAPH).alias("graph"),
+        F.concat(F.lit(EX + "nation/"), F.col("n_nationkey").cast("string")).alias("subject"),
+        F.lit(EX + "name").alias("predicate"),
+        F.lit(KIND_LITERAL).alias("object_kind"),
+        F.col("n_name").alias("object_value"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    ).unionByName(
+        n.select(
+            F.lit(DEFAULT_GRAPH).alias("graph"),
+            F.concat(F.lit(EX + "nation/"), F.col("n_nationkey").cast("string")).alias("subject"),
+            F.lit(EX + "region").alias("predicate"),
+            F.lit(KIND_IRI).alias("object_kind"),
+            F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")).alias("object_value"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+        )
+    )
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?r (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) (COUNT(*) AS ?c)
+        WHERE { ?x ex:region ?r . ?x ex:name ?n }
+        GROUP BY ?r ORDER BY ?r
+        """
+    )
+    return df.select(
+        F.col("r")["value"].alias("region"),
+        F.col("names")["value"].alias("names"),
+        F.col("c")["value"].cast("long").alias("n"),
+    )

@@ -625,3 +625,28 @@ def q25(spark, sf_dir):
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@query(
+    "q28_set_operations",
+    oracle="""
+    WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    SELECT 'both' AS op, l_partkey FROM (SELECT l_partkey FROM r INTERSECT SELECT l_partkey FROM a)
+    UNION ALL
+    SELECT 'only_r' AS op, l_partkey FROM (SELECT l_partkey FROM r EXCEPT SELECT l_partkey FROM a)
+    ORDER BY op, l_partkey
+    LIMIT 500
+    """,
+)
+def q28(spark, sf_dir):
+    """Set operators INTERSECT / EXCEPT (distinct semantics): parts
+    returned under both flags vs only under 'R'.  Spark plans both as
+    hash aggregates + left-semi/anti joins — the same shape a 100x
+    scale-up keeps (shuffle on the set key only)."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    both = r.intersect(a).select(F.lit("both").alias("op"), "l_partkey")
+    only_r = r.subtract(a).select(F.lit("only_r").alias("op"), "l_partkey")
+    return both.unionByName(only_r).orderBy("op", "l_partkey").limit(500)
