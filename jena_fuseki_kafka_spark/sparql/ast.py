@@ -58,6 +58,10 @@ class GraphPattern:
     pattern: Any
 
 @dataclass
+class SubSelect:  # nested SELECT inside a group graph pattern
+    query: Any  # SelectQuery
+
+@dataclass
 class ValuesPattern:
     variables: list[str]
     rows: list[list[Term | None]]  # None = UNDEF

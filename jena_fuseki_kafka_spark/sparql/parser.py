@@ -44,6 +44,7 @@ from .ast import (
     Minus,
     Op,
     SelectQuery,
+    SubSelect,
     Union,
     ValuesPattern,
     Var,
@@ -359,7 +360,14 @@ class SparqlParser:
                 self.next()
                 add(self._values())
             elif t == "{":
-                sub = self._group_graph_pattern()
+                if (self.peek(1) or "").lower() == "select":
+                    # nested sub-SELECT: its projection is the only scope
+                    # visible to the outer group (SPARQL 1.1 subqueries)
+                    self.next()
+                    sub = SubSelect(self._select())
+                    self.expect("}")
+                else:
+                    sub = self._group_graph_pattern()
                 while self.peek_kw("union"):
                     self.next()
                     sub = Union(sub, self._group_graph_pattern())

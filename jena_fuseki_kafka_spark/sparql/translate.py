@@ -51,6 +51,7 @@ from .ast import (
     Minus,
     Op,
     SelectQuery,
+    SubSelect,
     Union,
     ValuesPattern,
     Var,
@@ -150,6 +151,10 @@ class Translator:
             return self._graph_pattern(node)
         if isinstance(node, ValuesPattern):
             return self._values(node)
+        if isinstance(node, SubSelect):
+            # evaluate the nested SELECT independently; its projected vars
+            # join with the enclosing group on shared names
+            return self._select(node.query)
         raise TypeError(f"unsupported pattern node {type(node)}")
 
     def _join(self, left: DataFrame, right: DataFrame) -> DataFrame:
@@ -689,10 +694,22 @@ class Translator:
         df = self._pattern(pattern, graph=None)
 
         has_agg = any(expr is not None and self._has_aggregate(expr) for _, expr in q.projection)
+        # ORDER BY evaluates before projection (SPARQL 1.1 §18.2.5), so it may
+        # reference non-projected pattern vars; materialize projection exprs as
+        # extra columns, sort, then prune.  DISTINCT forbids ordering on
+        # non-projected vars, so the project-first path stays valid there.
+        defer_project = bool(q.order_by) and not q.distinct
         if q.group_by or has_agg or (q.having is not None):
             df = self._aggregate_select(q, df)
-        else:
-            if q.projection:
+            defer_project = False
+        elif q.projection:
+            if defer_project:
+                proj_names = []
+                for name, expr in q.projection:
+                    proj_names.append(name)
+                    if expr is not None:
+                        df = df.withColumn(name, self._expr_term(expr, df, None))
+            else:
                 cols = []
                 for name, expr in q.projection:
                     if expr is None:
@@ -716,6 +733,8 @@ class Translator:
                     c = self._expr_value(expr, df, None)
                     sort_cols.append(c.asc() if asc else c.desc())
             df = df.orderBy(*sort_cols)
+        if defer_project and q.projection:
+            df = df.select(*[F.col(n) for n in proj_names])
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

@@ -325,3 +325,31 @@ class TestDescribe:
         from jena_fuseki_kafka_spark.model import RdfParseError
         with _p.raises(RdfParseError):
             engine.query("DESCRIBE ?x")
+
+
+class TestSubSelect:
+    def test_subselect_join(self, engine):
+        # oldest person via nested SELECT, name joined in the outer group
+        df = engine.select_values(
+            """
+            PREFIX ex: <http://example.org/>
+            SELECT ?name WHERE {
+              { SELECT ?s WHERE { ?s ex:age ?a } ORDER BY DESC(?a) LIMIT 1 }
+              ?s ex:name ?name
+            }
+            """
+        )
+        assert vals(df, "name") == ["Carol"]
+
+    def test_subselect_aggregate(self, engine):
+        # knows-degree per person via subquery, then filter in outer scope
+        df = engine.select_values(
+            """
+            PREFIX ex: <http://example.org/>
+            SELECT ?name ?n WHERE {
+              { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:knows ?o } GROUP BY ?s }
+              ?s ex:name ?name
+            } ORDER BY ?name
+            """
+        )
+        assert [(r["name"], r["n"]) for r in df.collect()] == [("Alice", "1"), ("Bob", "1")]
