@@ -512,3 +512,45 @@ def r12(spark, sf_dir):
         F.col("names")["value"].alias("names"),
         F.col("c")["value"].cast("long").alias("n"),
     )
+
+
+@query(
+    "r13_subselect",
+    oracle="""
+    WITH top5 AS (
+      SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n
+      FROM events GROUP BY user_id ORDER BY n DESC, u LIMIT 5
+    )
+    SELECT t.u AS user, COUNT(*) AS m
+    FROM top5 t
+    JOIN events e ON 'http://example.org/user/' || CAST(e.user_id AS VARCHAR) = t.u
+    WHERE e.value > 50
+    GROUP BY t.u ORDER BY t.u
+    """,
+)
+def r13(spark, sf_dir):
+    """SPARQL 1.1 sub-SELECT (§2B subqueries row) through the engine: the
+    inner SELECT finds the 5 busiest users (GROUP BY + ORDER BY aggregate +
+    LIMIT — evaluated bottom-up, its projection is the only scope exported),
+    and the outer group joins their high-value events on the shared ?user
+    variable.  At scale the inner result is 5 rows, so Catalyst broadcasts
+    it into the outer join — subquery-as-dimension, no extra shuffle."""
+    from ..sparql import SparqlEngine
+
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?user (COUNT(*) AS ?m) WHERE {
+          { SELECT ?user (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?e ex:user ?user } }
+            GROUP BY ?user ORDER BY DESC(?n) ?user LIMIT 5 }
+          GRAPH ?g2 { ?e2 ex:user ?user . ?e2 ex:value ?v }
+          FILTER(?v > 50)
+        } GROUP BY ?user ORDER BY ?user
+        """
+    )
+    return df.select(
+        F.col("user")["value"].alias("user"),
+        F.col("m")["value"].cast("long").alias("m"),
+    )
