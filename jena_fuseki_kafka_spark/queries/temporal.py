@@ -1,0 +1,178 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+Spark has no native ASOF or range join; both are implemented here as
+compositions of built-in operators chosen for the 100 TB path (the task
+the reference's event stream feeds — SURVEY.md §2C notes the reference
+itself has no join physicalization; the relational surface is ours):
+
+- **as-of join** (q29): union the two sides, one window pass per key.
+  Exactly one shuffle (hash by user), no candidate explosion, no
+  BroadcastNestedLoopJoin — the plan scales linearly in rows regardless
+  of how many right-side rows precede each left row.  The naive
+  formulation (theta-join on ts ranges, then max per left row) shuffles
+  |L| x |matching R| pairs; this one never materializes pairs at all.
+- **interval join** (q30): materialize time-bucket keys on both sides so
+  the range predicate becomes an equi-join on (user, bucket) + a cheap
+  residual filter.  A window of W seconds spans at most 2 buckets of
+  width W, so the fan-out is a constant 2x, not |windows|.
+
+Both are verified against DuckDB's native ASOF JOIN / inequality join —
+an independent implementation, not the same algorithm re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import load, query
+
+WINDOW_SECONDS = 300  # interval-join window width
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``ts``
+    <= (or < when ``strict``) the left row's ``ts``, per ``key``.
+
+    Right columns other than (key, ts) are carried through with a
+    ``last(..., ignorenulls=True)`` running window over the union of both
+    sides, ordered by (ts, side) — right rows sort before left rows at
+    equal ts only when not strict.  One shuffle on ``key``; no pairwise
+    candidate set is ever built, so the operator is safe on skewed keys
+    where a range join would quadratically explode.
+    """
+    l_cols = [c for c in left.columns if c not in (key, ts)]
+    r_cols = [c for c in right.columns if c not in (key, ts)]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+
+    # side: at equal ts a right row must lose to the left row when strict
+    # (sorted after => not visible to the running last()), win otherwise
+    l_tag = left.select(
+        F.col(key), F.col(ts), F.lit(0 if strict else 1).alias("__side"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(ts), F.lit(1 if strict else 0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c) for c in r_cols],
+        F.col(ts).alias("__r_ts"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        key,
+        ts,
+        "__side",
+        *l_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+    )
+    is_left = F.col("__side") == (0 if strict else 1)
+    return carried.filter(is_left).select(
+        key, ts, *l_cols, *r_cols, F.col("__r_ts").alias(f"{ts}_right")
+    )
+
+
+@query(
+    "q29_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS c_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS p_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.p_id, p.ts AS p_ts, c.c_id, c.ts AS c_ts
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p_id
+    """,
+)
+def q29(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent strictly
+    prior click (the feature-pipeline staple: point-in-time-correct
+    attribute lookup).  Right side deduped to one row per (user, ts) with
+    MAX(event_id) so ties are deterministic on any partitioning; the oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("c_id"))
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", strict=True)
+    return out.select(
+        "user_id",
+        "p_id",
+        F.col("ts").alias("p_ts"),
+        "c_id",
+        F.col("ts_right").alias("c_ts"),
+    ).orderBy("p_id")
+
+
+@query(
+    "q30_interval_join",
+    oracle=f"""
+    SELECT e.event_id AS e_id, COUNT(v.event_id) AS n
+    FROM events e LEFT JOIN events v
+      ON v.user_id = e.user_id
+     AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL {WINDOW_SECONDS} SECOND
+     AND v.event_id <> e.event_id
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id ORDER BY e_id
+    """,
+)
+def q30(spark, sf_dir):
+    """Interval join: events landing in the 5-minute window after each
+    error by the same user.  The range predicate is rewritten to an
+    equi-join on (user_id, time_bucket) — a W-second window spans at most
+    2 W-wide buckets, so each error row fans out to exactly 2 join keys
+    and Catalyst runs a plain shuffled hash join (a raw ts-range condition
+    would pick BroadcastNestedLoopJoin and die at scale)."""
+    ev = load(spark, sf_dir, "events")
+    W = WINDOW_SECONDS
+    bucket = (F.col("ts").cast("long") / W).cast("long")
+
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("b"),
+    )
+    others = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        bucket.alias("b"),
+    )
+    pairs = errors.join(others, ["user_id", "b"]).filter(
+        (F.col("v_ts") >= F.col("e_ts"))
+        & (F.col("v_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {W} SECONDS"))
+        & (F.col("v_id") != F.col("e_id"))
+    )
+    counts = pairs.groupBy("e_id").agg(F.count("*").alias("n"))
+    all_errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id")
+    )
+    return (
+        all_errors.join(counts, "e_id", "left")
+        .select("e_id", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .orderBy("e_id")
+    )

@@ -81,3 +81,26 @@ class TestNoPythonInHotPath:
         # eval node would mean a 10-100x slowdown at scale
         p = plan(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+class TestTemporalJoins:
+    def test_q29_asof_single_shuffle_no_join(self, spark):
+        # the as-of union+window plan must contain NO join operator at all
+        # and exactly one exchange for the window partitioning (plus one
+        # for the output sort) — that is the whole point of the rewrite
+        p = plan(spark, "q29_asof_join")
+        assert "Join" not in p, p
+        # 3 = clicks-dedup agg + window partitioning + output sort
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p
+
+    def test_q30_interval_join_is_hash_not_nested_loop(self, spark):
+        # bucketized range join: the ts-range predicate must ride on an
+        # equi-join (hash), never BroadcastNestedLoopJoin
+        p = plan(spark, "q30_interval_join")
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p), p
+
+    def test_q29_q30_no_python_eval(self, spark):
+        for name in ("q29_asof_join", "q30_interval_join"):
+            p = plan(spark, name)
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
