@@ -1,0 +1,124 @@
+"""Training-data sampling operators over the ``documents`` table.
+
+Sampling for dataset curation must be **deterministic and data-parallel**:
+a row's keep/drop decision can only depend on the row itself, never on
+RNG state or row order, or the sample changes across retries/partitions.
+Both operators key the decision on a content-independent stable hash
+(md5 of doc_id -> 60-bit integer, the same expression both engines can
+evaluate bit-identically), so the sample is reproducible on 1 core or
+1000 executors and under speculative re-execution.
+
+- p01: stratified sampling — per-class (language) keep-rates, the
+  downsample-the-head / upsample-the-tail move every corpus mix does.
+- p02: the composed curation pipeline: exact dedup (keep min doc_id per
+  normalized text hash) -> quality gate -> stratified sample.  One
+  window shuffle for dedup, everything else map-side; no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from . import load, query
+
+# per-mille keep thresholds by language: downsample dominant en, keep
+# most of the tail
+_RATES = {"en": 200, "es": 800, "fr": 800, "de": 800, "zh": 800}
+_DEFAULT_RATE = 500
+
+
+def _bucket_spark(col):
+    """Stable 60-bit hash of a string column -> [0, 1000) bucket."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint") % 1000
+
+
+def _bucket_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % 1000)"
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+def _rate_spark():
+    expr = F.when(F.col("lang") == "en", _RATES["en"])
+    for k, v in list(_RATES.items())[1:]:
+        expr = expr.when(F.col("lang") == k, v)
+    return expr.otherwise(_DEFAULT_RATE)
+
+
+@query(
+    "p01_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def p01(spark, sf_dir):
+    """Stratified sampling: keep a doc iff hash(doc_id) mod 1000 falls
+    under its language's per-mille rate.  Pure map-side decision — the
+    only shuffle is the per-class count aggregation reporting it."""
+    d = load(spark, sf_dir, "documents")
+    kept = _bucket_spark(F.col("doc_id").cast("string")) < _rate_spark()
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "p02_curation_pipeline",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM hashed
+      ) WHERE doc_id = keeper
+    ),
+    quality AS (
+      SELECT * FROM deduped
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 1000
+        AND length(text) >= 100
+    ),
+    sampled AS (
+      SELECT * FROM quality
+      WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS n_chars_total
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def p02(spark, sf_dir):
+    """The composed curation pipeline: exact dedup -> quality gate ->
+    stratified sample -> per-language accounting.  The dedup keeper
+    choice is a min-window over the content hash (one shuffle on h);
+    the quality gate and sample decision are row-local, so the whole
+    pipeline is two exchanges end-to-end (dedup window + final agg) no
+    matter the corpus size."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary"))
+    hashed = d.withColumn("h", h)
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    deduped = hashed.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    quality = deduped.filter((n_words >= 20) & (n_words <= 1000) & (F.length("text") >= 100))
+    sampled = quality.filter(_bucket_spark(F.col("doc_id").cast("string")) < _rate_spark())
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars_total"),
+        )
+        .orderBy("lang")
+    )
