@@ -80,7 +80,7 @@ KEYWORDS = {
 AGGREGATES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
 
 BUILTINS = {
-    "str", "lang", "datatype", "bound", "iri", "uri", "bnode", "rand",
+    "str", "lang", "langmatches", "datatype", "bound", "iri", "uri", "bnode", "rand",
     "abs", "ceil", "floor", "round", "concat", "strlen", "ucase", "lcase",
     "encode_for_uri", "contains", "strstarts", "strends", "strbefore",
     "strafter", "year", "month", "day", "hours", "minutes", "seconds",
@@ -510,6 +510,28 @@ class SparqlParser:
 
     def _path_primary(self):
         t = self.peek()
+        if t == "!":
+            # negated property set: !iri, !^iri, or !(iri|^iri|...)
+            self.next()
+            fwd, inv = [], []
+
+            def one():
+                if self.peek() == "^":
+                    self.next()
+                    inv.append(self._neg_set_iri())
+                else:
+                    fwd.append(self._neg_set_iri())
+
+            if self.peek() == "(":
+                self.next()
+                one()
+                while self.peek() == "|":
+                    self.next()
+                    one()
+                self.expect(")")
+            else:
+                one()
+            return ("path", "neg", fwd, inv)
         if t == "(":
             self.next()
             p = self._path()
@@ -524,6 +546,17 @@ class SparqlParser:
                 return term  # variable predicate
             raise RdfParseError(f"sparql: bad path primary {term!r}")
         return term
+
+    def _neg_set_iri(self) -> str:
+        """A member of a negated property set: an IRI (or ``a``)."""
+        t = self.peek()
+        if t is not None and t.lower() == "a":
+            self.next()
+            return RDF_TYPE
+        term = self._term()
+        if term[0] != "iri":
+            raise RdfParseError(f"sparql: negated property set needs IRIs, got {term!r}")
+        return term[1]
 
     # ------------------------------------------------------------ terms
     def _iri_value(self, tok: str) -> str:

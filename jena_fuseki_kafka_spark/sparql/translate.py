@@ -333,7 +333,36 @@ class Translator:
             return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         if op in ("plus", "star", "opt"):
             return self._closure_pattern(s, path[2], o, graph, op)
+        if op == "neg":
+            return self._negated_set_pattern(s, path[2], path[3], o, graph)
         raise ValueError(f"unknown path op {op}")
+
+    def _negated_set_pattern(self, s, fwd, inv, o, graph) -> DataFrame:
+        """Negated property set ``!(p1|...|^q1|...)`` (SPARQL 1.1 §9.1):
+        union of forward edges whose predicate is outside {p_i} and
+        inverse edges whose predicate is outside {q_j}.  The NOT-IN is a
+        scan-level filter — no join, same cost as a plain triple pattern."""
+        parts = []
+        if fwd or not inv:
+            pvar = ("var", self._fresh_var())
+            df = self._triple_pattern(s, pvar, o, graph)
+            if fwd:
+                df = df.filter(~F.col(pvar[1])["value"].isin(fwd))
+            parts.append(self._drop_or_unit(df, pvar[1]))
+        if inv:
+            pvar = ("var", self._fresh_var())
+            df = self._triple_pattern(o, pvar, s, graph)
+            df = df.filter(~F.col(pvar[1])["value"].isin(inv))
+            parts.append(self._drop_or_unit(df, pvar[1]))
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+    @staticmethod
+    def _drop_or_unit(df: DataFrame, col: str) -> DataFrame:
+        """Drop a helper column; keep a unit column when nothing else
+        remains (fully-constant pattern) so the row count survives."""
+        if [c for c in df.columns if c != col]:
+            return df.drop(col)
+        return df.select(F.lit(1).alias("__unit__")).limit(1)
 
     def _scope_quads(self, graph) -> DataFrame:
         q = self.quads
@@ -444,6 +473,19 @@ class Translator:
             return _const_struct(("iri", expr.value))
         if isinstance(expr, Call) and expr.name in ("iri", "uri"):
             return _term_struct(F.lit("iri"), self._expr_value(expr.args[0], df, graph))
+        if isinstance(expr, Call) and expr.name == "strlang":
+            return _term_struct(
+                F.lit("literal"),
+                self._expr_value(expr.args[0], df, graph).cast("string"),
+                F.lit(""),
+                self._expr_value(expr.args[1], df, graph).cast("string"),
+            )
+        if isinstance(expr, Call) and expr.name == "strdt":
+            return _term_struct(
+                F.lit("literal"),
+                self._expr_value(expr.args[0], df, graph).cast("string"),
+                self._expr_value(expr.args[1], df, graph).cast("string"),
+            )
         if isinstance(expr, Call) and expr.name == "coalesce":
             return F.coalesce(*[self._expr_term(a, df, graph) for a in expr.args])
         if isinstance(expr, Call) and expr.name == "if":
@@ -624,6 +666,21 @@ class Translator:
             return argv(0).cast("string").startswith(argv(1).cast("string"))
         if name == "strends":
             return argv(0).cast("string").endswith(argv(1).cast("string"))
+        if name in ("strlang", "strdt"):
+            # value-level fallback (the term-level case builds the struct)
+            return argv(0).cast("string")
+        if name == "langmatches":
+            langv = argv(0).cast("string")
+            rng = argv(1).cast("string")
+            # "*" matches any tagged literal; else exact or prefix ("en"
+            # matches "en-GB"), case-insensitive (RFC 4647 basic filtering)
+            return F.when(rng == "*", langv != "").otherwise(
+                (F.lower(langv) == F.lower(rng))
+                | F.lower(langv).startswith(F.concat(F.lower(rng), F.lit("-")))
+            )
+        if name == "encode_for_uri":
+            # url_encode is form-encoding: fix the space -> '+' difference
+            return F.regexp_replace(F.url_encode(argv(0).cast("string")), r"\+", "%20")
         if name == "strbefore":
             return F.substring_index(argv(0).cast("string"), argv(1).cast("string"), 1)
         if name == "strafter":

@@ -353,3 +353,66 @@ class TestSubSelect:
             """
         )
         assert [(r["name"], r["n"]) for r in df.collect()] == [("Alice", "1"), ("Bob", "1")]
+
+
+class TestNegatedPropertySet:
+    def test_single_negated_iri(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> SELECT ?s ?o WHERE { ?s !ex:name ?o }"
+        )
+        # everything but the 4 name quads (default graph has 10 quads)
+        assert df.count() == 6
+
+    def test_negated_set(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?o WHERE { ?s !(ex:name|ex:age|ex:label) ?o }"
+        )
+        got = {(r.s, r.o) for r in df.collect()}
+        assert got == {(EX + "alice", EX + "bob"), (EX + "bob", EX + "carol")}
+
+    def test_negated_set_with_inverse(self, engine):
+        # inverse member: ?x !(^ex:knows) ?y matches o<-s edges whose
+        # predicate is anything except knows, i.e. inverted name/age/label
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> SELECT ?x ?y WHERE { ?x !(^ex:knows) ?y }"
+        )
+        assert df.count() == 8  # 10 default-graph quads - 2 knows edges
+
+
+class TestLangFunctions:
+    def test_langmatches_tag(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?l WHERE { ?s ex:label ?l FILTER(langMatches(LANG(?l), "es")) }'
+        )
+        assert vals(df, "l") == ["Alicia"]
+
+    def test_langmatches_star_and_prefix(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?l WHERE { ?s ex:label ?l FILTER(langMatches(LANG(?l), "*")) }'
+        )
+        assert vals(df, "l") == ["Alicia"]
+        # "es" must match "es-MX" (prefix rule): none stored, so empty
+        df2 = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?n WHERE { ?s ex:name ?n FILTER(langMatches(LANG(?n), "es")) }'
+        )
+        assert df2.count() == 0
+
+    def test_strlang_strdt(self, engine):
+        df = engine.query(
+            'SELECT ?x ?y WHERE { VALUES ?v { "hi" } '
+            'BIND(STRLANG(?v, "en") AS ?x) '
+            'BIND(STRDT(?v, <http://www.w3.org/2001/XMLSchema#token>) AS ?y) }'
+        )
+        row = df.collect()[0]
+        assert row["x"]["value"] == "hi" and row["x"]["lang"] == "en"
+        assert row["y"]["datatype"].endswith("#token")
+
+    def test_encode_for_uri(self, engine):
+        df = engine.select_values(
+            'SELECT ?e WHERE { VALUES ?v { "a b/c" } BIND(ENCODE_FOR_URI(?v) AS ?e) }'
+        )
+        assert vals(df, "e") == ["a%20b%2Fc"]
