@@ -30,6 +30,9 @@ HEADLINE = [
     "q19_disjunctive_predicate_join",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q31_grouping_sets",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_simhash",
@@ -37,6 +40,7 @@ HEADLINE = [
     "s02_ann_lsh_bucketed",
     "s04_ann_ivf",
     "t03_token_count",
+    "p02_curation_pipeline",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
     "m01_image_features",

@@ -650,3 +650,61 @@ def q28(spark, sf_dir):
     both = r.intersect(a).select(F.lit("both").alias("op"), "l_partkey")
     only_r = r.subtract(a).select(F.lit("only_r").alias("op"), "l_partkey")
     return both.unionByName(only_r).orderBy("op", "l_partkey").limit(500)
+
+
+@query(
+    "q31_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q31(spark, sf_dir):
+    """Explicit GROUPING SETS — two non-hierarchical groupings
+    ((returnflag), (linestatus)) in ONE pass over the fact table.  Spark
+    expands the sets before the partial aggregate, so the scan and the
+    map-side combine are shared; the naive alternative (two groupBys +
+    union) reads the table twice."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q31_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM q31_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+@query(
+    "q32_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS approx_ok
+    FROM lineitem
+    """,
+)
+def q32(spark, sf_dir):
+    """Approximate count-distinct (HLL++) next to the exact answer.  The
+    gate asserts the estimate lands within 5%% of truth — the contract a
+    100 TB pre-pass relies on when sizing joins/dedup work.  At scale the
+    approx pass is a map-side sketch merge (no shuffle of distinct keys),
+    which is why it exists at all."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_nd"),
+    )
+    rel_err = F.abs(F.col("approx_nd") - F.col("exact_nd")) / F.col("exact_nd")
+    return agg.select(
+        "exact_nd",
+        F.when(rel_err <= 0.05, 1).otherwise(0).alias("approx_ok"),
+    )
