@@ -1,0 +1,269 @@
+"""HTTP facade: the four Fuseki service operations over a QuadStore.
+
+The reference's serving contract wires exactly these endpoints per
+dataset (config-connector.ttl:14-17 — ``fuseki:query``,
+``fuseki:update``, ``fuseki:gsp-rw``, ``fuseki:patch``), and its e2e
+tests verify ingestion by running SPARQL over HTTP
+(DockerTestConfigFK.java:392-397).  This module serves the same four
+operations over the engine:
+
+  GET/POST  /{ds}/query   SPARQL Query (param, form, or raw body);
+                          SELECT/ASK -> SPARQL results JSON,
+                          CONSTRUCT/DESCRIBE -> N-Quads
+  POST      /{ds}/update  SPARQL Update (form or raw body)
+  GET       /{ds}/data    Graph Store Protocol read (?graph=<iri>|default;
+                          omitted -> whole dataset)
+  PUT/POST  /{ds}/data    GSP replace / merge into a graph (RDF body,
+                          Content-Type selects the parser)
+  DELETE    /{ds}/data    GSP drop graph
+  PATCH     /{ds}/patch   RDF Patch body applied transactionally
+  POST      /{ds}/patch   (same, for clients that can't send PATCH)
+
+Single-process by design: this is the driver-side control surface (like
+Fuseki's HTTP layer in front of the store), not a data-plane service —
+reads and writes execute as Spark jobs on the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession, functions as F
+
+from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
+from .rdf.content_types import parse_payload
+from .rdf.serialize import ask_to_json, quads_to_nquads, select_to_json
+from .sparql import SparqlEngine
+from .sparql.update import UpdateEngine
+from .store import QuadStore
+
+_JSON = "application/sparql-results+json"
+_NQ = "application/n-quads"
+
+
+class SparqlHttpServer:
+    """Serve a QuadStore over HTTP.  ``start()`` binds (port 0 picks a
+    free port) and returns the bound port; ``stop()`` shuts down."""
+
+    def __init__(self, spark: SparkSession, store: QuadStore, dataset: str = "ds"):
+        self.spark = spark
+        self.store = store
+        self.dataset = dataset.strip("/")
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self._txn_counter = 0
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def _next_txn(self, kind: str) -> str:
+        with self._lock:
+            self._txn_counter += 1
+            return f"http-{kind}-{self._txn_counter}"
+
+    # ------------------------------------------------------------ operations
+    def run_query(self, text: str):
+        engine = SparqlEngine.from_store(self.spark, self.store)
+        result = engine.query(text)
+        if isinstance(result, bool):
+            return _JSON, json.dumps(ask_to_json(result))
+        if set(result.columns) == {f.name for f in QUAD_SCHEMA.fields}:
+            return _NQ, quads_to_nquads(result.collect())
+        return _JSON, json.dumps(select_to_json(result))
+
+    def run_update(self, text: str) -> dict:
+        return UpdateEngine(self.spark, self.store).update(
+            text, txn_id=self._next_txn("update")
+        )
+
+    def gsp_read(self, graph: str | None) -> str:
+        df = self.store.read(self.spark)
+        if graph == "default":
+            df = df.filter(F.col("graph") == DEFAULT_GRAPH)
+        elif graph:
+            df = df.filter(F.col("graph") == graph)
+        return quads_to_nquads(df.collect())
+
+    def gsp_write(self, body: bytes, content_type: str | None, graph: str | None, replace: bool):
+        ops = parse_payload(body, content_type)
+        target = DEFAULT_GRAPH if graph in (None, "default") else graph
+        rows = []
+        for op in ops:
+            if op[0] != "A":
+                raise RdfParseError("GSP write body must not contain deletes")
+            g = op[1] if op[1] != DEFAULT_GRAPH and graph is None else target
+            rows.append((g,) + tuple(op[2:]))
+        adds = self.spark.createDataFrame(rows, QUAD_SCHEMA)
+        deletes = None
+        if replace:
+            deletes = self.store.read(self.spark).filter(F.col("graph") == target)
+        self.store.commit(
+            self.spark, adds=adds, deletes=deletes, txn_id=self._next_txn("gsp")
+        )
+        return len(rows)
+
+    def gsp_delete(self, graph: str | None):
+        target = DEFAULT_GRAPH if graph in (None, "default") else graph
+        deletes = self.store.read(self.spark).filter(F.col("graph") == target)
+        self.store.commit(self.spark, deletes=deletes, txn_id=self._next_txn("gsp-del"))
+
+    def apply_patch(self, body: bytes, content_type: str | None):
+        ops = parse_payload(body, content_type or "application/rdf-patch")
+        adds = [op[1:] for op in ops if op[0] == "A"]
+        dels = [op[1:] for op in ops if op[0] == "D"]
+        self.store.commit(
+            self.spark,
+            adds=self.spark.createDataFrame(adds, QUAD_SCHEMA) if adds else None,
+            deletes=self.spark.createDataFrame(dels, QUAD_SCHEMA) if dels else None,
+            txn_id=self._next_txn("patch"),
+        )
+        return len(adds), len(dels)
+
+
+def _make_handler(server: SparqlHttpServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        # ---------------------------------------------------- plumbing
+        def _send(self, code: int, content_type: str, body: str):
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, code: int, msg: str):
+            self._send(code, "text/plain", msg + "\n")
+
+        def _route(self):
+            parsed = urlparse(self.path)
+            parts = [p for p in parsed.path.split("/") if p]
+            qs = parse_qs(parsed.query)
+            if len(parts) != 2 or parts[0] != server.dataset:
+                return None, None, qs
+            return parts[0], parts[1], qs
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def _graph_param(self, qs) -> str | None:
+            if "default" in qs:
+                return "default"
+            vals = qs.get("graph")
+            return vals[0] if vals else None
+
+        # ---------------------------------------------------- methods
+        def do_GET(self):
+            _, op, qs = self._route()
+            if op == "query":
+                q = qs.get("query", [None])[0]
+                if not q:
+                    return self._error(400, "missing query parameter")
+                return self._run_query(q)
+            if op == "data":
+                try:
+                    return self._send(200, _NQ, server.gsp_read(self._graph_param(qs)))
+                except Exception as e:  # pragma: no cover - defensive
+                    return self._error(500, str(e))
+            return self._error(404, "unknown endpoint")
+
+        def do_POST(self):
+            _, op, qs = self._route()
+            body = self._body()
+            ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+            if op == "query":
+                if ct == "application/x-www-form-urlencoded":
+                    form = parse_qs(body.decode("utf-8"))
+                    q = form.get("query", [None])[0]
+                else:
+                    q = body.decode("utf-8")
+                if not q:
+                    return self._error(400, "missing query")
+                return self._run_query(q)
+            if op == "update":
+                if ct == "application/x-www-form-urlencoded":
+                    form = parse_qs(body.decode("utf-8"))
+                    u = form.get("update", [None])[0]
+                else:
+                    u = body.decode("utf-8")
+                if not u:
+                    return self._error(400, "missing update")
+                try:
+                    res = server.run_update(u)
+                    return self._send(200, "application/json", json.dumps(res))
+                except RdfParseError as e:
+                    return self._error(400, str(e))
+            if op == "data":
+                return self._gsp_write(body, ct, qs, replace=False)
+            if op == "patch":
+                return self._patch(body, ct)
+            return self._error(404, "unknown endpoint")
+
+        def do_PUT(self):
+            _, op, qs = self._route()
+            if op != "data":
+                return self._error(404, "unknown endpoint")
+            body = self._body()
+            ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+            return self._gsp_write(body, ct, qs, replace=True)
+
+        def do_DELETE(self):
+            _, op, qs = self._route()
+            if op != "data":
+                return self._error(404, "unknown endpoint")
+            try:
+                server.gsp_delete(self._graph_param(qs))
+                return self._send(204, "text/plain", "")
+            except Exception as e:
+                return self._error(500, str(e))
+
+        def do_PATCH(self):
+            _, op, _ = self._route()
+            if op != "patch":
+                return self._error(404, "unknown endpoint")
+            ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+            return self._patch(self._body(), ct)
+
+        # ---------------------------------------------------- helpers
+        def _run_query(self, q: str):
+            try:
+                content_type, payload = server.run_query(q)
+                return self._send(200, content_type, payload)
+            except RdfParseError as e:
+                return self._error(400, str(e))
+
+        def _gsp_write(self, body, ct, qs, replace: bool):
+            try:
+                n = server.gsp_write(body, ct or None, self._graph_param(qs), replace)
+                return self._send(200, "application/json", json.dumps({"quads": n}))
+            except RdfParseError as e:
+                return self._error(400, str(e))
+
+        def _patch(self, body, ct):
+            try:
+                na, nd = server.apply_patch(body, ct or None)
+                return self._send(
+                    200, "application/json", json.dumps({"adds": na, "deletes": nd})
+                )
+            except RdfParseError as e:
+                return self._error(400, str(e))
+
+    return Handler

@@ -1,0 +1,143 @@
+"""HTTP facade tests: the reference's four service operations
+(config-connector.ttl:14-17) driven through real HTTP requests, ending
+with the acceptance count query its e2e tests poll
+(DockerTestConfigFK.java:392-397).
+"""
+
+import json
+import urllib.request
+from urllib.parse import quote
+
+import pytest
+
+from jena_fuseki_kafka_spark.server import SparqlHttpServer
+from jena_fuseki_kafka_spark.store import QuadStore
+
+EX = "http://example.org/"
+
+
+def req(url, method="GET", data=None, content_type=None):
+    r = urllib.request.Request(url, data=data, method=method)
+    if content_type:
+        r.add_header("Content-Type", content_type)
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read().decode()
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    store = QuadStore(str(tmp_path_factory.mktemp("http") / "quads"))
+    srv = SparqlHttpServer(spark, store, dataset="ds")
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}/ds"
+    srv.stop()
+
+
+class TestGraphStoreProtocol:
+    def test_put_then_get_default_graph(self, server):
+        ttl = b"@prefix ex: <http://example.org/> . ex:s1 ex:p ex:o1 . ex:s2 ex:p ex:o2 ."
+        code, _, body = req(f"{server}/data?default", "PUT", ttl, "text/turtle")
+        assert code == 200 and json.loads(body)["quads"] == 2
+        code, ct, body = req(f"{server}/data?default")
+        assert code == 200 and ct.startswith("application/n-quads")
+        assert body.count("\n") == 2 and "<http://example.org/s1>" in body
+
+    def test_post_merges_put_replaces(self, server):
+        extra = b"<http://example.org/s3> <http://example.org/p> \"v\" ."
+        code, _, _ = req(f"{server}/data?default", "POST", extra, "application/n-triples")
+        assert code == 200
+        _, _, body = req(f"{server}/data?default")
+        assert body.count("\n") == 3
+        replacement = b"@prefix ex: <http://example.org/> . ex:only ex:p ex:o ."
+        code, _, _ = req(f"{server}/data?default", "PUT", replacement, "text/turtle")
+        assert code == 200
+        _, _, body = req(f"{server}/data?default")
+        assert body.count("\n") == 1 and "only" in body
+
+    def test_named_graph_and_delete(self, server):
+        g = EX + "g1"
+        ttl = b"@prefix ex: <http://example.org/> . ex:a ex:q ex:b ."
+        code, _, _ = req(f"{server}/data?graph={quote(g, safe='')}", "PUT", ttl, "text/turtle")
+        assert code == 200
+        _, _, body = req(f"{server}/data?graph={quote(g, safe='')}")
+        assert f"<{g}>" in body
+        code, _, _ = req(f"{server}/data?graph={quote(g, safe='')}", "DELETE")
+        assert code == 204
+        _, _, body = req(f"{server}/data?graph={quote(g, safe='')}")
+        assert body.strip() == ""
+
+
+class TestQueryEndpoint:
+    def test_select_get_and_post(self, server):
+        q = "SELECT ?s ?o WHERE { ?s <http://example.org/p> ?o }"
+        code, ct, body = req(f"{server}/query?query={quote(q, safe='')}")
+        assert code == 200 and ct.startswith("application/sparql-results+json")
+        doc = json.loads(body)
+        assert doc["head"]["vars"] == ["s", "o"]
+        assert len(doc["results"]["bindings"]) == 1
+        b = doc["results"]["bindings"][0]
+        assert b["s"]["type"] == "uri" and b["s"]["value"] == EX + "only"
+        # POST raw body form
+        code, _, body2 = req(f"{server}/query", "POST", q.encode(), "application/sparql-query")
+        assert code == 200 and json.loads(body2) == doc
+
+    def test_ask_and_construct(self, server):
+        code, _, body = req(
+            f"{server}/query", "POST",
+            b"ASK { <http://example.org/only> ?p ?o }", "application/sparql-query",
+        )
+        assert json.loads(body)["boolean"] is True
+        code, ct, body = req(
+            f"{server}/query", "POST",
+            b"CONSTRUCT { ?s <http://example.org/made> ?o } WHERE { ?s <http://example.org/p> ?o }",
+            "application/sparql-query",
+        )
+        assert code == 200 and ct.startswith("application/n-quads")
+        assert "<http://example.org/made>" in body
+
+    def test_bad_query_is_400(self, server):
+        code, _, _ = req(f"{server}/query", "POST", b"SELECT WHERE garbage", "application/sparql-query")
+        assert code == 400
+
+
+class TestUpdateAndPatch:
+    def test_update_insert_data(self, server):
+        u = 'INSERT DATA { <http://example.org/u1> <http://example.org/p> "from-update" }'
+        code, _, _ = req(f"{server}/update", "POST", u.encode(), "application/sparql-update")
+        assert code == 200
+        q = 'ASK { ?s ?p "from-update" }'
+        _, _, body = req(f"{server}/query", "POST", q.encode(), "application/sparql-query")
+        assert json.loads(body)["boolean"] is True
+
+    def test_patch_add_and_delete(self, server):
+        patch = (
+            b"TX .\n"
+            b'A <http://example.org/px> <http://example.org/p> "x" .\n'
+            b"TC .\n"
+        )
+        code, _, body = req(f"{server}/patch", "PATCH", patch, "application/rdf-patch")
+        assert code == 200 and json.loads(body)["adds"] == 1
+        dpatch = (
+            b"TX .\n"
+            b'D <http://example.org/px> <http://example.org/p> "x" .\n'
+            b"TC .\n"
+        )
+        # POST fallback for PATCH-less clients
+        code, _, body = req(f"{server}/patch", "POST", dpatch, "application/rdf-patch")
+        assert code == 200 and json.loads(body)["deletes"] == 1
+        _, _, body = req(
+            f"{server}/query", "POST",
+            b'ASK { <http://example.org/px> ?p ?o }', "application/sparql-query",
+        )
+        assert json.loads(body)["boolean"] is False
+
+    def test_acceptance_count_over_http(self, server):
+        # the reference's own acceptance query, over HTTP, end of pipeline
+        q = "SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }"
+        code, _, body = req(f"{server}/query", "POST", q.encode(), "application/sparql-query")
+        assert code == 200
+        n = int(json.loads(body)["results"]["bindings"][0]["C"]["value"])
+        assert n >= 2
