@@ -778,8 +778,12 @@ class Translator:
             df = df.distinct()
         if q.order_by:
             sort_cols = []
-            for expr, asc in q.order_by:
-                if isinstance(expr, Var) and expr.name in df.columns:
+            for i, (expr, asc) in enumerate(q.order_by):
+                if f"__ord_{i}" in df.columns:
+                    # aggregate order key materialized by _aggregate_select
+                    c = F.col(f"__ord_{i}")
+                    sort_cols.append(c.asc() if asc else c.desc())
+                elif isinstance(expr, Var) and expr.name in df.columns:
                     # numeric-aware ordering: numeric key first (nulls for
                     # non-numerics group together), lexical key second
                     cnum = F.col(expr.name)["value"].try_cast("double")
@@ -790,6 +794,7 @@ class Translator:
                     c = self._expr_value(expr, df, None)
                     sort_cols.append(c.asc() if asc else c.desc())
             df = df.orderBy(*sort_cols)
+            df = df.drop(*[c for c in df.columns if c.startswith("__ord_")])
         if defer_project and q.projection:
             df = df.select(*[F.col(n) for n in proj_names])
         if q.offset:
@@ -866,6 +871,14 @@ class Translator:
         if q.having is not None:
             having_agg = self._agg_expr(q.having, df, boolean=True).alias("__having__")
             agg_exprs.append(having_agg)
+
+        # aggregate expressions used as ORDER BY keys (e.g. ORDER BY
+        # DESC(COUNT(*))): materialize them in the same aggregation pass,
+        # exposed as __ord_i for _select's sort, dropped after ordering
+        for i, (expr, _asc) in enumerate(q.order_by or []):
+            if self._has_aggregate(expr):
+                agg_exprs.append(self._agg_expr(expr, df).alias(f"__ord_{i}"))
+                post_select.append(F.col(f"__ord_{i}"))
 
         grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
         out = grouped.agg(*agg_exprs)

@@ -416,3 +416,23 @@ class TestLangFunctions:
             'SELECT ?e WHERE { VALUES ?v { "a b/c" } BIND(ENCODE_FOR_URI(?v) AS ?e) }'
         )
         assert vals(df, "e") == ["a%20b%2Fc"]
+
+
+class TestOrderByAggregate:
+    def test_order_by_count(self, engine):
+        # people ordered by how many knows-edges they have, no ?n projected
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:knows ?o } GROUP BY ?s ORDER BY DESC(COUNT(*)) ?s"
+        )
+        assert vals(df, "s") == [EX + "alice", EX + "bob"]
+
+    def test_order_by_sum_with_projection(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } "
+            "GROUP BY ?s ORDER BY DESC(COUNT(*)) ?s LIMIT 2"
+        )
+        rows = [(r.s, r.n) for r in df.collect()]
+        assert rows[0][1] >= rows[1][1]
+        assert len(rows) == 2
