@@ -109,7 +109,7 @@ def _minhash_params(seed: int) -> tuple[int, int]:
 
 
 def _minhash_oracle() -> str:
-    base = f"({_hash60_sql('shingle')} & 1073741823)"
+    base = "(sh & 1073741823)"
     mins = ",\n             ".join(
         "MIN(({a} * {h} + {b}) % {p}) AS m{s}".format(
             a=_minhash_params(seed)[0], b=_minhash_params(seed)[1], h=base, p=_MINHASH_P, s=seed
@@ -127,10 +127,13 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, {_hash60_sql('shingle')} AS sh FROM shingles
+    ),
     minhashes AS (
       SELECT doc_id,
              {mins}
-      FROM shingles GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id,
@@ -140,12 +143,12 @@ def _minhash_oracle() -> str:
     candidates AS (
 {band_union}
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
     verified AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
       FROM candidates c
-      JOIN shingles sa ON sa.doc_id = c.doc_a
-      JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      JOIN hashed sa ON sa.doc_id = c.doc_a
+      JOIN hashed sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT v.doc_a, v.doc_b,
@@ -165,10 +168,14 @@ def d02(spark, sf_dir):
     candidates only.  The banding keeps the join linear in docs; the oracle
     runs the same deterministic hashes, so candidate sets match exactly."""
     d = load(spark, sf_dir, "documents")
-    shingles = _shingles_spark(d).persist()
+    # hash every distinct shingle ONCE to a 60-bit long and persist only
+    # (doc_id, sh): the string shingles never shuffle or cache — at 100 TB
+    # that's the difference between moving text and moving 8-byte keys
+    shingles = _shingles_spark(d).select(
+        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
+    ).persist()
 
-    base_hash = (_hash60_spark(F.col("shingle")).bitwiseAND(F.lit(1073741823))).alias("h")
-    hashed = shingles.select("doc_id", base_hash)
+    hashed = shingles.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
     # one aggregation pass produces all 16 minhashes AND the shingle-set
     # size (saves a second scan+shuffle of the shingle relation)
     minhashes = hashed.groupBy("doc_id").agg(
@@ -209,11 +216,20 @@ def d02(spark, sf_dir):
     )
 
     sizes = minhashes.select("doc_id", "n")
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verification touches only candidate docs: broadcast semi-joins prune
+    # the shingle relation map-side before any shuffle, so the verify join
+    # moves |candidate docs| x |their shingles|, never the whole corpus
+    docs_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    sa = shingles.join(F.broadcast(docs_a), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "sh"
+    )
+    sb = shingles.join(F.broadcast(docs_b), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), "sh"
+    )
     inter = (
         cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
