@@ -51,6 +51,9 @@ from .ast import (
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 _TOKEN_RE = re.compile(
     r"""
@@ -429,11 +432,53 @@ class SparqlParser:
             if self.peek() not in (".", "}", None) and not self._at_keyword():
                 self._predicate_object_list(subj, triples, graph)
             return triples
+        if t == "(":
+            subj = self._collection(triples, graph)
+            if self.peek() not in (".", "}", None) and not self._at_keyword():
+                self._predicate_object_list(subj, triples, graph)
+            return triples
         subj = self._term()
         if subj[0] == "literal":
             raise RdfParseError("sparql: literal subject")
         self._predicate_object_list(subj, triples, graph)
         return triples
+
+    def _collection(self, triples, graph) -> tuple:
+        """RDF collection sugar ``( e1 e2 ... )`` -> rdf:first/rdf:rest
+        chain of fresh bnodes (SPARQL 1.1 §4.2.3; the reference's own
+        config SPARQL matches ``fk:config (?k ?v)`` this way,
+        KafkaConnectorAssembler.java:303-309).  ``()`` is rdf:nil."""
+        self.expect("(")
+        elements = []
+        while self.peek() != ")":
+            t = self.peek()
+            if t is None:
+                raise RdfParseError("sparql: unterminated collection")
+            if t == "[":
+                self.next()
+                node = self._fresh_bnode()
+                if self.peek() != "]":
+                    self._predicate_object_list(node, triples, graph)
+                self.expect("]")
+                elements.append(node)
+            elif t == "(":
+                elements.append(self._collection(triples, graph))
+            else:
+                elements.append(self._term())
+        self.expect(")")
+        if not elements:
+            return ("iri", RDF_NIL)
+        head = self._fresh_bnode()
+        node = head
+        for i, el in enumerate(elements):
+            triples.append((node, ("iri", RDF_FIRST), el, graph))
+            if i + 1 < len(elements):
+                nxt = self._fresh_bnode()
+                triples.append((node, ("iri", RDF_REST), nxt, graph))
+                node = nxt
+            else:
+                triples.append((node, ("iri", RDF_REST), ("iri", RDF_NIL), graph))
+        return head
 
     def _at_keyword(self) -> bool:
         t = self.peek()
@@ -453,6 +498,9 @@ class SparqlParser:
                     if self.peek() != "]":
                         self._predicate_object_list(onode, triples, graph)
                     self.expect("]")
+                elif t == "(":
+                    onode = self._collection(triples, graph)
+                    triples.append((subj, pred, onode, graph))
                 else:
                     obj = self._term()
                     triples.append((subj, pred, obj, graph))

@@ -62,6 +62,14 @@ NUMERIC_TYPES = {XSD_INTEGER, XSD_DECIMAL, XSD_DOUBLE, XSD + "float", XSD + "int
 AGG_NAMES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
 
 
+def _bnode_as_var(t):
+    """A bnode label in a query pattern acts as a hidden variable."""
+    if isinstance(t, tuple) and t and t[0] == "bnode":
+        label = t[1][2:] if t[1].startswith("_:") else t[1]
+        return ("var", f"__bn_{label}")
+    return t
+
+
 def _term_struct(kind, value, dt=None, lang=None) -> Column:
     return F.struct(
         kind.alias("kind") if isinstance(kind, Column) else F.lit(kind).alias("kind"),
@@ -227,6 +235,9 @@ class Translator:
         return f"__path{self._anon_var}"
 
     def _triple_pattern(self, s, p, o, graph) -> DataFrame:
+        # bnode labels in a query pattern are non-distinguished variables
+        # (SPARQL 1.1 §4.1.4): same label = same hidden var within the group
+        s, o = _bnode_as_var(s), _bnode_as_var(o)
         # property paths expand structurally before hitting the quad table
         if isinstance(p, tuple) and p[0] == "path":
             return self._path_pattern(s, p, o, graph)
@@ -774,6 +785,9 @@ class Translator:
                     else:
                         cols.append(self._expr_term(expr, df, None).alias(name))
                 df = df.select(*cols)
+        if not q.projection:
+            # SELECT *: non-distinguished (bnode-born) vars are not results
+            df = df.drop(*[c for c in df.columns if c.startswith("__bn_")])
         if q.distinct:
             df = df.distinct()
         if q.order_by:

@@ -436,3 +436,34 @@ class TestOrderByAggregate:
         rows = [(r.s, r.n) for r in df.collect()]
         assert rows[0][1] >= rows[1][1]
         assert len(rows) == 2
+
+
+class TestCollections:
+    def test_collection_pattern_matches_list(self, spark):
+        # quads encoding ex:cfg ex:pair (ex:k ex:v) as rdf:first/rest chain
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            q("cfg", "pair", "b1"),
+            (DEFAULT_GRAPH, EX + "b1", RDF + "first", "iri", EX + "k", None, None),
+            (DEFAULT_GRAPH, EX + "b1", RDF + "rest", "iri", EX + "b2", None, None),
+            (DEFAULT_GRAPH, EX + "b2", RDF + "first", "iri", EX + "v", None, None),
+            (DEFAULT_GRAPH, EX + "b2", RDF + "rest", "iri", RDF + "nil", None, None),
+        ]
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA as QS
+        eng = SparqlEngine(spark.createDataFrame(rows, QS))
+        # the reference's config idiom: ?s fk:config (?k ?v)
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?k ?v WHERE { ?s ex:pair (?k ?v) }"
+        )
+        assert [(r.k, r.v) for r in df.collect()] == [(EX + "k", EX + "v")]
+
+    def test_empty_collection_is_nil(self, spark):
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [(DEFAULT_GRAPH, EX + "s", EX + "empty", "iri", RDF + "nil", None, None)]
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA as QS
+        eng = SparqlEngine(spark.createDataFrame(rows, QS))
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> SELECT ?s WHERE { ?s ex:empty () }"
+        )
+        assert vals(df, "s") == [EX + "s"]
