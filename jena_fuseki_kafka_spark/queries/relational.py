@@ -708,3 +708,72 @@ def q32(spark, sf_dir):
         "exact_nd",
         F.when(rel_err <= 0.05, 1).otherwise(0).alias("approx_ok"),
     )
+
+
+@query(
+    "q33_semi_anti_join",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
+        AS n_with_returns,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
+        AS n_without_returns
+    """,
+)
+def q33(spark, sf_dir):
+    """Semi/anti-join (EXISTS / NOT EXISTS): orders with vs without any
+    returned line.  Spark plans left-semi and left-anti joins — the filter
+    on the probe side pushes into its scan, and the join carries only the
+    key column, so the shuffle moves one long per matching row."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    with_r = o.join(returned, "o_orderkey", "left_semi").count()
+    without_r = o.join(returned, "o_orderkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(with_r, without_r)], "n_with_returns long, n_without_returns long"
+    )
+
+
+@query(
+    "q34_lead_lag_ntile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value, ts,
+             LAG(value) OVER w AS prev_value,
+             LEAD(value) OVER w AS next_value,
+             NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND(COALESCE(value - prev_value, 0), 4) AS delta_prev,
+           ROUND(COALESCE(next_value - value, 0), 4) AS delta_next,
+           quartile
+    FROM seq
+    WHERE user_id < 50
+    ORDER BY user_id, event_id
+    """,
+)
+def q34(spark, sf_dir):
+    """Sequential window functions LAG/LEAD/NTILE over per-user event
+    streams: one shuffle on user_id serves all three functions (same
+    window frame), the shape session-feature pipelines rely on."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0)), 4).alias("delta_prev"),
+        F.round(F.coalesce(F.lead("value").over(w) - F.col("value"), F.lit(0)), 4).alias("delta_next"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return seq.orderBy("user_id", "event_id")
