@@ -1,0 +1,99 @@
+"""Structured Streaming queries exercised through the correctness gate.
+
+Each gate entry runs a REAL streaming query (readStream on the events
+parquet, watermark + event-time aggregation, availableNow trigger) to
+completion into a memory sink, then returns the sink table — so the
+DuckDB oracle verifies that the streaming execution converges to the
+batch answer (the streaming/batch consistency contract Structured
+Streaming is built on).
+
+Complete output mode is used for the windowed aggregation so tail
+windows (those the final watermark hasn't closed) are still emitted —
+matching the batch oracle exactly rather than dropping the last hour.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import load, query
+from .streaming_ops import windowed_event_counts
+
+_sink_ids = itertools.count()
+
+
+def _stream_events(spark, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded file-source stream (nanosecond ts
+    normalized to TimestampType exactly like the batch ``load``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for field in stream.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_table(df: DataFrame, mode: str) -> str:
+    name = f"stream_gate_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query(
+    "st01_streaming_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    LIMIT 100
+    """,
+)
+def st01(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed AS A STREAM
+    (q20's streaming twin, SURVEY.md §2B streaming note): readStream ->
+    withWatermark -> window -> memory sink, availableNow.  The oracle is
+    the batch answer — streaming/batch consistency is the assertion."""
+    stream = _stream_events(spark, sf_dir)
+    name = _run_to_table(windowed_event_counts(stream), mode="complete")
+    return spark.table(name).orderBy("hour", "event_type").limit(100)
+
+
+@query(
+    "st02_streaming_dedup_count",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id < 100
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st02(spark, sf_dir):
+    """Streaming dropDuplicates (cross-batch keyed state) feeding a
+    running aggregate: first occurrence of each (user, event_type) pair
+    survives, counted per user.  Complete mode emits the converged
+    counts; the oracle is the batch COUNT(DISTINCT)."""
+    stream = _stream_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    counts = deduped.groupBy("user_id").agg(F.count("*").alias("n_types"))
+    name = _run_to_table(counts, mode="complete")
+    return spark.table(name).orderBy("user_id")
