@@ -53,6 +53,7 @@ from . import rdf_surface  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import streaming_gate  # noqa: E402,F401
+from . import skew  # noqa: E402,F401
 from . import multimodal_surface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "load"]

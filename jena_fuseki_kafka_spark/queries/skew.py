@@ -70,3 +70,33 @@ def salted_sum_count(
         F.sum("__n").alias("n"),
         *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+# ---------------------------------------------------------------- gate query
+from . import load, query  # noqa: E402
+
+
+@query(
+    "q35_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q35(spark, sf_dir):
+    """Two-stage salted aggregation through the gate: events has only 5
+    event_type keys — at 100 TB each key's reduce partition would be 20%
+    of the table.  Salting fans each key over 8 reducers first; the
+    combine stage then reduces 5x8 tiny rows.  Result is hash-identical
+    to the naive GROUP BY (decimal sums are order-independent)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(28,6)").alias("value_dec")
+    )
+    out = salted_sum_count(ev, keys=["event_type"], sum_cols=["value_dec"])
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
