@@ -45,17 +45,40 @@ _NQ = "application/n-quads"
 
 
 class SparqlHttpServer:
-    """Serve a QuadStore over HTTP.  ``start()`` binds (port 0 picks a
-    free port) and returns the bound port; ``stop()`` shuts down."""
+    """Serve one or more QuadStores over HTTP.  ``start()`` binds (port 0
+    picks a free port) and returns the bound port; ``stop()`` shuts down.
 
-    def __init__(self, spark: SparkSession, store: QuadStore, dataset: str = "ds"):
+    Multi-dataset: pass ``stores={"ds1": store1, "ds2": store2}`` (the
+    Fuseki shape — one server, N dataset services).  ``from_engine``
+    exposes every connector's store under its dataset name."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: QuadStore | None = None,
+        dataset: str = "ds",
+        stores: dict[str, QuadStore] | None = None,
+    ):
         self.spark = spark
-        self.store = store
-        self.dataset = dataset.strip("/")
+        if stores is None:
+            if store is None:
+                raise ValueError("need store= or stores=")
+            stores = {dataset.strip("/"): store}
+        self.stores = {name.strip("/"): s for name, s in stores.items()}
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._txn_counter = 0
         self._lock = threading.Lock()
+
+    @classmethod
+    def from_engine(cls, engine) -> "SparqlHttpServer":
+        """One service per connector dataset (FMod_FusekiKafka wires the
+        same: each fk:Connector's dataset gets the four operations)."""
+        stores = {}
+        for stream in engine.streams.values():
+            name = stream.conn.dataset.strip("/").split("/")[-1] or stream.conn.name
+            stores[name] = stream.store
+        return cls(engine.spark, stores=stores)
 
     # ------------------------------------------------------------ lifecycle
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -77,8 +100,8 @@ class SparqlHttpServer:
             return f"http-{kind}-{self._txn_counter}"
 
     # ------------------------------------------------------------ operations
-    def run_query(self, text: str):
-        engine = SparqlEngine.from_store(self.spark, self.store)
+    def run_query(self, store: QuadStore, text: str):
+        engine = SparqlEngine.from_store(self.spark, store)
         result = engine.query(text)
         if isinstance(result, bool):
             return _JSON, json.dumps(ask_to_json(result))
@@ -86,20 +109,20 @@ class SparqlHttpServer:
             return _NQ, quads_to_nquads(result.collect())
         return _JSON, json.dumps(select_to_json(result))
 
-    def run_update(self, text: str) -> dict:
-        return UpdateEngine(self.spark, self.store).update(
+    def run_update(self, store: QuadStore, text: str) -> dict:
+        return UpdateEngine(self.spark, store).update(
             text, txn_id=self._next_txn("update")
         )
 
-    def gsp_read(self, graph: str | None) -> str:
-        df = self.store.read(self.spark)
+    def gsp_read(self, store: QuadStore, graph: str | None) -> str:
+        df = store.read(self.spark)
         if graph == "default":
             df = df.filter(F.col("graph") == DEFAULT_GRAPH)
         elif graph:
             df = df.filter(F.col("graph") == graph)
         return quads_to_nquads(df.collect())
 
-    def gsp_write(self, body: bytes, content_type: str | None, graph: str | None, replace: bool):
+    def gsp_write(self, store: QuadStore, body: bytes, content_type: str | None, graph: str | None, replace: bool):
         ops = parse_payload(body, content_type)
         target = DEFAULT_GRAPH if graph in (None, "default") else graph
         rows = []
@@ -111,22 +134,22 @@ class SparqlHttpServer:
         adds = self.spark.createDataFrame(rows, QUAD_SCHEMA)
         deletes = None
         if replace:
-            deletes = self.store.read(self.spark).filter(F.col("graph") == target)
-        self.store.commit(
+            deletes = store.read(self.spark).filter(F.col("graph") == target)
+        store.commit(
             self.spark, adds=adds, deletes=deletes, txn_id=self._next_txn("gsp")
         )
         return len(rows)
 
-    def gsp_delete(self, graph: str | None):
+    def gsp_delete(self, store: QuadStore, graph: str | None):
         target = DEFAULT_GRAPH if graph in (None, "default") else graph
-        deletes = self.store.read(self.spark).filter(F.col("graph") == target)
-        self.store.commit(self.spark, deletes=deletes, txn_id=self._next_txn("gsp-del"))
+        deletes = store.read(self.spark).filter(F.col("graph") == target)
+        store.commit(self.spark, deletes=deletes, txn_id=self._next_txn("gsp-del"))
 
-    def apply_patch(self, body: bytes, content_type: str | None):
+    def apply_patch(self, store: QuadStore, body: bytes, content_type: str | None):
         ops = parse_payload(body, content_type or "application/rdf-patch")
         adds = [op[1:] for op in ops if op[0] == "A"]
         dels = [op[1:] for op in ops if op[0] == "D"]
-        self.store.commit(
+        store.commit(
             self.spark,
             adds=self.spark.createDataFrame(adds, QUAD_SCHEMA) if adds else None,
             deletes=self.spark.createDataFrame(dels, QUAD_SCHEMA) if dels else None,
@@ -156,9 +179,9 @@ def _make_handler(server: SparqlHttpServer):
             parsed = urlparse(self.path)
             parts = [p for p in parsed.path.split("/") if p]
             qs = parse_qs(parsed.query)
-            if len(parts) != 2 or parts[0] != server.dataset:
+            if len(parts) != 2:
                 return None, None, qs
-            return parts[0], parts[1], qs
+            return server.stores.get(parts[0]), parts[1], qs
 
         def _body(self) -> bytes:
             n = int(self.headers.get("Content-Length") or 0)
@@ -172,21 +195,25 @@ def _make_handler(server: SparqlHttpServer):
 
         # ---------------------------------------------------- methods
         def do_GET(self):
-            _, op, qs = self._route()
+            store, op, qs = self._route()
+            if store is None:
+                return self._error(404, "unknown dataset")
             if op == "query":
                 q = qs.get("query", [None])[0]
                 if not q:
                     return self._error(400, "missing query parameter")
-                return self._run_query(q)
+                return self._run_query(store, q)
             if op == "data":
                 try:
-                    return self._send(200, _NQ, server.gsp_read(self._graph_param(qs)))
+                    return self._send(200, _NQ, server.gsp_read(store, self._graph_param(qs)))
                 except Exception as e:  # pragma: no cover - defensive
                     return self._error(500, str(e))
             return self._error(404, "unknown endpoint")
 
         def do_POST(self):
-            _, op, qs = self._route()
+            store, op, qs = self._route()
+            if store is None:
+                return self._error(404, "unknown dataset")
             body = self._body()
             ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
             if op == "query":
@@ -197,7 +224,7 @@ def _make_handler(server: SparqlHttpServer):
                     q = body.decode("utf-8")
                 if not q:
                     return self._error(400, "missing query")
-                return self._run_query(q)
+                return self._run_query(store, q)
             if op == "update":
                 if ct == "application/x-www-form-urlencoded":
                     form = parse_qs(body.decode("utf-8"))
@@ -207,59 +234,59 @@ def _make_handler(server: SparqlHttpServer):
                 if not u:
                     return self._error(400, "missing update")
                 try:
-                    res = server.run_update(u)
+                    res = server.run_update(store, u)
                     return self._send(200, "application/json", json.dumps(res))
                 except RdfParseError as e:
                     return self._error(400, str(e))
             if op == "data":
-                return self._gsp_write(body, ct, qs, replace=False)
+                return self._gsp_write(store, body, ct, qs, replace=False)
             if op == "patch":
-                return self._patch(body, ct)
+                return self._patch(store, body, ct)
             return self._error(404, "unknown endpoint")
 
         def do_PUT(self):
-            _, op, qs = self._route()
-            if op != "data":
+            store, op, qs = self._route()
+            if store is None or op != "data":
                 return self._error(404, "unknown endpoint")
             body = self._body()
             ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
-            return self._gsp_write(body, ct, qs, replace=True)
+            return self._gsp_write(store, body, ct, qs, replace=True)
 
         def do_DELETE(self):
-            _, op, qs = self._route()
-            if op != "data":
+            store, op, qs = self._route()
+            if store is None or op != "data":
                 return self._error(404, "unknown endpoint")
             try:
-                server.gsp_delete(self._graph_param(qs))
+                server.gsp_delete(store, self._graph_param(qs))
                 return self._send(204, "text/plain", "")
             except Exception as e:
                 return self._error(500, str(e))
 
         def do_PATCH(self):
-            _, op, _ = self._route()
-            if op != "patch":
+            store, op, _ = self._route()
+            if store is None or op != "patch":
                 return self._error(404, "unknown endpoint")
             ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
-            return self._patch(self._body(), ct)
+            return self._patch(store, self._body(), ct)
 
         # ---------------------------------------------------- helpers
-        def _run_query(self, q: str):
+        def _run_query(self, store, q: str):
             try:
-                content_type, payload = server.run_query(q)
+                content_type, payload = server.run_query(store, q)
                 return self._send(200, content_type, payload)
             except RdfParseError as e:
                 return self._error(400, str(e))
 
-        def _gsp_write(self, body, ct, qs, replace: bool):
+        def _gsp_write(self, store, body, ct, qs, replace: bool):
             try:
-                n = server.gsp_write(body, ct or None, self._graph_param(qs), replace)
+                n = server.gsp_write(store, body, ct or None, self._graph_param(qs), replace)
                 return self._send(200, "application/json", json.dumps({"quads": n}))
             except RdfParseError as e:
                 return self._error(400, str(e))
 
-        def _patch(self, body, ct):
+        def _patch(self, store, body, ct):
             try:
-                na, nd = server.apply_patch(body, ct or None)
+                na, nd = server.apply_patch(store, body, ct or None)
                 return self._send(
                     200, "application/json", json.dumps({"adds": na, "deletes": nd})
                 )

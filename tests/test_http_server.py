@@ -141,3 +141,29 @@ class TestUpdateAndPatch:
         assert code == 200
         n = int(json.loads(body)["results"]["bindings"][0]["C"]["value"])
         assert n >= 2
+
+
+class TestMultiDataset:
+    def test_two_datasets_isolated(self, spark, tmp_path_factory):
+        base_dir = tmp_path_factory.mktemp("multi")
+        s1 = QuadStore(str(base_dir / "q1"))
+        s2 = QuadStore(str(base_dir / "q2"))
+        srv = SparqlHttpServer(spark, stores={"ds1": s1, "ds2": s2})
+        port = srv.start()
+        try:
+            root = f"http://127.0.0.1:{port}"
+            req(f"{root}/ds1/data?default", "PUT",
+                b"<http://example.org/a> <http://example.org/p> \"one\" .",
+                "application/n-triples")
+            req(f"{root}/ds2/data?default", "PUT",
+                b"<http://example.org/b> <http://example.org/p> \"two\" .",
+                "application/n-triples")
+            q = b"SELECT ?o WHERE { ?s <http://example.org/p> ?o }"
+            b1 = json.loads(req(f"{root}/ds1/query", "POST", q, "application/sparql-query")[2])
+            b2 = json.loads(req(f"{root}/ds2/query", "POST", q, "application/sparql-query")[2])
+            assert [x["o"]["value"] for x in b1["results"]["bindings"]] == ["one"]
+            assert [x["o"]["value"] for x in b2["results"]["bindings"]] == ["two"]
+            code, _, _ = req(f"{root}/nope/query", "POST", q, "application/sparql-query")
+            assert code == 404
+        finally:
+            srv.stop()
