@@ -777,3 +777,45 @@ def q34(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
     )
     return seq.orderBy("user_id", "event_id")
+
+
+@query(
+    "q36_per_group_outlier_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_small
+    FROM lineitem l JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(28,6)) * 2 * s.cnt < s.sq
+    GROUP BY l.l_partkey ORDER BY n_small DESC, l.l_partkey LIMIT 50
+    """,
+)
+def q36(spark, sf_dir):
+    """Per-group outlier filter: lines with quantity below half their
+    part's average (the second-pass 'compare each row to its group
+    stats' shape every curation pipeline has).  Spark computes the group
+    stats as window functions — ONE shuffle, no self-join — while the
+    oracle uses an independent aggregate+join formulation.  The
+    comparison is pure decimal cross-multiplication (2*q*cnt < sum), no
+    division, so both engines decide every boundary row identically."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    qd = F.col("l_quantity").cast("decimal(28,6)")
+    stats = li.select(
+        "l_partkey",
+        qd.alias("qd"),
+        F.count("*").over(w).alias("cnt"),
+        F.sum(qd).over(w).alias("sq"),
+    )
+    small = stats.filter(F.col("qd") * 2 * F.col("cnt") < F.col("sq"))
+    return (
+        small.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_small"))
+        .orderBy(F.desc("n_small"), "l_partkey")
+        .limit(50)
+    )
