@@ -72,11 +72,16 @@ class IngestStream:
         store: QuadStore | None = None,
         source: DataFrame | None = None,
         dlq_path: str | None = None,
+        compact_every_batches: int | None = 50,
     ):
         self.spark = spark
         self.conn = conn
         self.store = store or QuadStore(conn.dataset)
         self.dlq_path = dlq_path
+        # periodic small-file compaction cadence (None disables).  Runs
+        # inside foreachBatch — i.e. between micro-batches from the
+        # store's point of view, the single-writer safe point.
+        self.compact_every_batches = compact_every_batches
         self._source = source
         self.query = None
         self._paused = False
@@ -110,6 +115,11 @@ class IngestStream:
         if res["n_dlq"]:
             self._write_dlq(res["dlq"])
         res["dlq"].unpersist()
+        if (
+            self.compact_every_batches
+            and self.metrics["batches"] % self.compact_every_batches == 0
+        ):
+            self.store.compact(self.spark)
 
     def _write_dlq(self, dlq: DataFrame) -> None:
         if self.conn.dlq_topic and self.conn.bootstrap_servers:

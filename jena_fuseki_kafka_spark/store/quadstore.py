@@ -237,6 +237,45 @@ class QuadStore:
         if txn_id is not None:
             manifest["txns"] = (manifest["txns"] + [txn_id])[-1000:]
         self._write_manifest(manifest)
+        self._cleanup(drop_files)
+        return manifest["version"]
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession, min_files_per_bucket: int = 2) -> int:
+        """Merge small bucket leaves (the small-files problem).
+
+        Every micro-batch commit appends one leaf per touched bucket, so a
+        long-running connector accumulates O(commits) files and scan/task
+        overhead grows unboundedly — the classic streaming-ingest failure
+        mode at scale.  Compaction reads each bucket whose leaf count is
+        >= ``min_files_per_bucket`` (plus any legacy un-bucketed leaves),
+        rewrites it as a single leaf, and atomically swaps the manifest —
+        the same MVCC swap as a commit, so concurrent readers keep their
+        snapshot and the single writer can run this between batches (the
+        reference's TDB2 has the analogous offline ``compact`` operation).
+        Returns the new version, or the current one if nothing to do.
+        """
+        manifest = self._read_manifest()
+        by_bucket: dict[int | None, list[str]] = {}
+        for f in manifest["files"]:
+            by_bucket.setdefault(self._bucket_of(f), []).append(f)
+        merge: list[str] = []
+        for b, fs in by_bucket.items():
+            if b is None or len(fs) >= min_files_per_bucket:
+                merge.extend(fs)
+        if len(merge) <= 1 and None not in by_bucket:
+            return manifest["version"]
+        paths = [os.path.join(self.files_dir, f) for f in merge]
+        merged = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
+        new_entries = self._write_partitioned(merged)
+        untouched = [f for f in manifest["files"] if f not in set(merge)]
+        manifest["version"] += 1
+        manifest["files"] = untouched + new_entries
+        self._write_manifest(manifest)
+        self._cleanup(merge)
+        return manifest["version"]
+
+    def _cleanup(self, drop_files: list[str]) -> None:
         # old files are kept briefly for readers of the prior snapshot; a
         # real deployment vacuums by age. Here: best-effort eager cleanup.
         for f in drop_files:
@@ -246,4 +285,3 @@ class QuadStore:
                 shutil.rmtree(os.path.join(self.files_dir, f), ignore_errors=True)
             except OSError:
                 pass
-        return manifest["version"]

@@ -214,3 +214,37 @@ class TestBucketPruning:
         untouched_before = {f for f in before if not f.endswith(f"bucket={target_bucket}")}
         assert untouched_before <= after  # carried over byte-identical
         assert store.count(spark) == 63
+
+
+class TestCompaction:
+    def test_compact_merges_leaves_preserving_content(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qc"), n_buckets=4)
+        # 6 commits -> every bucket accumulates ~6 leaves
+        for i in range(6):
+            rows = [("", f"s{i}_{j}", "p", "literal", f"v{i}", None, None) for j in range(8)]
+            store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA), txn_id=f"c{i}")
+        before = store._read_manifest()
+        n_before = len(before["files"])
+        content_before = sorted(tuple(r) for r in store.read(spark).collect())
+        v = store.compact(spark)
+        after = store._read_manifest()
+        assert v == before["version"] + 1
+        # one leaf per non-empty bucket afterwards
+        assert len(after["files"]) <= 4 < n_before
+        content_after = sorted(tuple(r) for r in store.read(spark).collect())
+        assert content_after == content_before
+        # txn history survives (idempotent replay still detected)
+        assert store.seen_txn("c3")
+        # re-commit of a compacted txn is still a no-op
+        rows = [("", "s0_0", "p", "literal", "v0", None, None)]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA), txn_id="c0")
+        assert len(store.read(spark).collect()) == len(content_before)
+
+    def test_compact_noop_when_already_compacted(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qn"), n_buckets=4)
+        rows = [("", "s1", "p", "iri", "o", None, None)]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA))
+        v1 = store.compact(spark)  # single leaf: nothing to merge
+        assert v1 == store.version
+        v2 = store.compact(spark)
+        assert v2 == v1  # stable: no version churn on repeated no-ops
