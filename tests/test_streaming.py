@@ -187,3 +187,53 @@ class TestEngineLifecycle:
         # idempotent txn keep the store exact
         assert stream2.metrics["batches"] >= 1
         assert stream.store.count(spark) == 1
+
+
+class TestEngineToHttp:
+    def test_ingest_then_serve_over_http(self, spark, tmp_path):
+        """Full reference shape end-to-end: two connectors ingest RDF off
+        their (file-twin) topics into separate datasets, then ONE HTTP
+        server serves both; the acceptance count query over HTTP sees
+        exactly what was ingested (DockerTestConfigFK's verification)."""
+        import json as _json
+        import urllib.request
+
+        from jena_fuseki_kafka_spark.server import SparqlHttpServer
+
+        eng = Engine(spark)
+        for i in (1, 2):
+            d = tmp_path / f"ev{i}"
+            d.mkdir()
+            nq = "\n".join(f'<http://e/s{j}> <http://e/p> "d{i}" .' for j in range(i * 2))
+            write_events(spark, str(d), [ev(nq, 0)])
+            conn = ConnectorConfig.from_dict(
+                dict(
+                    name=f"hc{i}",
+                    topics=[f"ht{i}"],
+                    dataset=str(tmp_path / f"hds{i}"),
+                    state_dir=str(tmp_path / f"hcp{i}"),
+                    group_id=f"hg{i}",
+                )
+            )
+            eng.add_connector(conn, source=file_stream(spark, str(d)))
+        eng.start(trigger_available_now=True)
+        for stream in eng.streams.values():
+            stream.query.awaitTermination()
+            stream.query = None
+
+        srv = SparqlHttpServer.from_engine(eng)
+        port = srv.start()
+        try:
+            q = b"SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }"
+            counts = {}
+            for name in ("hds1", "hds2"):
+                r = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/{name}/query", data=q, method="POST"
+                )
+                r.add_header("Content-Type", "application/sparql-query")
+                with urllib.request.urlopen(r) as resp:
+                    doc = _json.loads(resp.read())
+                counts[name] = int(doc["results"]["bindings"][0]["C"]["value"])
+            assert counts == {"hds1": 2, "hds2": 4}
+        finally:
+            srv.stop()
