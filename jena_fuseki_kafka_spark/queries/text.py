@@ -208,3 +208,54 @@ def t05(spark, sf_dir):
         .filter(F.col("val") != 0)
         .orderBy("doc_id", "idx")
     )
+
+
+@query(
+    "t06_topk_bigrams_per_lang",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT lang, w[i] || ' ' || w[i+1] AS bigram
+      FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i)
+    ),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram
+    ),
+    ranked AS (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM counted
+    )
+    SELECT lang, bigram, n, rk FROM ranked WHERE rk <= 10
+    ORDER BY lang, rk
+    """,
+)
+def t06(spark, sf_dir):
+    """Corpus frequency analysis: top-10 bigrams per language.  The rank
+    pass runs on the already-aggregated (lang, bigram, n) relation — tiny
+    next to the corpus — so at 100 TB the only full-data operations are
+    the bigram explode and one partial-aggregated count; the window sees
+    |distinct bigrams|, not |tokens|.  Deterministic tie-break on the
+    bigram text makes top-k stable across partitionings."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_w = d.select("lang", words.alias("w"))
+    bigrams = with_w.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(w) - 1, 0)), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "bigram", "n", "rk")
+        .orderBy("lang", "rk")
+    )
