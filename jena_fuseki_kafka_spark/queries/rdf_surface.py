@@ -554,3 +554,33 @@ def r13(spark, sf_dir):
         F.col("user")["value"].alias("user"),
         F.col("m")["value"].cast("long").alias("m"),
     )
+
+
+@query(
+    "r14_degree_histogram",
+    oracle="""
+    SELECT '4' AS d, COUNT(*) AS n FROM events
+    """,
+)
+def r14(spark, sf_dir):
+    """Out-degree histogram of the quad graph via NESTED aggregation in
+    the engine: inner sub-SELECT computes per-subject degree, outer group
+    counts subjects per degree — the aggregate-of-aggregate composition
+    (with an aggregate ORDER BY) that exercises sub-SELECT scoping end to
+    end.  Every event subject has exactly 4 named-graph quads, which the
+    oracle states directly — the engine must DERIVE it."""
+    from ..sparql import SparqlEngine
+
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        SELECT ?d (COUNT(*) AS ?n) WHERE {
+          { SELECT ?s (COUNT(*) AS ?d) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?s }
+        } GROUP BY ?d ORDER BY DESC(?n) ?d LIMIT 20
+        """
+    )
+    return df.select(
+        F.col("d")["value"].alias("d"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )
