@@ -43,6 +43,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input over all cores BEFORE heavy per-row compute
+    (regex tokenize, shingle explode, md5).  Only fires when the scan has
+    fewer partitions than the cluster has slots (single-row-group local
+    files; a few giant files) — on real multi-row-group data it's a
+    no-op, so no shuffle is added at scale.  Where it does fire, shuffle
+    bytes ~= input bytes while the downstream CPU work is many times
+    that, the same trade the ingest path makes before its parse UDF."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # import for registration side effects
 from . import relational  # noqa: E402,F401
 from . import events  # noqa: E402,F401

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, query
+from . import fan_out, load, query
 
 N_HASHES = 16
 N_BANDS = 4
@@ -43,7 +43,9 @@ def _shingles_spark(d):
     Words are materialized once per row; the shingle build is a single
     transform over index positions (no repeated splits)."""
     words = F.split(F.trim(F.col("text")), r"\s+")
-    with_words = d.select("doc_id", words.alias("w"))
+    with_words = fan_out(d.select("doc_id", F.col("text"))).select(
+        "doc_id", words.alias("w")
+    )
     sh = F.expr(
         "transform(sequence(1, greatest(size(w) - 2, 0)), "
         "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
@@ -284,7 +286,7 @@ def d03(spark, sf_dir):
     candidate pairs share the high-16-bit prefix block (bit-sampling
     blocking), verified by Hamming distance <= 6."""
     d = load(spark, sf_dir, "documents")
-    tokens = d.select(
+    tokens = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     # hash each DISTINCT (doc, token) once and weight the +-1 contribution

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, query
+from . import fan_out, load, query
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # chosen to be expressible identically in Spark and DuckDB SQL
@@ -193,7 +193,7 @@ def t05(spark, sf_dir):
     Pure JVM column expressions; the text->vector stage that feeds the
     s01-s04 similarity operators."""
     d = load(spark, sf_dir, "documents")
-    tokens = d.select(
+    tokens = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
     )
     h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
@@ -244,7 +244,7 @@ def t06(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    with_w = d.select("lang", words.alias("w"))
+    with_w = fan_out(d.select("lang", "text")).select("lang", words.alias("w"))
     bigrams = with_w.select(
         "lang",
         F.explode(
