@@ -5,11 +5,12 @@ the reference contract exercises plus the standard algebra — SURVEY.md §2B):
 
   Prologue:   PREFIX, BASE
   Forms:      SELECT [DISTINCT|REDUCED] (vars | (expr AS ?v) | *),
-              ASK, CONSTRUCT { template }
-  Patterns:   triple blocks with ';' ',' 'a' and '[]' sugar, OPTIONAL,
-              UNION, MINUS, GRAPH ?g|<iri>, FILTER, BIND, VALUES,
-              nested '{}' groups
-  Paths:      ^p, p1/p2, p1|p2, p+, p*, p?  (in predicate position)
+              ASK, CONSTRUCT { template }, CONSTRUCT WHERE { bgp },
+              DESCRIBE, nested sub-SELECT
+  Patterns:   triple blocks with ';' ',' 'a', '[]' and '( ... )'
+              collection sugar, OPTIONAL, UNION, MINUS, GRAPH ?g|<iri>,
+              FILTER, BIND, VALUES, nested '{}' groups
+  Paths:      ^p, p1/p2, p1|p2, p+, p*, p?, !(p|^q)  (predicate position)
   Exprs:      || && ! comparisons arithmetic, IN / NOT IN,
               EXISTS / NOT EXISTS, all the §2B builtin functions,
               aggregates COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE
@@ -17,8 +18,8 @@ the reference contract exercises plus the standard algebra — SURVEY.md §2B):
 
 Not covered (documented scope cut): SPARQL Update via this parser (the
 reference deliberately rejects update over the stream — CHANGELOG.md:177-181;
-store mutation goes through the ingest/store APIs), federated SERVICE,
-DESCRIBE, named subqueries.
+store mutation goes through sparql/update.py and the ingest/store APIs)
+and federated SERVICE.
 """
 
 from __future__ import annotations
@@ -209,6 +210,22 @@ class SparqlParser:
 
     def _construct(self) -> ConstructQuery:
         self.expect("construct")
+        if self.peek_kw("where"):
+            # CONSTRUCT WHERE { bgp } shorthand (SPARQL 1.1 §10.2.2): the
+            # pattern doubles as the template; restricted to triples
+            self.next()
+            self.expect("{")
+            triples: list = []
+            while self.peek() != "}":
+                triples.extend(self._triples_same_subject(graph=None))
+                if self.peek() == ".":
+                    self.next()
+            self.expect("}")
+            q = ConstructQuery(template=list(triples), pattern=BGP(triples))
+            if self.peek_kw("limit"):
+                self.next()
+                q.limit = int(self.next())
+            return q
         self.expect("{")
         template: list = []
         while self.peek() != "}":

@@ -467,3 +467,12 @@ class TestCollections:
             "PREFIX ex: <http://example.org/> SELECT ?s WHERE { ?s ex:empty () }"
         )
         assert vals(df, "s") == [EX + "s"]
+
+
+class TestConstructWhere:
+    def test_construct_where_shorthand(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> CONSTRUCT WHERE { ?s ex:knows ?o }"
+        )
+        got = {(r.subject, r.object_value) for r in df.collect()}
+        assert got == {(EX + "alice", EX + "bob"), (EX + "bob", EX + "carol")}
