@@ -33,6 +33,7 @@ HEADLINE = [
     "q29_asof_join",
     "q30_interval_join",
     "q31_grouping_sets",
+    "q36_per_group_outlier_filter",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_simhash",
@@ -40,6 +41,7 @@ HEADLINE = [
     "s02_ann_lsh_bucketed",
     "s04_ann_ivf",
     "t03_token_count",
+    "t06_topk_bigrams_per_lang",
     "p02_curation_pipeline",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
