@@ -135,6 +135,11 @@ class Translator:
         if isinstance(node, BGP):
             return self._bgp(node, graph)
         if isinstance(node, Join):
+            # VALUES with UNDEF cells needs compatibility-join semantics
+            if isinstance(node.right, ValuesPattern):
+                return self._values_join(self._pattern(node.left, graph), node.right)
+            if isinstance(node.left, ValuesPattern):
+                return self._values_join(self._pattern(node.right, graph), node.left)
             return self._join(self._pattern(node.left, graph), self._pattern(node.right, graph))
         if isinstance(node, LeftJoin):
             return self._left_join(node, graph)
@@ -164,6 +169,49 @@ class Translator:
             # join with the enclosing group on shared names
             return self._select(node.query)
         raise TypeError(f"unsupported pattern node {type(node)}")
+
+    def _values_join(self, left: DataFrame, values: ValuesPattern) -> DataFrame:
+        """Join a pattern with an inline VALUES table under SPARQL
+        compatibility semantics: an UNDEF (null) cell is compatible with
+        any binding, and the merged row takes the bound side's value.
+
+        Columns where the (tiny, driver-known) table has no UNDEF join as
+        plain equi-keys — broadcast hash join; only mixed columns fall
+        back to an OR-condition over the broadcast table, so the big side
+        still never shuffles."""
+        vdf = self._values(values)
+        common = [c for c in left.columns if c in vdf.columns]
+        if not common:
+            return left.crossJoin(F.broadcast(vdf))
+        has_undef = {
+            c: any(row[values.variables.index(c)] is None for row in values.rows)
+            for c in common
+        }
+        eq_cols = [c for c in common if not has_undef[c]]
+        mixed = [c for c in common if has_undef[c]]
+        r = F.broadcast(vdf)
+        if not mixed:
+            return left.join(r, on=eq_cols, how="inner")
+        renamed = r
+        for c in mixed:
+            renamed = renamed.withColumnRenamed(c, f"__val_{c}")
+        cond = None
+        for c in eq_cols:
+            e = left[c] == renamed[c]
+            cond = e if cond is None else cond & e
+        for c in mixed:
+            e = renamed[f"__val_{c}"].isNull() | (left[c] == renamed[f"__val_{c}"])
+            cond = e if cond is None else cond & e
+        joined = left.join(renamed, cond, "inner")
+        out_cols = []
+        seen = set()
+        for c in left.columns:
+            out_cols.append(F.coalesce(left[c], renamed[f"__val_{c}"]).alias(c) if c in mixed else left[c])
+            seen.add(c)
+        for c in vdf.columns:
+            if c not in seen:  # VALUES-only vars carry through
+                out_cols.append(renamed[c])
+        return joined.select(*out_cols)
 
     def _join(self, left: DataFrame, right: DataFrame) -> DataFrame:
         common = [c for c in left.columns if c in right.columns]

@@ -476,3 +476,21 @@ class TestConstructWhere:
         )
         got = {(r.subject, r.object_value) for r in df.collect()}
         assert got == {(EX + "alice", EX + "bob"), (EX + "bob", EX + "carol")}
+
+
+class TestValuesUndef:
+    def test_undef_matches_any(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?n WHERE { ?s ex:name ?n "
+            "VALUES (?s ?n) { (ex:alice UNDEF) (UNDEF \"Bob\") } }"
+        )
+        got = {(r.s, r.n) for r in df.collect()}
+        assert got == {(EX + "alice", "Alice"), (EX + "bob", "Bob")}
+
+    def test_values_all_bound_still_equi(self, engine):
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?s WHERE { ?s ex:name ?n VALUES ?n { "Alice" "Carol" } }'
+        )
+        assert sorted(vals(df, "s")) == [EX + "alice", EX + "carol"]
