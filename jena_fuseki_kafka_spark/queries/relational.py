@@ -819,3 +819,41 @@ def q36(spark, sf_dir):
         .orderBy(F.desc("n_small"), "l_partkey")
         .limit(50)
     )
+
+
+@query(
+    "q37_running_frames",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(AVG(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_avg3
+    FROM events
+    WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+)
+def q37(spark, sf_dir):
+    """Frame-based window aggregation: running total (unbounded-preceding
+    frame) and 3-row moving average per user — the cumulative-metrics
+    shape.  Both frames share ONE window sort, so the plan is a single
+    shuffle on user_id + one in-partition sort; decimal accumulation
+    keeps the running values order-exact so both engines agree at every
+    prefix, not just the final row."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    vd = F.col("value").cast("decimal(28,6)")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov3 = base.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(vd).over(running).cast("double").alias("running_total"),
+        F.avg(vd).over(mov3).cast("double").alias("moving_avg3"),
+    ).orderBy("user_id", "event_id")
