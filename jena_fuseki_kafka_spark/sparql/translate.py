@@ -532,6 +532,8 @@ class Translator:
             return _const_struct(("iri", expr.value))
         if isinstance(expr, Call) and expr.name in ("iri", "uri"):
             return _term_struct(F.lit("iri"), self._expr_value(expr.args[0], df, graph))
+        if isinstance(expr, Call) and expr.name == "bnode":
+            return _term_struct(F.lit("bnode"), self._expr_value(expr, df, graph))
         if isinstance(expr, Call) and expr.name == "strlang":
             return _term_struct(
                 F.lit("literal"),
@@ -781,6 +783,20 @@ class Translator:
             return F.coalesce(*[self._expr_value(a, df, graph) for a in call.args])
         if name == "if":
             return F.when(self._expr_bool(call.args[0], df, graph), argv(1)).otherwise(argv(2))
+        if name == "rand":
+            return F.rand()
+        if name == "bnode":
+            # fresh bnode per row (no-arg form); arg form keys on the value
+            if call.args:
+                return F.concat(F.lit("_:b"), argv(0).cast("string"))
+            return F.concat(F.lit("_:b"), F.expr("uuid()"))
+        if name == "tz":
+            # engine normalizes timestamps to UTC (session timezone)
+            ts = argv(0).try_cast("timestamp")
+            return F.when(ts.isNotNull(), F.lit("Z")).otherwise(F.lit(""))
+        if name == "timezone":
+            ts = argv(0).try_cast("timestamp")
+            return F.when(ts.isNotNull(), F.lit("PT0S")).otherwise(F.lit(""))
         if name in AGG_NAMES:
             raise ValueError(f"aggregate {name} outside of aggregation context")
         raise ValueError(f"unsupported function {name}")

@@ -494,3 +494,16 @@ class TestValuesUndef:
             'SELECT ?s WHERE { ?s ex:name ?n VALUES ?n { "Alice" "Carol" } }'
         )
         assert sorted(vals(df, "s")) == [EX + "alice", EX + "carol"]
+
+
+class TestMiscBuiltins:
+    def test_rand_bnode_tz(self, engine):
+        df = engine.query(
+            'SELECT ?r ?b ?z WHERE { VALUES ?v { "2024-01-02T03:04:05" } '
+            "BIND(RAND() AS ?r) BIND(BNODE() AS ?b) BIND(TZ(?v) AS ?z) }"
+        )
+        row = df.collect()[0]
+        assert 0.0 <= float(row["r"]["value"]) < 1.0
+        assert row["b"]["value"].startswith("_:b")
+        assert row["b"]["kind"] == "bnode"
+        assert row["z"]["value"] == "Z"
