@@ -70,4 +70,104 @@ from . import streaming_gate  # noqa: E402,F401
 from . import skew  # noqa: E402,F401
 from . import multimodal_surface  # noqa: E402,F401
 
+# Explicit registration order.  The correctness driver checks the first 50
+# registered queries per round, so ordering is part of the verification
+# contract: queries without a prior driver verdict, and queries whose
+# implementation changed this round, go first; queries already driver-green
+# in a previous round rotate to the tail.  Names listed here come first in
+# the stated order; anything registered but unlisted keeps its import order
+# after them (so a newly added query is never silently dropped).
+_CHECK_PRIORITY = [
+    # SPARQL engine surface (no driver verdict in r01)
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    # streaming / temporal / skew / sampling / multimodal (no r01 verdict)
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "p01_stratified_sample",
+    "p02_curation_pipeline",
+    "m01_image_features",
+    "m02_audio_features",
+    "m03_video_frame_sample",
+    # oracle-typing fixes this round (hash-failed in r01 on HUGEINT columns)
+    "q16_conditional_agg_case",
+    "q23_funnel_signup_to_purchase",
+    "d01_exact_dedup",
+    "t03_token_count",
+    # implementation changed this round -> must re-verify
+    "d03_simhash",
+    "d04_ngram_jaccard_blocked",
+    # core keeps (flagship + dedup/similarity/text/ingest acceptance)
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
+    "q01_pricing_summary",
+    "d02_minhash_lsh",
+    "s01_ann_bruteforce_topk",
+    "s02_ann_lsh_bucketed",
+    "s03_embedding_near_dup",
+    "s04_ann_ivf",
+    "t01_language_id",
+    "t02_quality_score",
+    "t04_fingerprint",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q26_cohort_retention",
+    "q27_sliding_window",
+    "q34_lead_lag_ntile",
+    "q36_per_group_outlier_filter",
+    # ---- driver-green in r01, rotated past the 50-query window ----
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q17_string_functions",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+    "q24_exact_percentiles",
+    "q25_cube_aggregation",
+    "q28_set_operations",
+    "q31_grouping_sets",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q37_running_frames",
+]
+
+
+def _apply_check_priority() -> None:
+    ordered = [n for n in _CHECK_PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _CHECK_PRIORITY]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        mapping.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_apply_check_priority()
+
 __all__ = ["QUERIES", "ORACLES", "query", "load"]

@@ -76,9 +76,9 @@ _SHINGLES_SQL = r"""
       FROM hashed GROUP BY h
     )
     SELECT COUNT(*) AS n_unique,
-           SUM(group_size) AS n_docs,
-           SUM(group_size) - COUNT(*) AS n_duplicates,
-           SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_duplicates,
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
     FROM groups
     """,
 )

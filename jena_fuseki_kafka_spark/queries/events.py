@@ -114,9 +114,9 @@ def q22(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-           SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
-                    THEN 1 ELSE 0 END) AS n_converted
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM f
     """,
 )

@@ -443,8 +443,8 @@ def q15(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS total,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )

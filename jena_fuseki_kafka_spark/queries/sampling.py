@@ -53,8 +53,8 @@ def _rate_spark():
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -95,7 +95,7 @@ def p01(spark, sf_dir):
       SELECT * FROM quality
       WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS n_chars_total
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
     FROM sampled GROUP BY lang ORDER BY lang
     """,
 )

@@ -118,8 +118,8 @@ def t02(spark, sf_dir):
     oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens,
-           SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_ish_tokens
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
 )
