@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from functools import reduce
@@ -53,6 +54,24 @@ from pyspark.sql import functions as F
 from ..model import QUAD_COLS, QUAD_SCHEMA
 
 _MANIFEST = "_manifest.json"
+
+# One write lock per store *path* (realpath-keyed, process-wide): the manifest
+# swap is atomic but commit/compact are read-modify-write over it, so two
+# concurrent writers — HTTP update handlers, the streaming foreachBatch, and
+# periodic compaction all run in different threads — could both read version N
+# and silently drop the loser's files.  Sharing the lock across every
+# QuadStore instance on the same path restores the reference's single-writer
+# transaction semantics (FusekiProjector.java:484-490) without forcing callers
+# to coordinate.  Cross-*process* writers remain out of scope, as in the
+# reference (one projector per dataset — FKRegistry.java:45-99).
+_STORE_LOCKS: dict[str, threading.RLock] = {}
+_STORE_LOCKS_GUARD = threading.Lock()
+
+
+def _write_lock_for(path: str) -> threading.RLock:
+    key = os.path.realpath(path)
+    with _STORE_LOCKS_GUARD:
+        return _STORE_LOCKS.setdefault(key, threading.RLock())
 
 
 def _anti_join_quads(left: DataFrame, right: DataFrame, broadcast_right: bool = False) -> DataFrame:
@@ -85,9 +104,13 @@ class QuadStore:
         self.path = path
         self.files_dir = os.path.join(path, "files")
         self.n_buckets = n_buckets
+        self._write_lock = _write_lock_for(path)
         os.makedirs(self.files_dir, exist_ok=True)
-        if not os.path.exists(self._manifest_path()):
-            self._write_manifest({"version": 0, "files": [], "txns": []})
+        # initialize-once under the lock: a second instance racing an
+        # in-flight commit must not clobber the committed manifest
+        with self._write_lock:
+            if not os.path.exists(self._manifest_path()):
+                self._write_manifest({"version": 0, "files": [], "txns": []})
 
     # -- bucket layout ------------------------------------------------------
     # manifest entries are leaf directories "<uuid>/bucket=N": data is
@@ -126,7 +149,9 @@ class QuadStore:
             return json.load(f)
 
     def _write_manifest(self, manifest: dict) -> None:
-        tmp = self._manifest_path() + ".tmp"
+        # unique tmp name: concurrent writers (or a crashed leftover) must
+        # never share the staging file, or one os.replace strands the other
+        tmp = self._manifest_path() + ".tmp-" + uuid.uuid4().hex
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
@@ -168,7 +193,23 @@ class QuadStore:
         skips the within-batch dropDuplicates shuffle when the caller
         already reduced to unique quads (the projector's net-effect
         aggregate guarantees it).
+
+        Thread-safe: holds the per-store write lock for the whole
+        read-manifest -> write-files -> swap-manifest sequence, so HTTP
+        handlers, the ingest stream, and compaction serialize instead of
+        losing each other's commits.
         """
+        with self._write_lock:
+            return self._commit_locked(spark, adds, deletes, txn_id, assume_unique)
+
+    def _commit_locked(
+        self,
+        spark: SparkSession,
+        adds: DataFrame | None,
+        deletes: DataFrame | None,
+        txn_id: str | None,
+        assume_unique: bool,
+    ) -> int:
         manifest = self._read_manifest()
         if txn_id is not None and txn_id in manifest["txns"]:
             return manifest["version"]  # idempotent re-apply
@@ -255,6 +296,10 @@ class QuadStore:
         reference's TDB2 has the analogous offline ``compact`` operation).
         Returns the new version, or the current one if nothing to do.
         """
+        with self._write_lock:
+            return self._compact_locked(spark, min_files_per_bucket)
+
+    def _compact_locked(self, spark: SparkSession, min_files_per_bucket: int) -> int:
         manifest = self._read_manifest()
         by_bucket: dict[int | None, list[str]] = {}
         for f in manifest["files"]:

@@ -248,3 +248,41 @@ class TestCompaction:
         assert v1 == store.version
         v2 = store.compact(spark)
         assert v2 == v1  # stable: no version churn on repeated no-ops
+
+    def test_concurrent_writers_no_lost_commits(self, spark, tmp_path):
+        """Commits from many threads over *separate* QuadStore instances on
+        the same path (the HTTP-handler / ingest-stream / compaction race)
+        must serialize on the shared per-path write lock: every committed
+        quad survives and no txn id is dropped."""
+        import threading
+
+        path = str(tmp_path / "qc")
+        n_threads, per_thread = 6, 3
+        errors: list[Exception] = []
+
+        def writer(t: int) -> None:
+            try:
+                store = QuadStore(path, n_buckets=4)  # own instance, shared lock
+                for i in range(per_thread):
+                    rows = [("", f"s-{t}-{i}", "p", "iri", "o", None, None)]
+                    store.commit(
+                        spark,
+                        adds=spark.createDataFrame(rows, QUAD_SCHEMA),
+                        txn_id=f"t{t}-{i}",
+                    )
+                    if i == 1:
+                        store.compact(spark)  # interleave compaction too
+            except Exception as exc:  # pragma: no cover - failure reporting
+                errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        final = QuadStore(path)
+        assert final.count(spark) == n_threads * per_thread
+        for t in range(n_threads):
+            for i in range(per_thread):
+                assert final.seen_txn(f"t{t}-{i}")
