@@ -8,9 +8,15 @@ Scale notes:
 - MinHash/LSH is the 100 TB path: candidate generation is a bucket
   equi-join on (band_id, band_hash) — shuffle proportional to docs x bands,
   never all-pairs.  Verification joins only candidate pairs to shingle sets.
-- SimHash pair generation here is all-pairs within 16-bit prefix blocks
-  (a standard bit-sampling block key); at cluster scale you'd use 4-way
-  table rotations instead.
+- SimHash candidate generation uses the multi-rotation table scheme
+  (Manku et al., WWW'07): 4 tables keyed on the top 16 bits of the
+  fingerprint rotated by 0/8/16/24 — every table key has 2^16 possible
+  values, so expected block size is n/65536 *per table* and the candidate
+  join is a bounded equi-join, never all-pairs within one coarse prefix.
+- n-gram Jaccard blocks on (lang, length-bucket) with a hard block-size
+  cap: oversized blocks are excluded from pair generation (at production
+  scale those route through the MinHash path, which is linear in docs),
+  so the pair space is provably <= cap^2 per block.
 - Exact dedup is one hash aggregate on a normalized content hash.
 """
 
@@ -259,8 +265,12 @@ def _simhash_sql(hash_expr: str) -> str:
     return bits
 
 
+SIMHASH_ROTATIONS = (0, 8, 16, 24)
+
+
 def _simhash_oracle() -> str:
     h = _hash60_sql("w") + " & 4294967295"
+    rot = "(((s.simhash << t.r) | (s.simhash >> (32 - t.r))) & 4294967295)"
     return f"""
     WITH tokens AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
@@ -269,13 +279,19 @@ def _simhash_oracle() -> str:
     sims AS (
       SELECT doc_id, {_simhash_sql(h)} AS simhash
       FROM tokens GROUP BY doc_id
+    ),
+    keys AS (
+      SELECT s.doc_id, s.simhash, t.r, {rot} >> 16 AS k
+      FROM sims s CROSS JOIN (VALUES (0), (8), (16), (24)) t(r)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sim_a, b.simhash AS sim_b
+      FROM keys a JOIN keys b ON a.r = b.r AND a.k = b.k AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sims a JOIN sims b
-      ON (a.simhash >> {SIMHASH_BITS - 16}) = (b.simhash >> {SIMHASH_BITS - 16})
-     AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
     ORDER BY doc_a, doc_b
     """
 
@@ -283,8 +299,12 @@ def _simhash_oracle() -> str:
 @query("d03_simhash", oracle=_simhash_oracle())
 def d03(spark, sf_dir):
     """SimHash near-dup: 32-bit sign-aggregated token-hash fingerprint;
-    candidate pairs share the high-16-bit prefix block (bit-sampling
-    blocking), verified by Hamming distance <= 6."""
+    candidates come from 4 rotation tables (Manku et al.) — two docs are
+    candidates iff the top 16 bits of the fingerprint rotated by one of
+    0/8/16/24 agree — then verified by Hamming distance <= 6.  Each table
+    key spans the full 2^16 space, so blocks stay ~n/65536 per table at
+    any corpus size (the single-prefix scheme concentrated everything in
+    one table and went quadratic within hot prefixes)."""
     d = load(spark, sf_dir, "documents")
     tokens = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
@@ -313,34 +333,67 @@ def d03(spark, sf_dir):
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    sims = sums.select("doc_id", simhash.alias("simhash"))
+    sims = sums.select("doc_id", simhash.cast("long").alias("simhash"))
 
-    # materialize the 16-bit prefix block as a JOIN COLUMN: an expression
-    # condition would force a nested-loop join (O(n^2) comparisons); an
-    # equi-join on the block hashes and shuffles only within blocks
-    blocked = sims.withColumn("block", F.shiftright(F.col("simhash"), SIMHASH_BITS - 16))
-    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
-    b_ = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
+    # rotation-table keys as JOIN COLUMNS (an expression condition would
+    # force a nested-loop join): table t keys on the top 16 bits of the
+    # fingerprint rotated left by SIMHASH_ROTATIONS[t]; posexplode keeps
+    # the table index in the join key so tables never cross-match
+    mask = F.lit(4294967295)
+
+    def _rot_key(r: int):
+        h = F.col("simhash")
+        rot = (F.shiftleft(h, r).bitwiseOR(F.shiftright(h, 32 - r))).bitwiseAND(mask)
+        return F.shiftright(rot, 16)
+
+    keyed = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[_rot_key(r) for r in SIMHASH_ROTATIONS])).alias("t", "k"),
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "t", "k")
+    b_ = keyed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "t", "k")
+    # distinct collapses pairs found by multiple tables before the verify
+    cands = (
+        a.join(b_, ["t", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b_, "block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        cands.filter(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 
 
 # ---------------------------------------------------------------- d04 ngram jaccard (blocked exact)
+# Hard ceiling on docs per (lang, len_bucket) block: pair generation is
+# all-pairs within a block, so an unbounded block (think lang='en' at corpus
+# scale) is quadratic.  Blocks over the cap are EXCLUDED here — a production
+# pipeline routes them through d02's MinHash candidates (linear in docs) and
+# keeps this operator as the exact verify stage for small blocks.
+D04_MAX_BLOCK_DOCS = 512
+
+
 @query(
     "d04_ngram_jaccard_blocked",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     docmeta AS (SELECT doc_id, lang, n_chars // 200 AS len_bucket FROM documents),
+    blocks AS (
+      SELECT lang, len_bucket FROM docmeta
+      GROUP BY lang, len_bucket HAVING COUNT(*) <= {D04_MAX_BLOCK_DOCS}
+    ),
+    bounded AS (
+      SELECT m.* FROM docmeta m
+      JOIN blocks k ON k.lang = m.lang AND k.len_bucket = m.len_bucket
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM docmeta a JOIN docmeta b
+      FROM bounded a JOIN bounded b
         ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     ),
     inter AS (
@@ -360,15 +413,25 @@ def d03(spark, sf_dir):
     """,
 )
 def d04(spark, sf_dir):
-    """Exact n-gram Jaccard within blocking keys (lang, length-bucket):
-    the candidate space is pairs within a block, so cost is sum of block^2
-    instead of n^2 — the classic blocked-dedup shape."""
+    """Exact n-gram Jaccard within blocking keys (lang, length-bucket),
+    with a hard per-block doc cap: cost is bounded by cap^2 per block, not
+    block^2.  Oversized blocks are excluded (they belong to the MinHash
+    path, d02); this operator is the exact verify stage for small blocks."""
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
-    a = meta.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
-    b = meta.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
+    # block-size guard: the distinct-key count table is tiny -> broadcast
+    # semi-join prunes oversized blocks map-side, no extra shuffle of meta
+    blocks = (
+        meta.groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= D04_MAX_BLOCK_DOCS)
+        .select("lang", "len_bucket")
+    )
+    bounded = meta.join(F.broadcast(blocks), ["lang", "len_bucket"], "left_semi")
+    a = bounded.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
+    b = bounded.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
     pairs = a.join(b, ["lang", "len_bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b"
     )

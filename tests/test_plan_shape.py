@@ -52,6 +52,20 @@ class TestJoinStrategy:
         # every SortMergeJoin would imply a lineitem exchange
         assert "SortMergeJoin" not in p, p
 
+    def test_d03_candidate_join_is_equi(self, spark):
+        # rotation-table candidates must ride an equi-join on (table, key);
+        # a nested-loop/cartesian here is the all-pairs scale failure
+        p = plan(spark, "d03_simhash")
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+
+    def test_d04_block_guard_broadcasts(self, spark):
+        # the block-size guard must prune via broadcast semi-join, never
+        # shuffle the doc-meta relation for the tiny block-count table
+        p = plan(spark, "d04_ngram_jaccard_blocked")
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+
 
 class TestAggregation:
     def test_q01_partial_aggregation(self, spark):
