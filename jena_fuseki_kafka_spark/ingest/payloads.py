@@ -15,6 +15,8 @@ Arrow-batched — no payload bytes ever reach the driver.
 
 from __future__ import annotations
 
+import hashlib
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -122,7 +124,13 @@ def parse_events_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             try:
                 ct = content_type_of(headers)
-                ops = parse_payload(bytes(value) if value is not None else b"", ct)
+                # document-scoped bnode labels -> globally unique, keyed on
+                # the event coordinate so crash-replay of the same offset
+                # re-derives identical labels (idempotent dedup holds)
+                scope = hashlib.md5(f"{topic}/{part}/{off}".encode()).hexdigest()[:12]
+                ops = parse_payload(
+                    bytes(value) if value is not None else b"", ct, bnode_suffix=scope
+                )
             except RdfParseError as e:
                 c_topic.append(topic); c_part.append(part); c_off.append(off)
                 c_idx.append(None)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -123,7 +124,9 @@ class SparqlHttpServer:
         return quads_to_nquads(df.collect())
 
     def gsp_write(self, store: QuadStore, body: bytes, content_type: str | None, graph: str | None, replace: bool):
-        ops = parse_payload(body, content_type)
+        # fresh bnode scope per request: two uploads both saying _:b1
+        # describe different nodes (document-scoped labels, like Jena)
+        ops = parse_payload(body, content_type, bnode_suffix=uuid.uuid4().hex[:12])
         target = DEFAULT_GRAPH if graph in (None, "default") else graph
         rows = []
         for op in ops:

@@ -165,6 +165,45 @@ class TestProjector:
         )
         assert store.count(spark) == 0
 
+    def test_bnode_labels_scoped_per_event(self, spark, tmp_path):
+        # two document events both saying _:b1 describe DIFFERENT nodes
+        # (Jena scopes labels per parsed document); without per-event
+        # skolemization set-semantics dedup silently merges them
+        store = QuadStore(str(tmp_path / "q"))
+        ttl = "PREFIX : <http://example/>\n_:b1 :p :o ."
+        df = events_df(spark, [ev(ttl, 0, "text/turtle"), ev(ttl, 1, "text/turtle")])
+        apply_event_batch(spark, store, df)
+        rows = store.read(spark).collect()
+        assert len(rows) == 2
+        subjects = {r.subject for r in rows}
+        assert len(subjects) == 2 and all(s.startswith("_:b1.") for s in subjects)
+
+    def test_bnode_replay_idempotent(self, spark, tmp_path):
+        # the skolem suffix is derived from (topic, partition, offset), so
+        # crash-replay of the same event re-derives identical labels and
+        # the snapshot dedup still collapses it
+        store = QuadStore(str(tmp_path / "q"))
+        ttl = "PREFIX : <http://example/>\n_:b1 :p :o ."
+        df = events_df(spark, [ev(ttl, 0, "text/turtle")])
+        apply_event_batch(spark, store, df, txn_id="b1")
+        apply_event_batch(spark, store, df, txn_id="b1-replayed-as-b2")
+        assert store.count(spark) == 1
+
+    def test_patch_bnode_labels_durable_across_events(self, spark, tmp_path):
+        # RDF Patch labels are NOT document-scoped: a later patch can
+        # delete a bnode quad an earlier patch created (patch-log contract)
+        store = QuadStore(str(tmp_path / "q"))
+        add = 'A _:b1 <http://e/p> "x" .'
+        delete = 'D _:b1 <http://e/p> "x" .'
+        apply_event_batch(
+            spark, store, events_df(spark, [ev(add, 0, "application/rdf-patch")]), txn_id="b1"
+        )
+        assert store.count(spark) == 1
+        apply_event_batch(
+            spark, store, events_df(spark, [ev(delete, 1, "application/rdf-patch")]), txn_id="b2"
+        )
+        assert store.count(spark) == 0
+
     def test_malformed_patch_dlq(self, spark, tmp_path):
         # invalid marker sequence => whole event to DLQ, batch-mates kept
         # (TestFusekiProjector.java:235-342)
