@@ -12,7 +12,11 @@ Supported update forms:
   DELETE WHERE { pattern }
   DELETE { tmpl } INSERT { tmpl } WHERE { pattern }   (either part optional)
   CLEAR GRAPH <g> | DEFAULT | NAMED | ALL             DROP = CLEAR
-  multiple operations separated by ';' apply atomically (one commit)
+  multiple operations separated by ';' apply atomically (one commit) with
+  SPARQL 1.1 sequential semantics: each operation evaluates against the
+  accumulated logical state (store minus pending deletes plus pending
+  adds), so 'INSERT DATA { q }; DELETE DATA { q }' leaves q absent and a
+  DELETE WHERE sees quads inserted earlier in the same request
 
 Graph Store Protocol (get/put/post/delete on a graph) maps to
 filter/overwrite/append/delete on the graph column.
@@ -24,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..model import DEFAULT_GRAPH, QUAD_COLS, QUAD_SCHEMA, RdfParseError
 from ..store import QuadStore
+from ..store.quadstore import _anti_join_quads
 from .ast import BGP
 from .parser import SparqlParser
 from .translate import Translator
@@ -127,21 +132,53 @@ class UpdateEngine:
 
     # ------------------------------------------------------------ update
     def update(self, text: str, txn_id: str | None = None) -> dict:
-        """Apply a SPARQL Update request atomically (one store commit)."""
+        """Apply a SPARQL Update request atomically (one store commit),
+        sequentially within the request: every operation evaluates against
+        ``base MINUS pending_deletes UNION pending_adds``.  The pending
+        sets are net-effect maintained (inserting a quad removes it from
+        pending deletes and vice versa), so no quad ever lands in both and
+        the final commit's delete-then-add application is order-safe."""
         ops = _UpdateParser(text).parse_update()
-        adds: DataFrame | None = None
-        deletes: DataFrame | None = None
-        current = self.store.read(self.spark)
+        base = self.store.read(self.spark)
+        pending_adds: DataFrame | None = None
+        pending_dels: DataFrame | None = None
 
-        def accumulate(df, existing):
-            return df if existing is None else existing.unionByName(df)
+        def view() -> DataFrame:
+            v = base
+            if pending_dels is not None:
+                v = _anti_join_quads(v, pending_dels, broadcast_right=True)
+            if pending_adds is not None:
+                v = v.unionByName(pending_adds).dropDuplicates(QUAD_COLS)
+            return v
+
+        def do_insert(df: DataFrame) -> None:
+            nonlocal pending_adds, pending_dels
+            df = df.select(*QUAD_COLS)
+            if pending_dels is not None:
+                pending_dels = _anti_join_quads(pending_dels, df, broadcast_right=True)
+            pending_adds = (
+                df
+                if pending_adds is None
+                else pending_adds.unionByName(df).dropDuplicates(QUAD_COLS)
+            )
+
+        def do_delete(df: DataFrame) -> None:
+            nonlocal pending_adds, pending_dels
+            df = df.select(*QUAD_COLS)
+            if pending_adds is not None:
+                pending_adds = _anti_join_quads(pending_adds, df, broadcast_right=True)
+            pending_dels = (
+                df
+                if pending_dels is None
+                else pending_dels.unionByName(df).dropDuplicates(QUAD_COLS)
+            )
 
         for op in ops:
             kind = op[0]
             if kind == "insert_data":
-                adds = accumulate(self._const_quads(op[1]), adds)
+                do_insert(self._const_quads(op[1]))
             elif kind == "delete_data":
-                deletes = accumulate(self._const_quads(op[1]), deletes)
+                do_delete(self._const_quads(op[1]))
             elif kind == "clear":
                 target = op[1]
                 if target == "default":
@@ -152,17 +189,25 @@ class UpdateEngine:
                     cond = F.lit(True)
                 else:
                     cond = F.col("graph") == target
-                deletes = accumulate(current.filter(cond), deletes)
+                do_delete(view().filter(cond))
             elif kind == "modify":
                 del_tmpl, ins_tmpl, pattern = op[1], op[2], op[3]
-                # translate the WHERE pattern once, instantiate both templates
-                translator = Translator(current)
+                # translate the WHERE pattern once against the accumulated
+                # state, instantiate both templates from the same bindings
+                translator = Translator(view())
                 df = translator._pattern(translator._rewrite_exists(pattern), graph=None)
+                # materialize the (request-sized) bindings once: both
+                # templates instantiate from it, and later ops' anti-joins
+                # would otherwise re-evaluate the whole pattern lineage
+                if del_tmpl and ins_tmpl:
+                    df = df.localCheckpoint(eager=True)
                 if del_tmpl:
-                    deletes = accumulate(self._instantiate(df, del_tmpl), deletes)
+                    do_delete(self._instantiate(df, del_tmpl))
                 if ins_tmpl:
-                    adds = accumulate(self._instantiate(df, ins_tmpl), adds)
-        version = self.store.commit(self.spark, adds=adds, deletes=deletes, txn_id=txn_id)
+                    do_insert(self._instantiate(df, ins_tmpl))
+        version = self.store.commit(
+            self.spark, adds=pending_adds, deletes=pending_dels, txn_id=txn_id
+        )
         return {"version": version}
 
     def _const_quads(self, quads: list) -> DataFrame:

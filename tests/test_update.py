@@ -89,6 +89,47 @@ class TestUpdate:
         assert store.count(spark) == 2
         assert store.version == v0 + 1  # one commit for the whole request
 
+    def test_sequential_insert_then_delete(self, spark, store, upd):
+        # SPARQL 1.1 Update: ops in a request apply in sequence — the
+        # DELETE DATA sees (and removes) the quad the INSERT DATA created
+        upd.update(
+            'PREFIX ex: <http://e/> INSERT DATA { ex:s ex:p "q" } ; DELETE DATA { ex:s ex:p "q" }'
+        )
+        assert store.count(spark) == 0
+
+    def test_sequential_delete_then_insert(self, spark, store, upd):
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:s ex:p "q" }')
+        upd.update(
+            'PREFIX ex: <http://e/> DELETE DATA { ex:s ex:p "q" } ; INSERT DATA { ex:s ex:p "q" }'
+        )
+        assert all_quads(spark, store) == {(DEFAULT_GRAPH, EX + "s", EX + "p", "q")}
+
+    def test_sequential_delete_where_sees_prior_insert(self, spark, store, upd):
+        upd.update(
+            "PREFIX ex: <http://e/> "
+            "INSERT DATA { ex:a ex:tmp 1 . ex:b ex:keep 2 } ; DELETE WHERE { ?s ex:tmp ?o }"
+        )
+        assert all_quads(spark, store) == {(DEFAULT_GRAPH, EX + "b", EX + "keep", "2")}
+
+    def test_sequential_modify_sees_prior_op(self, spark, store, upd):
+        # second op's WHERE matches the quad the first op inserted
+        upd.update(
+            "PREFIX ex: <http://e/> "
+            "INSERT DATA { ex:a ex:p 5 } ; "
+            "DELETE { ?s ex:p ?o } INSERT { ?s ex:q ?o } WHERE { ?s ex:p ?o }"
+        )
+        got = all_quads(spark, store)
+        assert got == {(DEFAULT_GRAPH, EX + "a", EX + "q", "5")}
+
+    def test_sequential_still_one_commit(self, spark, store, upd):
+        v0 = store.version
+        upd.update(
+            'PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p 1 } ; DELETE DATA { ex:a ex:p 1 } ; '
+            "INSERT DATA { ex:b ex:p 2 }"
+        )
+        assert store.version == v0 + 1
+        assert all_quads(spark, store) == {(DEFAULT_GRAPH, EX + "b", EX + "p", "2")}
+
     def test_update_then_query(self, spark, store, upd):
         upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:s ex:name "Zed" }')
         eng = SparqlEngine.from_store(spark, store)
