@@ -16,8 +16,10 @@ can delete what an earlier one created.
 from __future__ import annotations
 
 from ..model import KIND_BNODE, RdfParseError
+from .jsonld import parse_jsonld
 from .nquads import parse_nquads
 from .patch import parse_patch
+from .rdfxml import parse_rdfxml
 from .turtle import parse_trig, parse_turtle
 
 
@@ -50,6 +52,8 @@ CONTENT_TYPE_PARSERS = {
     "application/turtle": parse_turtle,
     "application/x-turtle": parse_turtle,
     "application/trig": parse_trig,
+    "application/ld+json": parse_jsonld,
+    "application/rdf+xml": parse_rdfxml,
     "application/rdf-patch": _patch_as_ops,
     "application/rdf-patch+text": _patch_as_ops,
 }

@@ -152,6 +152,191 @@ TC .
         assert len(ops) == 1
 
 
+class TestJsonLd:
+    def test_basic_node_object(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        doc = """{
+          "@context": {"ex": "http://example/", "name": "http://example/name"},
+          "@id": "ex:alice",
+          "@type": "ex:Person",
+          "name": "Alice"
+        }"""
+        ops = parse_jsonld(doc)
+        got = {(o[2], o[3], o[4], o[5]) for o in ops}
+        assert ("http://example/alice",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "iri", "http://example/Person") in got
+        assert ("http://example/alice", "http://example/name", "literal", "Alice") in got
+
+    def test_typed_and_language_values(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        doc = """{
+          "@context": {"ex": "http://example/"},
+          "@id": "ex:s",
+          "ex:age": 42,
+          "ex:score": 1.5,
+          "ex:active": true,
+          "ex:label": {"@value": "chat", "@language": "fr"},
+          "ex:when": {"@value": "2026-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"}
+        }"""
+        ops = {(o[3].rsplit("/", 1)[1], o[5], o[6], o[7]) for o in parse_jsonld(doc)}
+        assert ("age", "42", "http://www.w3.org/2001/XMLSchema#integer", None) in ops
+        assert ("active", "true", "http://www.w3.org/2001/XMLSchema#boolean", None) in ops
+        assert ("label", "chat", None, "fr") in ops
+        assert ("when", "2026-01-01", "http://www.w3.org/2001/XMLSchema#date", None) in ops
+
+    def test_id_coercion_and_nesting(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        doc = """{
+          "@context": {
+            "ex": "http://example/",
+            "knows": {"@id": "http://example/knows", "@type": "@id"}
+          },
+          "@id": "ex:a",
+          "knows": "ex:b",
+          "ex:child": {"@id": "ex:c", "ex:name": "C"}
+        }"""
+        ops = parse_jsonld(doc)
+        got = {(o[2], o[3], o[4], o[5]) for o in ops}
+        assert ("http://example/a", "http://example/knows", "iri", "http://example/b") in got
+        assert ("http://example/a", "http://example/child", "iri", "http://example/c") in got
+        assert ("http://example/c", "http://example/name", "literal", "C") in got
+
+    def test_top_level_and_named_graph(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        doc = """{
+          "@context": {"ex": "http://example/"},
+          "@graph": [
+            {"@id": "ex:s1", "ex:p": "v1"},
+            {"@id": "ex:g", "@graph": [{"@id": "ex:s2", "ex:p": "v2"}]}
+          ]
+        }"""
+        ops = parse_jsonld(doc)
+        by_graph = {(o[1], o[2]) for o in ops}
+        assert ("", "http://example/s1") in by_graph
+        assert ("http://example/g", "http://example/s2") in by_graph
+
+    def test_bnodes_and_vocab(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        doc = """{
+          "@context": {"@vocab": "http://v/"},
+          "name": "anon",
+          "ref": {"@id": "_:b7", "name": "labeled"}
+        }"""
+        ops = parse_jsonld(doc)
+        anon = [o for o in ops if o[3] == "http://v/name" and o[5] == "anon"]
+        assert anon and anon[0][2].startswith("_:")
+        ref = [o for o in ops if o[3] == "http://v/ref"]
+        assert ref and ref[0][4] == "bnode" and ref[0][5] == "_:b7"
+
+    def test_errors(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+
+        with pytest.raises(RdfParseError):
+            parse_jsonld("{not json")
+        with pytest.raises(RdfParseError):
+            parse_jsonld('{"@context": "http://remote/ctx", "@id": "http://e/s"}')
+        with pytest.raises(RdfParseError):
+            parse_jsonld('{"@id": "http://e/s", "http://e/p": {"@list": [1, 2]}}')
+
+
+class TestRdfXml:
+    def test_description_and_typed_node(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                          xmlns:ex="http://example/">
+          <rdf:Description rdf:about="http://example/s">
+            <ex:name>Alice</ex:name>
+            <ex:knows rdf:resource="http://example/o"/>
+          </rdf:Description>
+          <ex:Person rdf:about="http://example/p1"/>
+        </rdf:RDF>"""
+        ops = parse_rdfxml(doc)
+        got = {(o[2], o[3], o[4], o[5]) for o in ops}
+        assert ("http://example/s", "http://example/name", "literal", "Alice") in got
+        assert ("http://example/s", "http://example/knows", "iri", "http://example/o") in got
+        assert ("http://example/p1",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "iri", "http://example/Person") in got
+
+    def test_datatype_lang_and_nesting(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                          xmlns:ex="http://example/" xml:lang="en">
+          <rdf:Description rdf:about="http://example/s">
+            <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:age>
+            <ex:label>hello</ex:label>
+            <ex:label xml:lang="fr">bonjour</ex:label>
+            <ex:child>
+              <rdf:Description rdf:about="http://example/c">
+                <ex:name>C</ex:name>
+              </rdf:Description>
+            </ex:child>
+          </rdf:Description>
+        </rdf:RDF>"""
+        ops = parse_rdfxml(doc)
+        got = {(o[3].rsplit("/", 1)[1], o[5], o[6], o[7]) for o in ops}
+        assert ("age", "42", "http://www.w3.org/2001/XMLSchema#integer", None) in got
+        assert ("label", "hello", None, "en") in got  # inherited xml:lang
+        assert ("label", "bonjour", None, "fr") in got
+        child = [o for o in ops if o[3].endswith("/child")]
+        assert child and child[0][4] == "iri" and child[0][5] == "http://example/c"
+        assert ("name", "C", None, "en") in got
+
+    def test_node_ids_parse_type_and_li(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                          xmlns:ex="http://example/">
+          <rdf:Description rdf:nodeID="n1">
+            <ex:addr rdf:parseType="Resource">
+              <ex:city>Berlin</ex:city>
+            </ex:addr>
+            <rdf:li>first</rdf:li>
+            <rdf:li>second</rdf:li>
+          </rdf:Description>
+        </rdf:RDF>"""
+        ops = parse_rdfxml(doc)
+        subj = {o[2] for o in ops}
+        assert "_:n1" in subj
+        addr = [o for o in ops if o[3].endswith("/addr")][0]
+        assert addr[4] == "bnode"
+        city = [o for o in ops if o[3].endswith("/city")][0]
+        assert city[2] == addr[5] and city[5] == "Berlin"
+        lis = {o[3] for o in ops if "_" in o[3].rsplit("#", 1)[-1]}
+        assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#_1" in lis
+        assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#_2" in lis
+
+    def test_property_attributes(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                          xmlns:ex="http://example/">
+          <ex:Thing rdf:about="http://example/t" ex:name="shorthand"/>
+        </rdf:RDF>"""
+        got = {(o[3], o[4], o[5]) for o in parse_rdfxml(doc)}
+        assert ("http://example/name", "literal", "shorthand") in got
+
+    def test_errors(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+
+        with pytest.raises(RdfParseError):
+            parse_rdfxml("<unclosed")
+        with pytest.raises(RdfParseError):
+            parse_rdfxml(
+                '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                ' xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/s">'
+                '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>'
+            )
+
+
 class TestContentTypeDispatch:
     def test_default_is_nquads(self):
         ops = parse_payload(b'<http://e/s> <http://e/p> "v" .', None)
@@ -168,6 +353,20 @@ class TestContentTypeDispatch:
     def test_charset_parameter_stripped(self):
         ops = parse_payload(b"PREFIX : <http://e/>\n:s :p :o .", "text/turtle; charset=utf-8")
         assert len(ops) == 1
+
+    def test_jsonld_by_header(self):
+        doc = b'{"@context": {"ex": "http://e/"}, "@id": "ex:s", "ex:p": "v"}'
+        ops = parse_payload(doc, "application/ld+json")
+        assert ops == [("A", "", "http://e/s", "http://e/p", "literal", "v", None, None)]
+
+    def test_rdfxml_by_header(self):
+        doc = (
+            b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            b' xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/s">'
+            b"<ex:p>v</ex:p></rdf:Description></rdf:RDF>"
+        )
+        ops = parse_payload(doc, "application/rdf+xml")
+        assert ops == [("A", "", "http://e/s", "http://e/p", "literal", "v", None, None)]
 
     def test_unknown_content_type(self):
         with pytest.raises(RdfParseError):

@@ -165,6 +165,26 @@ class TestProjector:
         )
         assert store.count(spark) == 0
 
+    def test_jsonld_and_rdfxml_events_ingest_cleanly(self, spark, tmp_path):
+        # the reference accepts any registered Jena syntax (FKLib.java:55-69);
+        # JSON-LD and RDF/XML events must ingest, not land in the DLQ
+        store = QuadStore(str(tmp_path / "q"))
+        jsonld = '{"@context": {"ex": "http://e/"}, "@id": "ex:j", "ex:p": "from-jsonld"}'
+        rdfxml = (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/x">'
+            "<ex:p>from-rdfxml</ex:p></rdf:Description></rdf:RDF>"
+        )
+        df = events_df(
+            spark,
+            [ev(jsonld, 0, "application/ld+json"), ev(rdfxml, 1, "application/rdf+xml")],
+        )
+        res = apply_event_batch(spark, store, df)
+        assert res["n_dlq"] == 0 and res["n_adds"] == 2
+        got = quads(store, spark)
+        assert ("", "http://e/j", "http://e/p", "from-jsonld") in got
+        assert ("", "http://e/x", "http://e/p", "from-rdfxml") in got
+
     def test_bnode_labels_scoped_per_event(self, spark, tmp_path):
         # two document events both saying _:b1 describe DIFFERENT nodes
         # (Jena scopes labels per parsed document); without per-event
