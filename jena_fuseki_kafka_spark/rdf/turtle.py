@@ -10,6 +10,7 @@ use (reference fixture e.g. jena-fuseki-kafka-module/src/test/files/data.ttl:
 - literals: quoted (with ``^^dt`` / ``@lang``), long strings (triple-quoted),
   numeric shorthand (integer/decimal/double), boolean shorthand
 - ``[]`` anonymous blank nodes (flat, non-nested property lists supported)
+- ``( ... )`` RDF collections (rdf:first/rdf:rest chains, nestable)
 - comments
 
 Returns all-'A' op tuples in document order, default graph.
@@ -33,6 +34,9 @@ from ..model import (
 from .terms import unescape_string
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 _TOKEN_RE = re.compile(
     r"""
@@ -149,10 +153,49 @@ class _TurtleParser:
                 self._predicate_object_list(node)
             self._expect("]")
             return node
+        if tok == "(":
+            return self._collection()
         kind, value, dt, lang = self._term_from_token(tok)
         if kind == KIND_LITERAL:
             raise RdfParseError("turtle: literal subject")
         return (kind, value)
+
+    def _collection(self):
+        """RDF collection ``( item... )`` -> rdf:first/rdf:rest chain;
+        returns the head node (rdf:nil for an empty collection)."""
+        items: list[tuple] = []
+        while True:
+            nxt = self._peek()
+            if nxt is None:
+                raise RdfParseError("turtle: unterminated collection")
+            if nxt == ")":
+                self._next()
+                break
+            tok = self._next()
+            if tok == "(":
+                kind, value = self._collection()
+                items.append((kind, value, None, None))
+            elif tok == "[":
+                node = (KIND_BNODE, self._fresh_bnode())
+                if self._peek() != "]":
+                    self._predicate_object_list(node)
+                self._expect("]")
+                items.append((node[0], node[1], None, None))
+            else:
+                items.append(self._term_from_token(tok))
+        if not items:
+            return (KIND_IRI, RDF_NIL)
+        head = self._fresh_bnode()
+        cur = head
+        for i, (kind, value, dt, lang) in enumerate(items):
+            self._emit((KIND_BNODE, cur), RDF_FIRST, kind, value, dt, lang)
+            if i == len(items) - 1:
+                self._emit((KIND_BNODE, cur), RDF_REST, KIND_IRI, RDF_NIL, None, None)
+            else:
+                nxt_node = self._fresh_bnode()
+                self._emit((KIND_BNODE, cur), RDF_REST, KIND_BNODE, nxt_node, None, None)
+                cur = nxt_node
+        return (KIND_BNODE, head)
 
     def _predicate_object_list(self, subject) -> None:
         while True:
@@ -181,6 +224,9 @@ class _TurtleParser:
                 if self._peek() != "]":
                     self._predicate_object_list(node)
                 self._expect("]")
+            elif tok == "(":
+                kind, value = self._collection()
+                self._emit(subject, pred, kind, value, None, None)
             else:
                 kind, value, dt, lang = self._term_from_token(tok)
                 self._emit(subject, pred, kind, value, dt, lang)

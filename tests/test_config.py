@@ -173,3 +173,174 @@ class TestTopicGate:
             clock=iter([0.0, 0.1, 0.2, 0.3]).__next__,
             sleep=lambda s: None,
         )
+
+
+REF_FILES = "/root/reference/jena-fuseki-kafka-module/src/test/files"
+
+
+class TestTurtleConfigLoader:
+    """The RDF-graph config path (KafkaConnectorAssembler.java:198-303),
+    driven by the reference's own fixture files."""
+
+    def _load(self, name):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        return load_turtle_config(f"{REF_FILES}/{name}")
+
+    def test_reference_config_connector(self):
+        (c,) = self._load("config-connector.ttl")
+        assert c.name == "connector0"
+        assert c.topics == ["RDF0"]
+        assert c.bootstrap_servers == "localhost:9092"
+        assert c.dataset == "/ds"
+        assert c.read_policy == "sync"
+        assert c.group_id == "connector-0"
+        assert c.state_dir == "Replay-RDF0.state"
+        assert c.dlq_topic is None
+
+    def test_reference_config_dlq(self):
+        (c,) = self._load("config-connector-dlq.ttl")
+        assert c.dlq_topic == "bad-rdf"
+
+    def test_reference_config_latest(self):
+        # syncTopic false + replayTopic false -> read from latest offsets
+        (c,) = self._load("config-connector-latest.ttl")
+        assert c.read_policy == "latest"
+
+    def test_reference_config_two_connectors(self):
+        cs = self._load("config-connector-2.ttl")
+        assert {c.name for c in cs} == {"connector1", "connector2"}
+        assert {c.dataset for c in cs} == {"/ds1", "/ds2"}
+
+    def test_reference_config_env(self, monkeypatch):
+        # env: interpolation inside the TTL values (EnvVariables grammar)
+        monkeypatch.setenv("TEST_BOOTSTRAP_SERVER", "broker:9999")
+        monkeypatch.delenv("TEST_KAFKA_TOPIC", raising=False)
+        (c,) = self._load("config-connector-env.ttl")
+        assert c.bootstrap_servers == "broker:9999"
+        assert c.topics == ["RDF0"]  # default applied
+        assert c.group_id == "connector-6"
+
+    def test_reference_bad_config_no_topic(self):
+        with pytest.raises(ConfigError, match="topic"):
+            self._load("bad-config-no-topic.ttl")
+
+    def test_reference_bad_config_no_state_file(self):
+        with pytest.raises(ConfigError, match="stateFile"):
+            self._load("bad-config-no-state-file.ttl")
+
+    def test_reference_bad_config_shared_group_id(self):
+        # the loader returns both; the registry invariant rejects them
+        cs = self._load("bad-config-shared-group-id.ttl")
+        reg = Registry()
+        reg.register(cs[0])
+        with pytest.raises(ConfigError):
+            reg.register(cs[1])
+
+    def test_cluster_inheritance(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        # mirrors givenConnectorReferencingCluster_whenAssembling_then
+        # InheritsBootstrapAndConfig (TestKafkaConnectorAssembler.java:420)
+        ttl = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX fk:  <http://jena.apache.org/fuseki/kafka#>
+        <#cluster> rdf:type fk:Cluster ;
+            fk:bootstrapServers "cluster-host:9092" ;
+            fk:config ("security.protocol" "SSL") ;
+            fk:groupId "cluster-group" .
+        <#c1> rdf:type fk:Connector ;
+            fk:cluster <#cluster> ;
+            fk:topic "T1" ;
+            fk:fusekiServiceName "/ds" ;
+            fk:stateFile "s.state" ;
+            fk:config ("client.id" "c1") .
+        """
+        p = tmp_path / "cluster.ttl"
+        p.write_text(ttl)
+        (c,) = load_turtle_config(str(p))
+        assert c.bootstrap_servers == "cluster-host:9092"  # inherited
+        assert c.kafka_properties == {"security.protocol": "SSL", "client.id": "c1"}
+        # group id is deliberately NOT inherited (assembler :229-233)
+        assert c.group_id != "cluster-group"
+
+    def test_connector_overrides_cluster(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        ttl = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX fk:  <http://jena.apache.org/fuseki/kafka#>
+        <#cluster> rdf:type fk:Cluster ;
+            fk:bootstrapServers "cluster-host:9092" ;
+            fk:config ("security.protocol" "SSL") .
+        <#c1> rdf:type fk:Connector ;
+            fk:cluster <#cluster> ;
+            fk:bootstrapServers "own-host:9092" ;
+            fk:topic "T1" ;
+            fk:fusekiServiceName "/ds" ;
+            fk:stateFile "s.state" ;
+            fk:config ("security.protocol" "PLAINTEXT") .
+        """
+        p = tmp_path / "cluster2.ttl"
+        p.write_text(ttl)
+        (c,) = load_turtle_config(str(p))
+        assert c.bootstrap_servers == "own-host:9092"
+        assert c.kafka_properties["security.protocol"] == "PLAINTEXT"
+
+    def test_config_file_layering(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        # file overrides inline within a level (assembler :293-295)
+        (tmp_path / "kafka.properties").write_text(
+            "# comment\nsecurity.protocol=SASL_SSL\nsasl.mechanism=PLAIN\n"
+        )
+        ttl = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX fk:  <http://jena.apache.org/fuseki/kafka#>
+        <#c1> rdf:type fk:Connector ;
+            fk:bootstrapServers "h:9092" ;
+            fk:topic "T1" ;
+            fk:fusekiServiceName "/ds" ;
+            fk:stateFile "s.state" ;
+            fk:config ("security.protocol" "SSL") ;
+            fk:configFile "kafka.properties" .
+        """
+        p = tmp_path / "layered.ttl"
+        p.write_text(ttl)
+        (c,) = load_turtle_config(str(p))
+        assert c.kafka_properties["security.protocol"] == "SASL_SSL"
+        assert c.kafka_properties["sasl.mechanism"] == "PLAIN"
+
+    def test_missing_properties_file_errors(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        ttl = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX fk:  <http://jena.apache.org/fuseki/kafka#>
+        <#c1> rdf:type fk:Connector ;
+            fk:bootstrapServers "h:9092" ;
+            fk:topic "T1" ;
+            fk:fusekiServiceName "/ds" ;
+            fk:stateFile "s.state" ;
+            fk:configFile "nope.properties" .
+        """
+        p = tmp_path / "missing.ttl"
+        p.write_text(ttl)
+        with pytest.raises(ConfigError, match="not found"):
+            load_turtle_config(str(p))
+
+    def test_no_bootstrap_anywhere_errors(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import load_turtle_config
+
+        ttl = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX fk:  <http://jena.apache.org/fuseki/kafka#>
+        <#c1> rdf:type fk:Connector ;
+            fk:topic "T1" ;
+            fk:fusekiServiceName "/ds" ;
+            fk:stateFile "s.state" .
+        """
+        p = tmp_path / "nobootstrap.ttl"
+        p.write_text(ttl)
+        with pytest.raises(ConfigError, match="bootstrap"):
+            load_turtle_config(str(p))

@@ -152,6 +152,30 @@ TC .
         assert len(ops) == 1
 
 
+class TestTurtleCollections:
+    def test_collection_object(self):
+        ops = parse_turtle(
+            "PREFIX : <http://e/>\n:s :p (\"a\" \"b\") ."
+        )
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        firsts = [o for o in ops if o[3] == rdf + "first"]
+        rests = [o for o in ops if o[3] == rdf + "rest"]
+        assert [f[5] for f in firsts] == ["a", "b"]
+        assert rests[-1][5] == rdf + "nil"
+        head = [o for o in ops if o[3] == "http://e/p"][0]
+        assert head[4] == "bnode" and head[5] == firsts[0][2]
+
+    def test_empty_collection_is_nil(self):
+        ops = parse_turtle("PREFIX : <http://e/>\n:s :p () .")
+        assert ops[0][4] == "iri"
+        assert ops[0][5].endswith("#nil")
+
+    def test_collection_subject(self):
+        ops = parse_turtle('PREFIX : <http://e/>\n("x") :p :o .')
+        preds = {o[3] for o in ops}
+        assert "http://e/p" in preds and any(p.endswith("#first") for p in preds)
+
+
 class TestJsonLd:
     def test_basic_node_object(self):
         from jena_fuseki_kafka_spark.rdf import parse_jsonld
