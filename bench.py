@@ -49,6 +49,62 @@ HEADLINE = [
 ]
 
 
+def bench_http_four_ops(spark) -> float:
+    """Round-trip the four Fuseki service operations (query / update /
+    gsp-rw / patch — config-connector.ttl:14-17) against a live server on
+    an ingested store; returns wall seconds for the whole sequence."""
+    import tempfile
+    import urllib.request
+    from urllib.parse import quote
+
+    from jena_fuseki_kafka_spark.server import SparqlHttpServer
+    from jena_fuseki_kafka_spark.store import QuadStore
+
+    def req(url, method="GET", data=None, content_type=None):
+        r = urllib.request.Request(url, data=data, method=method)
+        if content_type:
+            r.add_header("Content-Type", content_type)
+        with urllib.request.urlopen(r) as resp:
+            return resp.read()
+
+    with tempfile.TemporaryDirectory() as td:
+        # few buckets: an HTTP-sized store pays per-bucket file overhead on
+        # every commit; 16 (the ingest default) is sized for streaming volume
+        store = QuadStore(os.path.join(td, "q"), n_buckets=2)
+        srv = SparqlHttpServer(spark, store, dataset="bench")
+        port = srv.start()
+        base = f"http://127.0.0.1:{port}/bench"
+        nt = "\n".join(
+            f'<http://e/s{i}> <http://e/p> "v{i}" .' for i in range(1000)
+        ).encode()
+        try:
+            t0 = time.time()
+            req(f"{base}/data?default", "PUT", nt, "application/n-triples")  # gsp-rw
+            req(
+                f"{base}/query?query="
+                + quote("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }", safe="")
+            )  # query
+            req(
+                f"{base}/update", "POST",
+                b'INSERT DATA { <http://e/extra> <http://e/p> "new" }',
+                "application/sparql-update",
+            )  # update
+            req(
+                f"{base}/patch", "POST",
+                b'TX .\nD <http://e/s0> <http://e/p> "v0" .\nTC .',
+                "application/rdf-patch",
+            )  # patch
+            body = req(
+                f"{base}/query?query="
+                + quote("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }", safe="")
+            )
+            elapsed = time.time() - t0
+            assert b"1000" in body, body  # 1000 + 1 insert - 1 patch delete
+            return round(elapsed, 3)
+        finally:
+            srv.stop()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -81,6 +137,12 @@ def main():
         n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    timings["http_four_ops_roundtrip"] = bench_http_four_ops(spark)
+    print(
+        f"# http_four_ops_roundtrip: {timings['http_four_ops_roundtrip']:.2f}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

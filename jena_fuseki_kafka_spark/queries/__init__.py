@@ -45,14 +45,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input over all cores BEFORE heavy per-row compute
-    (regex tokenize, shingle explode, md5).  Only fires when the scan has
-    fewer partitions than the cluster has slots (single-row-group local
-    files; a few giant files) — on real multi-row-group data it's a
-    no-op, so no shuffle is added at scale.  Where it does fire, shuffle
-    bytes ~= input bytes while the downstream CPU work is many times
-    that, the same trade the ingest path makes before its parse UDF."""
+    (regex tokenize, shingle explode, md5).  Only fires when the scan
+    reads fewer files than the cluster has slots (single-row-group local
+    files; a few giant files) — on real multi-file data it's a no-op, so
+    no shuffle is added at scale.  Where it does fire, shuffle bytes ~=
+    input bytes while the downstream CPU work is many times that, the
+    same trade the ingest path makes before its parse UDF.
+
+    The probe uses ``inputFiles()`` (plan metadata only) rather than
+    ``df.rdd.getNumPartitions()``, which would force an RDD conversion
+    and full plan analysis on the driver per call."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    n_inputs = len(df.inputFiles())
+    if 0 < n_inputs < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

@@ -38,6 +38,7 @@ from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
 from .rdf.content_types import parse_payload
 from .rdf.serialize import ask_to_json, quads_to_nquads, select_to_json
 from .sparql import SparqlEngine
+from .sparql.ast import ConstructQuery, DescribeQuery
 from .sparql.update import UpdateEngine
 from .store import QuadStore
 
@@ -103,10 +104,13 @@ class SparqlHttpServer:
     # ------------------------------------------------------------ operations
     def run_query(self, store: QuadStore, text: str):
         engine = SparqlEngine.from_store(self.spark, store)
-        result = engine.query(text)
+        ast, result = engine.query_typed(text)
         if isinstance(result, bool):
             return _JSON, json.dumps(ask_to_json(result))
-        if set(result.columns) == {f.name for f in QUAD_SCHEMA.fields}:
+        # branch on the parsed query form, NOT result column names: a
+        # SELECT projecting variables named like the quad columns must
+        # still serialize as SPARQL results JSON
+        if isinstance(ast, (ConstructQuery, DescribeQuery)):
             return _NQ, quads_to_nquads(result.collect())
         return _JSON, json.dumps(select_to_json(result))
 

@@ -18,7 +18,7 @@ from .translate import Translator
 
 
 class SparqlEngine:
-    def __init__(self, quads: DataFrame, max_path_iterations: int = 32):
+    def __init__(self, quads: DataFrame, max_path_iterations: int = 256):
         missing = [c for c in QUAD_COLS if c not in quads.columns]
         if missing:
             raise ValueError(f"quads DataFrame missing columns: {missing}")
@@ -37,12 +37,20 @@ class SparqlEngine:
         ASK       -> bool
         CONSTRUCT -> DataFrame in QUAD_SCHEMA
         """
+        return self.query_typed(text)[1]
+
+    def query_typed(self, text: str):
+        """Like :meth:`query`, but returns ``(ast, result)`` so callers can
+        branch on the parsed query form (SELECT vs CONSTRUCT/DESCRIBE) —
+        e.g. for HTTP serialization, where inferring the form from result
+        column names mis-serializes a SELECT that happens to project
+        variables named like the quad columns."""
         ast = parse_sparql(text)
         translator = Translator(self.quads, self.max_path_iterations)
         df = translator.translate(ast)
         if isinstance(ast, AskQuery):
-            return df.count() > 0
-        return df
+            return ast, df.count() > 0
+        return ast, df
 
     def select_values(self, text: str) -> DataFrame:
         """SELECT with result columns flattened to their lexical values

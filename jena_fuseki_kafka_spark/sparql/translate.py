@@ -87,7 +87,7 @@ def _const_struct(term) -> Column:
 
 
 class Translator:
-    def __init__(self, quads: DataFrame, max_path_iterations: int = 32):
+    def __init__(self, quads: DataFrame, max_path_iterations: int = 256):
         self.quads = quads
         self.max_path_iterations = max_path_iterations
         self._anon_var = 0
@@ -465,7 +465,8 @@ class Translator:
         )
         closure = edges
         frontier = edges
-        for _ in range(self.max_path_iterations):
+        iteration = 0
+        while True:
             grown = (
                 frontier.alias("f")
                 .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
@@ -474,9 +475,23 @@ class Translator:
             )
             new = ckpt(grown.join(closure, on=["src", "dst"], how="left_anti"))
             if not new.take(1):
-                break
+                break  # natural fixpoint: iterations = longest-path depth
             closure = closure.unionByName(new)
             frontier = new
+            iteration += 1
+            if iteration >= self.max_path_iterations:
+                # safety valve for pathological diameters: never truncate
+                # silently — a user must see that deeper paths are missing
+                import warnings
+
+                warnings.warn(
+                    f"property-path closure hit the {self.max_path_iterations}-"
+                    "iteration cap; results beyond that path length are "
+                    "missing (raise max_path_iterations to go deeper)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                break
         result = closure
 
         if op in ("star", "opt"):

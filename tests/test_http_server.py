@@ -102,6 +102,22 @@ class TestQueryEndpoint:
         code, _, _ = req(f"{server}/query", "POST", b"SELECT WHERE garbage", "application/sparql-query")
         assert code == 400
 
+    def test_select_projecting_quad_column_names_is_json(self, server):
+        # serialization must branch on the parsed query form: a SELECT
+        # whose variables happen to be named like the quad columns must
+        # still come back as SPARQL results JSON, not N-Quads
+        q = (
+            "SELECT ?graph ?subject ?predicate ?object_kind ?object_value "
+            "?object_datatype ?object_lang WHERE { "
+            "?subject ?predicate ?object_value . "
+            'BIND("g" AS ?graph) BIND("k" AS ?object_kind) '
+            'BIND("d" AS ?object_datatype) BIND("l" AS ?object_lang) }'
+        )
+        code, ct, body = req(f"{server}/query", "POST", q.encode(), "application/sparql-query")
+        assert code == 200 and ct.startswith("application/sparql-results+json"), body
+        doc = json.loads(body)
+        assert "subject" in doc["head"]["vars"]
+
 
 class TestUpdateAndPatch:
     def test_update_insert_data(self, server):

@@ -285,6 +285,47 @@ class TestPropertyPaths:
         assert EX + "alice" in vals(df, "x")
         assert EX + "carol" in vals(df, "x")
 
+    def _chain_engine(self, spark, depth):
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        rows = [
+            ("", f"http://e/n{i}", "http://e/next", "iri", f"http://e/n{i+1}", None, None)
+            for i in range(depth)
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_deep_closure_complete_and_plan_bounded(self, spark):
+        # 40-edge chain: deeper than the old silent 32-iteration cap.
+        # Closure must be complete (n0 reaches all 40 descendants) and the
+        # localCheckpoint lineage truncation must keep the final plan flat
+        # (a union of materialized leaves, not 2^iterations nested joins)
+        eng = self._chain_engine(spark, 40)
+        df = eng.select_values(
+            "SELECT ?x WHERE { <http://e/n0> <http://e/next>+ ?x }"
+        )
+        assert df.count() == 40
+        plan = df._jdf.queryExecution().toString()
+        assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+
+    def test_closure_cap_warns_not_silent(self, spark):
+        import warnings
+
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        rows = [
+            ("", f"http://e/n{i}", "http://e/next", "iri", f"http://e/n{i+1}", None, None)
+            for i in range(6)
+        ]
+        eng = SparqlEngine(
+            spark.createDataFrame(rows, QUAD_SCHEMA), max_path_iterations=2
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            eng.select_values(
+                "SELECT ?x WHERE { <http://e/n0> <http://e/next>+ ?x }"
+            ).count()
+        assert any("iteration cap" in str(w.message) for w in caught)
+
 
 class TestParserErrors:
     def test_unknown_prefix(self, engine):
