@@ -66,6 +66,14 @@ class ValuesPattern:
     variables: list[str]
     rows: list[list[Term | None]]  # None = UNDEF
 
+@dataclass
+class ServicePattern:  # federated SERVICE <endpoint> { pattern }
+    endpoint: str
+    pattern: Any        # parsed inner group (variable scoping / validation)
+    silent: bool
+    raw: str            # inner group as re-serializable token text "{ ... }"
+    prefixes: dict      # prologue prefixes in scope, for re-serialization
+
 
 # ---------------------------------------------------------------- expressions
 @dataclass

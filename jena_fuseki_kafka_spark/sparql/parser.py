@@ -9,7 +9,8 @@ the reference contract exercises plus the standard algebra — SURVEY.md §2B):
               DESCRIBE, nested sub-SELECT
   Patterns:   triple blocks with ';' ',' 'a', '[]' and '( ... )'
               collection sugar, OPTIONAL, UNION, MINUS, GRAPH ?g|<iri>,
-              FILTER, BIND, VALUES, nested '{}' groups
+              FILTER, BIND, VALUES, nested '{}' groups,
+              SERVICE [SILENT] <endpoint> { ... } federation
   Paths:      ^p, p1/p2, p1|p2, p+, p*, p?, !(p|^q)  (predicate position)
   Exprs:      || && ! comparisons arithmetic, IN / NOT IN,
               EXISTS / NOT EXISTS, all the §2B builtin functions,
@@ -18,8 +19,7 @@ the reference contract exercises plus the standard algebra — SURVEY.md §2B):
 
 Not covered (documented scope cut): SPARQL Update via this parser (the
 reference deliberately rejects update over the stream — CHANGELOG.md:177-181;
-store mutation goes through sparql/update.py and the ingest/store APIs)
-and federated SERVICE.
+store mutation goes through sparql/update.py and the ingest/store APIs).
 """
 
 from __future__ import annotations
@@ -45,6 +45,7 @@ from .ast import (
     Minus,
     Op,
     SelectQuery,
+    ServicePattern,
     SubSelect,
     Union,
     ValuesPattern,
@@ -78,7 +79,7 @@ KEYWORDS = {
     "optional", "union", "minus", "graph", "bind", "values", "as", "group",
     "by", "having", "order", "asc", "desc", "limit", "offset", "ask",
     "construct", "undef", "in", "not", "exists", "a", "true", "false",
-    "separator",
+    "separator", "service", "silent",
 }
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
@@ -368,6 +369,22 @@ class SparqlParser:
                 g = self._var_or_iri()
                 sub = self._group_graph_pattern()
                 add(GraphPattern(g, sub))
+            elif tl == "service":
+                self.next()
+                silent = False
+                if self.peek_kw("silent"):
+                    self.next()
+                    silent = True
+                ep = self._var_or_iri()
+                if ep[0] != "iri":
+                    raise RdfParseError("sparql: SERVICE endpoint must be an IRI")
+                # capture the raw token span of the inner group so the
+                # translator can re-serialize it verbatim for the remote
+                # endpoint (tokens re-join into valid SPARQL)
+                start = self.i
+                sub = self._group_graph_pattern()
+                raw = " ".join(self.toks[start : self.i])
+                add(ServicePattern(ep[1], sub, silent, raw, dict(self.prefixes)))
             elif tl == "bind":
                 self.next()
                 self.expect("(")

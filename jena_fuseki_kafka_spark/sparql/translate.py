@@ -51,6 +51,7 @@ from .ast import (
     Minus,
     Op,
     SelectQuery,
+    ServicePattern,
     SubSelect,
     Union,
     ValuesPattern,
@@ -168,6 +169,8 @@ class Translator:
             # evaluate the nested SELECT independently; its projected vars
             # join with the enclosing group on shared names
             return self._select(node.query)
+        if isinstance(node, ServicePattern):
+            return self._service(node)
         raise TypeError(f"unsupported pattern node {type(node)}")
 
     def _values_join(self, left: DataFrame, values: ValuesPattern) -> DataFrame:
@@ -241,6 +244,20 @@ class Translator:
         # GRAPH ?g — quantify over named graphs; bind the graph variable
         return self._pattern(node.pattern, graph=("var", g[1]))
 
+    @staticmethod
+    def _binding_schema(variables: list[str]):
+        from pyspark.sql import types as T
+
+        term_type = T.StructType(
+            [
+                T.StructField("kind", T.StringType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("datatype", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        return T.StructType([T.StructField(v, term_type, True) for v in variables])
+
     def _values(self, node: ValuesPattern) -> DataFrame:
         rows = []
         for row in node.rows:
@@ -253,18 +270,72 @@ class Translator:
                 else:
                     vals.append((term[0], term[1], "", ""))
             rows.append(vals)
-        from pyspark.sql import types as T
-
-        term_type = T.StructType(
-            [
-                T.StructField("kind", T.StringType()),
-                T.StructField("value", T.StringType()),
-                T.StructField("datatype", T.StringType()),
-                T.StructField("lang", T.StringType()),
-            ]
+        return self.quads.sparkSession.createDataFrame(
+            rows, self._binding_schema(node.variables)
         )
-        schema = T.StructType([T.StructField(v, term_type, True) for v in node.variables])
-        return self.quads.sparkSession.createDataFrame(rows, schema)
+
+    def _service(self, node: ServicePattern) -> DataFrame:
+        """Federated SERVICE: ship the inner group to the remote SPARQL
+        endpoint as ``SELECT * WHERE { ... }``, read the results-JSON
+        bindings back, and expose them as a binding table that joins with
+        the enclosing group on shared variables.
+
+        The remote result set is request-sized and fetched driver-side —
+        the same execution shape as Jena ARQ's SERVICE (the remote
+        endpoint is the bottleneck by construction, not this engine); the
+        subsequent join distributes as usual.  SERVICE SILENT maps a
+        failed/unreachable endpoint to the unit solution (join identity),
+        per spec.
+        """
+        import json as _json
+        import urllib.request
+
+        prefix_lines = "".join(
+            f"PREFIX {p}: <{iri}>\n" for p, iri in node.prefixes.items()
+        )
+        query = f"{prefix_lines}SELECT * WHERE {node.raw}"
+        spark = self.quads.sparkSession
+        try:
+            req = urllib.request.Request(
+                node.endpoint,
+                data=query.encode("utf-8"),
+                headers={
+                    "Content-Type": "application/sparql-query",
+                    "Accept": "application/sparql-results+json",
+                },
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                doc = _json.loads(resp.read())
+        except Exception as e:
+            if node.silent:
+                return spark.range(1).select(F.lit(1).alias("__unit__"))
+            raise RuntimeError(f"SERVICE <{node.endpoint}> failed: {e}") from None
+        variables = doc.get("head", {}).get("vars", [])
+        if not variables:
+            return spark.range(1).select(F.lit(1).alias("__unit__"))
+        rows = []
+        for b in doc.get("results", {}).get("bindings", []):
+            row = []
+            for v in variables:
+                t = b.get(v)
+                if t is None:
+                    row.append(None)
+                elif t["type"] == "uri":
+                    row.append(("iri", t["value"], "", ""))
+                elif t["type"] == "bnode":
+                    row.append(("bnode", "_:" + t["value"], "", ""))
+                else:  # literal / typed-literal
+                    row.append(
+                        (
+                            "literal",
+                            t["value"],
+                            t.get("datatype") or "",
+                            t.get("xml:lang") or "",
+                        )
+                    )
+            rows.append(row)
+        return spark.createDataFrame(rows, self._binding_schema(variables))
 
     # ------------------------------------------------------------ BGP
     def _bgp(self, node: BGP, graph) -> DataFrame:
@@ -865,8 +936,9 @@ class Translator:
                         cols.append(self._expr_term(expr, df, None).alias(name))
                 df = df.select(*cols)
         if not q.projection:
-            # SELECT *: non-distinguished (bnode-born) vars are not results
-            df = df.drop(*[c for c in df.columns if c.startswith("__bn_")])
+            # SELECT *: non-distinguished (bnode-born) vars and the unit
+            # placeholder are not results
+            df = df.drop(*[c for c in df.columns if c.startswith("__bn_") or c == "__unit__"])
         if q.distinct:
             df = df.distinct()
         if q.order_by:

@@ -159,6 +159,72 @@ class TestUpdateAndPatch:
         assert n >= 2
 
 
+class TestServiceFederation:
+    """SERVICE <endpoint> { ... }: ship a sub-pattern to a remote SPARQL
+    endpoint (here: a second SparqlHttpServer) and join the bindings."""
+
+    @pytest.fixture(scope="class")
+    def remote(self, spark, tmp_path_factory):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        store = QuadStore(str(tmp_path_factory.mktemp("svc") / "quads"))
+        rows = [
+            ("", EX + "alice", EX + "city", "literal", "Berlin", None, None),
+            ("", EX + "bob", EX + "city", "literal", "Paris", None, None),
+        ]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA))
+        srv = SparqlHttpServer(spark, store, dataset="remote")
+        port = srv.start()
+        yield f"http://127.0.0.1:{port}/remote/query"
+        srv.stop()
+
+    def _local_engine(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        rows = [
+            ("", EX + "alice", EX + "age", "literal", "30", None, None),
+            ("", EX + "carol", EX + "age", "literal", "41", None, None),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_service_join(self, spark, remote):
+        eng = self._local_engine(spark)
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?age ?city WHERE { ?s ex:age ?age . "
+            f"SERVICE <{remote}> {{ ?s ex:city ?city }} }}"
+        )
+        rows = {(r.s, r.age, r.city) for r in df.collect()}
+        # only alice exists on both sides
+        assert rows == {(EX + "alice", "30", "Berlin")}
+
+    def test_service_only(self, spark, remote):
+        eng = self._local_engine(spark)
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            f"SELECT ?s ?city WHERE {{ SERVICE <{remote}> {{ ?s ex:city ?city }} }}"
+        )
+        assert {r.city for r in df.collect()} == {"Berlin", "Paris"}
+
+    def test_service_silent_failure_is_identity(self, spark):
+        eng = self._local_engine(spark)
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?age WHERE { ?s ex:age ?age . "
+            "SERVICE SILENT <http://127.0.0.1:9/does-not-exist> { ?s ex:city ?c } }"
+        )
+        assert df.count() == 2  # local bindings survive untouched
+
+    def test_service_failure_raises_without_silent(self, spark):
+        eng = self._local_engine(spark)
+        with pytest.raises(Exception, match="SERVICE"):
+            eng.select_values(
+                "PREFIX ex: <http://example.org/> "
+                "SELECT ?s WHERE { SERVICE <http://127.0.0.1:9/nope> { ?s ex:p ?o } }"
+            ).collect()
+
+
 class TestMultiDataset:
     def test_two_datasets_isolated(self, spark, tmp_path_factory):
         base_dir = tmp_path_factory.mktemp("multi")
