@@ -32,18 +32,26 @@ from .payloads import EVENT_SCHEMA
 from .projector import apply_event_batch
 
 
-def kafka_stream(spark: SparkSession, conn: ConnectorConfig) -> DataFrame:
+def kafka_stream(
+    spark: SparkSession, conn: ConnectorConfig, starting_offsets: str | None = None
+) -> DataFrame:
     """Build the Kafka source stream for a connector (A1/A2).
 
     Consumer tuning mirrors SysJenaKafka.java:114-144: auto-commit off
     (Spark manages offsets via checkpoint), 50 MiB fetch, bounded records
     per trigger.
+
+    ``starting_offsets`` overrides the read policy with an explicit
+    per-partition offsets JSON — used when migrating a reference
+    deployment's state file (see ``state_migration.migrate_state_file``);
+    it only applies on first start, after which the checkpoint owns
+    progress.
     """
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", conn.bootstrap_servers)
         .option("subscribe", ",".join(conn.topics))
-        .option("startingOffsets", conn.starting_offsets())
+        .option("startingOffsets", starting_offsets or conn.starting_offsets())
         .option("failOnDataLoss", "false")
         .option("includeHeaders", "true")
         .option("maxOffsetsPerTrigger", str(conn.batch_size))

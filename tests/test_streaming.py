@@ -237,3 +237,82 @@ class TestEngineToHttp:
             assert counts == {"hds1": 2, "hds2": 4}
         finally:
             srv.stop()
+
+
+class TestStateFileMigration:
+    """Reference offset-state-file migration (FusekiOffsetStore.java:112-255),
+    mirroring TestFusekiOffsetStore's legacy/current scenarios."""
+
+    def _write(self, tmp_path, doc):
+        import json
+
+        p = tmp_path / "Replay-RDF0.state"
+        p.write_text(json.dumps(doc))
+        return str(p)
+
+    def test_current_format_selects_consumer_group(self, tmp_path):
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file, starting_offsets_json
+
+        # two groups in one file (DockerTestConfigFK.java:366-369)
+        path = self._write(
+            tmp_path,
+            {
+                "dataset": "/ds",
+                "offsets": {"RDF0-0-g1": 42, "RDF0-1-g1": 17, "RDF0-0-another": 5},
+            },
+        )
+        state = migrate_state_file(path, consumer_group="g1")
+        assert state["dataset"] == "/ds"
+        assert state["offsets"] == {"RDF0": {0: 42, 1: 17}}
+        import json
+
+        assert json.loads(starting_offsets_json(state)) == {"RDF0": {"0": 42, "1": 17}}
+
+    def test_dashed_topic_and_group(self, tmp_path):
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file
+
+        path = self._write(
+            tmp_path,
+            {"dataset": "/ds", "offsets": {"knowledge-updates-3-my-group": 9}},
+        )
+        state = migrate_state_file(path, consumer_group="my-group")
+        assert state["offsets"] == {"knowledge-updates": {3: 9}}
+
+    def test_legacy_format_corrects_off_by_one(self, tmp_path):
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file
+
+        # TestFusekiOffsetStore.givenLegacyStateFile_... expects 1234 -> 1235
+        path = self._write(
+            tmp_path,
+            {"dataset": "/ds", "endpoint": "foo", "topic": "test", "offset": 1234},
+        )
+        state = migrate_state_file(path, consumer_group="example")
+        assert state["offsets"] == {"test": {0: 1235}}
+
+    def test_legacy_format_requires_consumer_group(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import ConfigError
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file
+
+        path = self._write(
+            tmp_path, {"dataset": "/ds", "topic": "test", "offset": 1}
+        )
+        with pytest.raises(ConfigError, match="consumer group"):
+            migrate_state_file(path)
+
+    def test_dataset_mismatch_rejected_prefix_tolerated(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import ConfigError
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file
+
+        path = self._write(tmp_path, {"dataset": "/ds/extra", "offsets": {}})
+        # prefix-tolerant (FusekiOffsetStore.java:205-210)
+        assert migrate_state_file(path, dataset="/ds")["dataset"] == "/ds/extra"
+        with pytest.raises(ConfigError, match="does not match"):
+            migrate_state_file(path, dataset="/other")
+
+    def test_missing_dataset_rejected(self, tmp_path):
+        from jena_fuseki_kafka_spark.config import ConfigError
+        from jena_fuseki_kafka_spark.ingest import migrate_state_file
+
+        path = self._write(tmp_path, {"offsets": {}})
+        with pytest.raises(ConfigError, match="dataset"):
+            migrate_state_file(path)
