@@ -1,13 +1,18 @@
-"""RDF serializers: quad rows -> N-Quads text, SELECT rows -> SPARQL
-results JSON.  The write-side complement of the line-oriented parsers,
-used by the HTTP facade's Graph Store Protocol GET and query endpoints
-(the reference serves these formats through Fuseki; the grammar is the
-public W3C N-Quads / SPARQL 1.1 Results JSON spec).
+"""RDF serializers: quad rows -> N-Quads / Turtle / TriG / JSON-LD /
+RDF-XML text, SELECT rows -> SPARQL results JSON.  The write-side
+complement of the parsers, used by the HTTP facade's Graph Store Protocol
+GET and query endpoints with Accept-header negotiation (the reference
+serves any registered Jena syntax through Fuseki; the grammars are the
+public W3C specs).  Every serializer round-trips through this package's
+own parser for the same syntax.
 """
 
 from __future__ import annotations
 
-from ..model import DEFAULT_GRAPH, KIND_BNODE, KIND_IRI, XSD_STRING
+import json as _json
+import re as _re
+
+from ..model import DEFAULT_GRAPH, KIND_BNODE, KIND_IRI, KIND_LITERAL, XSD_STRING
 
 _ESCAPES = {
     "\\": "\\\\",
@@ -49,6 +54,200 @@ def quads_to_nquads(rows) -> str:
         else:
             out.append(f"{subj} <{r.predicate}> {term} .")
     return "\n".join(out) + ("\n" if out else "")
+
+
+def quads_to_turtle(rows) -> str:
+    """Serialize quad rows as Turtle (subject-grouped ``;`` form).  Turtle
+    cannot express named graphs, so the graph column is ignored — callers
+    serialize a single graph's contents (the GSP GET case) or use TriG."""
+    by_subj: dict[str, list] = {}
+    order: list[str] = []
+    for r in rows:
+        if r.subject not in by_subj:
+            order.append(r.subject)
+            by_subj[r.subject] = []
+        by_subj[r.subject].append(r)
+    lines = []
+    for s in order:
+        subj = s if s.startswith("_:") else f"<{s}>"
+        pairs = " ;\n    ".join(
+            f"<{r.predicate}> "
+            + _term_nq(r.object_kind, r.object_value, r.object_datatype, r.object_lang)
+            for r in by_subj[s]
+        )
+        lines.append(f"{subj} {pairs} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def quads_to_trig(rows) -> str:
+    """Serialize quad rows as TriG: default-graph triples bare, named
+    graphs as ``<g> { ... }`` blocks."""
+    by_graph: dict[str, list] = {}
+    order: list[str] = []
+    for r in rows:
+        g = r.graph or DEFAULT_GRAPH
+        if g not in by_graph:
+            order.append(g)
+            by_graph[g] = []
+        by_graph[g].append(r)
+    parts = []
+    for g in order:
+        block = quads_to_turtle(by_graph[g])
+        if g == DEFAULT_GRAPH:
+            parts.append(block)
+        else:
+            indented = "".join(f"  {line}\n" for line in block.splitlines())
+            parts.append(f"<{g}> {{\n{indented}}}\n")
+    return "".join(parts)
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def quads_to_jsonld(rows) -> str:
+    """Serialize quad rows as expanded-form JSON-LD: a top-level ``@graph``
+    of node objects, with named graphs as ``{"@id": g, "@graph": [...]}``.
+    Round-trips through ``parse_jsonld``."""
+
+    def term_json(r) -> dict:
+        if r.object_kind == KIND_IRI or r.object_kind == KIND_BNODE:
+            return {"@id": r.object_value}
+        v: dict = {"@value": r.object_value}
+        if r.object_lang:
+            v["@language"] = r.object_lang
+        elif r.object_datatype and r.object_datatype != XSD_STRING:
+            v["@type"] = r.object_datatype
+        return v
+
+    def nodes_of(graph_rows) -> list[dict]:
+        by_subj: dict[str, dict] = {}
+        order: list[str] = []
+        for r in graph_rows:
+            node = by_subj.get(r.subject)
+            if node is None:
+                node = by_subj[r.subject] = {"@id": r.subject}
+                order.append(r.subject)
+            if r.predicate == _RDF_TYPE and r.object_kind == KIND_IRI:
+                node.setdefault("@type", []).append(r.object_value)
+            else:
+                node.setdefault(r.predicate, []).append(term_json(r))
+        return [by_subj[s] for s in order]
+
+    by_graph: dict[str, list] = {}
+    g_order: list[str] = []
+    for r in rows:
+        g = r.graph or DEFAULT_GRAPH
+        if g not in by_graph:
+            g_order.append(g)
+            by_graph[g] = []
+        by_graph[g].append(r)
+    top: list[dict] = []
+    for g in g_order:
+        if g == DEFAULT_GRAPH:
+            top.extend(nodes_of(by_graph[g]))
+        else:
+            top.append({"@id": g, "@graph": nodes_of(by_graph[g])})
+    return _json.dumps({"@graph": top}, indent=1)
+
+
+_NCNAME_TAIL = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def quads_to_rdfxml(rows) -> str:
+    """Serialize quad rows as RDF/XML (graph column ignored, like Turtle).
+    Predicate IRIs split into namespace + NCName local part; namespaces
+    collect into generated ``xmlns:nsN`` declarations.  Round-trips
+    through ``parse_rdfxml``."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    def split_iri(iri: str) -> tuple[str, str]:
+        m = _NCNAME_TAIL.search(iri)
+        if m is None or m.start() == 0:
+            raise ValueError(f"cannot derive an XML name from predicate <{iri}>")
+        return iri[: m.start()], m.group(0)
+
+    namespaces: dict[str, str] = {}
+
+    def prefix_of(ns: str) -> str:
+        if ns not in namespaces:
+            namespaces[ns] = f"ns{len(namespaces) + 1}"
+        return namespaces[ns]
+
+    by_subj: dict[str, list] = {}
+    order: list[str] = []
+    for r in rows:
+        if r.subject not in by_subj:
+            order.append(r.subject)
+            by_subj[r.subject] = []
+        by_subj[r.subject].append(r)
+
+    body_parts: list[str] = []
+    for s in order:
+        if s.startswith("_:"):
+            ident = f"rdf:nodeID={quoteattr(s[2:])}"
+        else:
+            ident = f"rdf:about={quoteattr(s)}"
+        props: list[str] = []
+        for r in by_subj[s]:
+            ns, local = split_iri(r.predicate)
+            tag = f"{prefix_of(ns)}:{local}"
+            if r.object_kind == KIND_IRI:
+                props.append(f"    <{tag} rdf:resource={quoteattr(r.object_value)}/>")
+            elif r.object_kind == KIND_BNODE:
+                v = r.object_value
+                props.append(
+                    f"    <{tag} rdf:nodeID={quoteattr(v[2:] if v.startswith('_:') else v)}/>"
+                )
+            else:
+                attrs = ""
+                if r.object_lang:
+                    attrs = f" xml:lang={quoteattr(r.object_lang)}"
+                elif r.object_datatype and r.object_datatype != XSD_STRING:
+                    attrs = f" rdf:datatype={quoteattr(r.object_datatype)}"
+                props.append(f"    <{tag}{attrs}>{escape(r.object_value)}</{tag}>")
+        body_parts.append(
+            f"  <rdf:Description {ident}>\n" + "\n".join(props) + "\n  </rdf:Description>"
+        )
+
+    xmlns = "".join(
+        f'\n         xmlns:{p}="{escape(ns)}"' for ns, p in namespaces.items()
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        + xmlns
+        + ">\n"
+        + "\n".join(body_parts)
+        + "\n</rdf:RDF>\n"
+    )
+
+
+# Accept-header negotiation for graph payloads: media type -> (serializer,
+# response Content-Type).  N-Quads is the default, as on the parse side.
+GRAPH_SERIALIZERS = {
+    "application/n-quads": (quads_to_nquads, "application/n-quads"),
+    "application/n-triples": (quads_to_nquads, "application/n-quads"),
+    "text/turtle": (quads_to_turtle, "text/turtle"),
+    "application/turtle": (quads_to_turtle, "text/turtle"),
+    "application/trig": (quads_to_trig, "application/trig"),
+    "application/ld+json": (quads_to_jsonld, "application/ld+json"),
+    "application/rdf+xml": (quads_to_rdfxml, "application/rdf+xml"),
+}
+
+
+def negotiate_graph_serializer(accept: str | None):
+    """Pick (serializer, content_type) from an Accept header value; first
+    recognized media type wins, anything else (or ``*/*``) -> N-Quads."""
+    default = GRAPH_SERIALIZERS["application/n-quads"]
+    if not accept:
+        return default
+    for part in accept.split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in GRAPH_SERIALIZERS:
+            return GRAPH_SERIALIZERS[mt]
+        if mt in ("*/*", "application/*", "text/*"):
+            return default
+    return default
 
 
 def _binding_json(term) -> dict:

@@ -36,14 +36,17 @@ from pyspark.sql import SparkSession, functions as F
 
 from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
 from .rdf.content_types import parse_payload
-from .rdf.serialize import ask_to_json, quads_to_nquads, select_to_json
+from .rdf.serialize import (
+    ask_to_json,
+    negotiate_graph_serializer,
+    select_to_json,
+)
 from .sparql import SparqlEngine
 from .sparql.ast import ConstructQuery, DescribeQuery
 from .sparql.update import UpdateEngine
 from .store import QuadStore
 
 _JSON = "application/sparql-results+json"
-_NQ = "application/n-quads"
 
 
 class SparqlHttpServer:
@@ -102,7 +105,7 @@ class SparqlHttpServer:
             return f"http-{kind}-{self._txn_counter}"
 
     # ------------------------------------------------------------ operations
-    def run_query(self, store: QuadStore, text: str):
+    def run_query(self, store: QuadStore, text: str, accept: str | None = None):
         engine = SparqlEngine.from_store(self.spark, store)
         ast, result = engine.query_typed(text)
         if isinstance(result, bool):
@@ -111,7 +114,8 @@ class SparqlHttpServer:
         # SELECT projecting variables named like the quad columns must
         # still serialize as SPARQL results JSON
         if isinstance(ast, (ConstructQuery, DescribeQuery)):
-            return _NQ, quads_to_nquads(result.collect())
+            serialize, content_type = negotiate_graph_serializer(accept)
+            return content_type, serialize(result.collect())
         return _JSON, json.dumps(select_to_json(result))
 
     def run_update(self, store: QuadStore, text: str) -> dict:
@@ -119,13 +123,14 @@ class SparqlHttpServer:
             text, txn_id=self._next_txn("update")
         )
 
-    def gsp_read(self, store: QuadStore, graph: str | None) -> str:
+    def gsp_read(self, store: QuadStore, graph: str | None, accept: str | None = None):
         df = store.read(self.spark)
         if graph == "default":
             df = df.filter(F.col("graph") == DEFAULT_GRAPH)
         elif graph:
             df = df.filter(F.col("graph") == graph)
-        return quads_to_nquads(df.collect())
+        serialize, content_type = negotiate_graph_serializer(accept)
+        return content_type, serialize(df.collect())
 
     def gsp_write(self, store: QuadStore, body: bytes, content_type: str | None, graph: str | None, replace: bool):
         # fresh bnode scope per request: two uploads both saying _:b1
@@ -212,7 +217,10 @@ def _make_handler(server: SparqlHttpServer):
                 return self._run_query(store, q)
             if op == "data":
                 try:
-                    return self._send(200, _NQ, server.gsp_read(store, self._graph_param(qs)))
+                    ct, body = server.gsp_read(
+                        store, self._graph_param(qs), self.headers.get("Accept")
+                    )
+                    return self._send(200, ct, body)
                 except Exception as e:  # pragma: no cover - defensive
                     return self._error(500, str(e))
             return self._error(404, "unknown endpoint")
@@ -279,7 +287,9 @@ def _make_handler(server: SparqlHttpServer):
         # ---------------------------------------------------- helpers
         def _run_query(self, store, q: str):
             try:
-                content_type, payload = server.run_query(store, q)
+                content_type, payload = server.run_query(
+                    store, q, self.headers.get("Accept")
+                )
                 return self._send(200, content_type, payload)
             except RdfParseError as e:
                 return self._error(400, str(e))

@@ -16,10 +16,12 @@ from jena_fuseki_kafka_spark.store import QuadStore
 EX = "http://example.org/"
 
 
-def req(url, method="GET", data=None, content_type=None):
+def req(url, method="GET", data=None, content_type=None, accept=None):
     r = urllib.request.Request(url, data=data, method=method)
     if content_type:
         r.add_header("Content-Type", content_type)
+    if accept:
+        r.add_header("Accept", accept)
     try:
         with urllib.request.urlopen(r) as resp:
             return resp.status, resp.headers.get("Content-Type"), resp.read().decode()
@@ -68,6 +70,39 @@ class TestGraphStoreProtocol:
         assert code == 204
         _, _, body = req(f"{server}/data?graph={quote(g, safe='')}")
         assert body.strip() == ""
+
+
+class TestContentNegotiation:
+    # uses its own named graph so the shared fixture's default graph
+    # (exercised by the other classes) is untouched
+    G = quote(EX + "cngraph", safe="")
+
+    def test_gsp_get_honors_accept(self, server):
+        ttl = b"@prefix ex: <http://example.org/> . ex:cn ex:p \"neg\" ."
+        code, _, _ = req(f"{server}/data?graph={self.G}", "PUT", ttl, "text/turtle")
+        assert code == 200
+        for accept, expect_ct, marker in [
+            ("text/turtle", "text/turtle", "<http://example.org/cn>"),
+            ("application/ld+json", "application/ld+json", '"@graph"'),
+            ("application/rdf+xml", "application/rdf+xml", "<rdf:RDF"),
+            ("application/trig", "application/trig", "<http://example.org/cn>"),
+            (None, "application/n-quads", "<http://example.org/cn>"),
+        ]:
+            code, ct, body = req(f"{server}/data?graph={self.G}", accept=accept)
+            assert code == 200 and ct.startswith(expect_ct), (accept, ct)
+            assert marker in body, (accept, body)
+
+    def test_construct_honors_accept(self, server):
+        q = (
+            b"CONSTRUCT { ?s ?p ?o } WHERE { GRAPH <http://example.org/cngraph> { ?s ?p ?o } }"
+        )
+        code, ct, body = req(
+            f"{server}/query", "POST", q, "application/sparql-query", accept="text/turtle"
+        )
+        assert code == 200 and ct.startswith("text/turtle")
+        assert "<http://example.org/cn>" in body
+        # clean up the named graph for any later class using the fixture
+        req(f"{server}/data?graph={self.G}", "DELETE")
 
 
 class TestQueryEndpoint:

@@ -361,6 +361,86 @@ class TestRdfXml:
             )
 
 
+class TestSerializerRoundTrips:
+    """Every graph serializer must round-trip through this package's own
+    parser for the same syntax (the Accept-negotiation contract)."""
+
+    ROWS = [
+        # (graph, subject, predicate, object_kind, object_value, dt, lang)
+        ("", "http://e/s1", "http://e/p", "iri", "http://e/o1", None, None),
+        ("", "http://e/s1", "http://e/name", "literal", 'say "hi"\n', None, None),
+        ("", "http://e/s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://e/Thing", None, None),
+        ("", "http://e/s2", "http://e/age", "literal", "30",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("", "http://e/s2", "http://e/label", "literal", "bonjour", None, "fr"),
+        ("", "_:b1", "http://e/p", "bnode", "_:b2", None, None),
+    ]
+    NAMED = ROWS + [
+        ("http://e/g1", "http://e/s3", "http://e/p", "literal", "in-g1", None, None),
+    ]
+
+    def _rows(self, data):
+        import collections
+
+        R = collections.namedtuple(
+            "R", "graph subject predicate object_kind object_value object_datatype object_lang"
+        )
+        return [R(*r) for r in data]
+
+    def _key(self, ops):
+        return sorted((g, s, p, ok, ov, dt or None, lang or None) for _, g, s, p, ok, ov, dt, lang in ops)
+
+    def _expected(self, data, with_graph=False):
+        return sorted(
+            ((g if with_graph else ""), s, p, ok, ov, dt, lang) for g, s, p, ok, ov, dt, lang in data
+        )
+
+    def test_turtle_roundtrip(self):
+        from jena_fuseki_kafka_spark.rdf.serialize import quads_to_turtle
+
+        text = quads_to_turtle(self._rows(self.ROWS))
+        assert self._key(parse_turtle(text)) == self._expected(self.ROWS)
+
+    def test_trig_roundtrip_preserves_graphs(self):
+        from jena_fuseki_kafka_spark.rdf import parse_payload
+        from jena_fuseki_kafka_spark.rdf.serialize import quads_to_trig
+
+        text = quads_to_trig(self._rows(self.NAMED))
+        ops = parse_payload(text.encode(), "application/trig")
+        assert self._key(ops) == self._expected(self.NAMED, with_graph=True)
+
+    def test_jsonld_roundtrip_preserves_graphs(self):
+        from jena_fuseki_kafka_spark.rdf import parse_jsonld
+        from jena_fuseki_kafka_spark.rdf.serialize import quads_to_jsonld
+
+        text = quads_to_jsonld(self._rows(self.NAMED))
+        assert self._key(parse_jsonld(text)) == self._expected(self.NAMED, with_graph=True)
+
+    def test_rdfxml_roundtrip(self):
+        from jena_fuseki_kafka_spark.rdf import parse_rdfxml
+        from jena_fuseki_kafka_spark.rdf.serialize import quads_to_rdfxml
+
+        text = quads_to_rdfxml(self._rows(self.ROWS))
+        assert self._key(parse_rdfxml(text)) == self._expected(self.ROWS)
+
+    def test_negotiation(self):
+        from jena_fuseki_kafka_spark.rdf.serialize import (
+            negotiate_graph_serializer,
+            quads_to_jsonld,
+            quads_to_nquads,
+            quads_to_turtle,
+        )
+
+        assert negotiate_graph_serializer(None)[0] is quads_to_nquads
+        assert negotiate_graph_serializer("*/*")[0] is quads_to_nquads
+        assert negotiate_graph_serializer("text/turtle")[0] is quads_to_turtle
+        assert negotiate_graph_serializer(
+            "application/ld+json;q=0.9, text/turtle"
+        )[0] is quads_to_jsonld
+        assert negotiate_graph_serializer("application/weird")[0] is quads_to_nquads
+
+
 class TestContentTypeDispatch:
     def test_default_is_nquads(self):
         ops = parse_payload(b'<http://e/s> <http://e/p> "v" .', None)
