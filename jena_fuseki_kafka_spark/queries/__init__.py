@@ -115,6 +115,9 @@ _CHECK_PRIORITY = [
     # implementation changed this round -> must re-verify
     "d03_simhash",
     "d04_ngram_jaccard_blocked",
+    # new operators this round
+    "d05_decontamination",
+    "t07_repetition_ratio",
     # core keeps (flagship + dedup/similarity/text/ingest acceptance)
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
@@ -129,8 +132,6 @@ _CHECK_PRIORITY = [
     "t04_fingerprint",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
     "q22_json_props_extract",
@@ -151,6 +152,8 @@ _CHECK_PRIORITY = [
     "q11_order_offset_pagination",
     "q12_subquery_above_avg",
     "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
     "q17_string_functions",
     "q18_multi_join_part_supplier_stats",
     "q19_disjunctive_predicate_join",

@@ -368,6 +368,76 @@ def d03(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- d05 decontamination
+# Benchmark-contamination check: the pipeline op run before training to
+# find corpus documents that share long n-grams with a held-out eval set
+# (the standard 8-13-gram decontamination used by LLM data pipelines).
+# The "benchmark" here is a deterministic 1-in-20 hash sample of the
+# corpus (stand-in for an external eval-set table — swapping the source
+# changes one DataFrame).
+DECON_N = 8  # words per contamination n-gram
+_DECON_SAMPLE_MOD = 20
+
+
+def _decon_oracle() -> str:
+    ngram = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
+    bench = (
+        f"(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % {_DECON_SAMPLE_MOD}) = 0"
+    )
+    return f"""
+    WITH ngrams AS (
+      SELECT DISTINCT doc_id, {_hash60_sql(f"({ngram})")} AS ng
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS i)
+    ),
+    bench AS (SELECT ng, doc_id AS bench_doc FROM ngrams WHERE {bench}),
+    train AS (SELECT ng, doc_id FROM ngrams WHERE NOT {bench})
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.ng) AS n_shared_ngrams,
+           COUNT(DISTINCT b.bench_doc) AS n_benchmark_docs
+    FROM train t JOIN bench b ON t.ng = b.ng
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query("d05_decontamination", oracle=_decon_oracle())
+def d05(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing >= 1 distinct
+    8-gram with any benchmark doc.  N-grams are hashed to 8-byte keys
+    before the join (strings never shuffle) and the collision check is a
+    plain equi-join on the hash — shuffle is proportional to corpus
+    n-grams, never all-pairs, so the op scales like d02's banded join."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    expr = (
+        f"transform(sequence(1, greatest(size(w) - {DECON_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {DECON_N})))"
+    )
+    ngrams = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("w"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("g"))
+        .select("doc_id", _hash60_spark(F.col("g")).alias("ng"))
+    )
+    is_bench = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % _DECON_SAMPLE_MOD
+    ) == 0
+    bench = ngrams.filter(is_bench).select("ng", F.col("doc_id").alias("bench_doc"))
+    train = ngrams.filter(~is_bench)
+    return (
+        train.join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- d04 ngram jaccard (blocked exact)
 # Hard ceiling on docs per (lang, len_bucket) block: pair generation is
 # all-pairs within a block, so an unbounded block (think lang='en' at corpus

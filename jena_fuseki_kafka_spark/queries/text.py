@@ -259,3 +259,69 @@ def t06(spark, sf_dir):
         .select("lang", "bigram", "n", "rk")
         .orderBy("lang", "rk")
     )
+
+
+REP_N = 3  # words per repetition n-gram
+REP_MAX_DUP_RATIO = 0.30  # Gopher-style duplicate-3-gram gate
+
+
+@query(
+    "t07_repetition_ratio",
+    oracle=rf"""
+    WITH ngrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {REP_N - 1}, 0))) AS i)
+    ),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT g) AS n_distinct
+      FROM ngrams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_ngrams, 0) AS n_ngrams,
+           COALESCE(s.n_distinct, 0) AS n_distinct,
+           ROUND(CASE WHEN COALESCE(s.n_ngrams, 0) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_ngrams END, 4)
+             AS dup_ratio,
+           CASE WHEN COALESCE(s.n_ngrams, 0) = 0
+                  OR 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_ngrams <= {REP_MAX_DUP_RATIO}
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def t07(spark, sf_dir):
+    """Within-document repetition scoring (the Gopher duplicate-n-gram
+    quality gate): duplicate-3-gram ratio per doc plus a pass flag.  One
+    explode + one partial-aggregated count per doc — the window-free shape
+    that scales to any corpus; docs too short for an n-gram pass by
+    definition."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    expr = (
+        f"transform(sequence(1, greatest(size(w) - {REP_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {REP_N})))"
+    )
+    stats = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("w"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_ngrams"), F.countDistinct("g").alias("n_distinct"))
+    )
+    joined = d.select("doc_id").join(stats, "doc_id", "left")
+    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0))
+    n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0))
+    ratio = F.when(n_ngrams == 0, F.lit(0.0)).otherwise(
+        1.0 - n_distinct.cast("double") / n_ngrams
+    )
+    return joined.select(
+        "doc_id",
+        n_ngrams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        F.round(ratio, 4).alias("dup_ratio"),
+        F.when((n_ngrams == 0) | (ratio <= REP_MAX_DUP_RATIO), 1).otherwise(0).alias(
+            "passes_repetition"
+        ),
+    ).orderBy("doc_id")

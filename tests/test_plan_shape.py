@@ -84,8 +84,10 @@ class TestNoPythonInHotPath:
             "d01_exact_dedup",
             "d02_minhash_lsh",
             "d03_simhash",
+            "d05_decontamination",
             "t01_language_id",
             "t03_token_count",
+            "t07_repetition_ratio",
             "s01_ann_bruteforce_topk",
             "s02_ann_lsh_bucketed",
         ],
