@@ -218,21 +218,20 @@ class QuadStore:
         new_files: list[str] = []
         drop_files: list[str] = []
 
+        del_buckets: set[int] = set()
         if deletes is not None:
+            # no dropDuplicates: the anti-join is duplicate-insensitive, so
+            # deduping the delete side is pure wasted shuffle.  One
+            # aggregation answers both "any deletes?" and "which buckets?"
             deletes = deletes.select(*QUAD_COLS)
-            if not assume_unique:
-                deletes = deletes.dropDuplicates(QUAD_COLS)
-            del_rows = deletes.count()
-        else:
-            del_rows = 0
-
-        if del_rows > 0 and current_files:
-            # Rewrite-on-delete, restricted to the buckets the delete keys
-            # hash to: unaffected bucket leaves are carried over untouched.
             del_buckets = {
                 r["b"]
-                for r in deletes.select(self._bucket_col().alias("b")).distinct().collect()
+                for r in deletes.groupBy(self._bucket_col().alias("b")).count().collect()
             }
+
+        if del_buckets and current_files:
+            # Rewrite-on-delete, restricted to the buckets the delete keys
+            # hash to: unaffected bucket leaves are carried over untouched.
             affected = [
                 f
                 for f in current_files
