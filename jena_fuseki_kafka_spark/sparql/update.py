@@ -10,8 +10,13 @@ update request; the Kafka/streaming path accepts only data + patches.
 Supported update forms:
   INSERT DATA { quads }         DELETE DATA { quads }
   DELETE WHERE { pattern }
-  DELETE { tmpl } INSERT { tmpl } WHERE { pattern }   (either part optional)
+  [WITH <g>] DELETE { tmpl } INSERT { tmpl } [USING [NAMED] <g>]* WHERE { pattern }
   CLEAR GRAPH <g> | DEFAULT | NAMED | ALL             DROP = CLEAR
+  LOAD [SILENT] <doc-iri> [INTO GRAPH <g>]   (file:// or http(s)://; syntax
+    by extension: .nt .nq .ttl .trig .jsonld .rdf)
+  CREATE [SILENT] GRAPH <g>   (no-op: a quad set has no empty graphs, same
+    as Fuseki TDB)
+  ADD | COPY | MOVE [SILENT] (DEFAULT | [GRAPH] <g>) TO (DEFAULT | [GRAPH] <g>)
   multiple operations separated by ';' apply atomically (one commit) with
   SPARQL 1.1 sequential semantics: each operation evaluates against the
   accumulated logical state (store minus pending deletes plus pending
@@ -48,15 +53,32 @@ class _UpdateParser(SparqlParser):
                 self.base = self._iri_value(self.next())
         while self.peek() is not None:
             t = self.peek().lower()
-            if t == "insert":
+            if t == "with":
+                # Modify ::= ('WITH' iri)? (DeleteClause InsertClause? |
+                # InsertClause) UsingClause* 'WHERE' GGP  (SPARQL 1.1 Update
+                # grammar [41]); WITH scopes both templates and pattern.
+                self.next()
+                wg = self._var_or_iri()
+                if wg[0] != "iri":
+                    raise RdfParseError("WITH requires an IRI")
+                nxt = (self.peek() or "").lower()
+                if nxt == "insert":
+                    self.next()
+                    ops.append(self._modify(None, with_graph=wg[1]))
+                elif nxt == "delete":
+                    self.next()
+                    if self.peek_kw("where"):
+                        raise RdfParseError("WITH cannot precede DELETE WHERE")
+                    ops.append(self._modify(self._quad_template(), with_graph=wg[1]))
+                else:
+                    raise RdfParseError("WITH must precede DELETE/INSERT ... WHERE")
+            elif t == "insert":
                 self.next()
                 if self.peek_kw("data"):
                     self.next()
                     ops.append(("insert_data", self._quad_data()))
                 else:
-                    tmpl = self._quad_template()
-                    self.expect("where")
-                    ops.append(("modify", None, tmpl, self._group_graph_pattern()))
+                    ops.append(self._modify(None))
             elif t == "delete":
                 self.next()
                 if self.peek_kw("data"):
@@ -71,15 +93,44 @@ class _UpdateParser(SparqlParser):
                     pattern = self._group_graph_pattern()
                     if not isinstance(pattern, BGP):
                         raise RdfParseError("DELETE WHERE requires a plain BGP")
-                    ops.append(("modify", pattern.triples, None, pattern))
+                    ops.append(("modify", pattern.triples, None, pattern, None, (), ()))
                 else:
-                    del_tmpl = self._quad_template()
-                    ins_tmpl = None
-                    if self.peek_kw("insert"):
-                        self.next()
-                        ins_tmpl = self._quad_template()
-                    self.expect("where")
-                    ops.append(("modify", del_tmpl, ins_tmpl, self._group_graph_pattern()))
+                    ops.append(self._modify(self._quad_template()))
+            elif t == "load":
+                self.next()
+                silent = False
+                if self.peek_kw("silent"):
+                    self.next()
+                    silent = True
+                src = self._var_or_iri()
+                if src[0] != "iri":
+                    raise RdfParseError("LOAD requires a document IRI")
+                into = None
+                if self.peek_kw("into"):
+                    self.next()
+                    self.expect("graph")
+                    g = self._var_or_iri()
+                    if g[0] != "iri":
+                        raise RdfParseError("LOAD INTO GRAPH requires an IRI")
+                    into = g[1]
+                ops.append(("load", silent, src[1], into))
+            elif t == "create":
+                self.next()
+                if self.peek_kw("silent"):
+                    self.next()
+                self.expect("graph")
+                g = self._var_or_iri()
+                if g[0] != "iri":
+                    raise RdfParseError("CREATE GRAPH requires an IRI")
+                ops.append(("create", g[1]))
+            elif t in ("add", "copy", "move"):
+                self.next()
+                if self.peek_kw("silent"):
+                    self.next()
+                src = self._graph_or_default()
+                self.expect("to")
+                dst = self._graph_or_default()
+                ops.append((t, src, dst))
             elif t in ("clear", "drop"):
                 self.next()
                 if self.peek_kw("silent"):
@@ -99,6 +150,51 @@ class _UpdateParser(SparqlParser):
             else:
                 raise RdfParseError(f"unsupported update operation {t!r}")
         return ops
+
+    def _modify(self, del_tmpl, with_graph: str | None = None) -> tuple:
+        """Parse the rest of a Modify op: [INSERT {tmpl}] USING* WHERE GGP.
+
+        Called with ``del_tmpl`` already parsed (None when the op started
+        with INSERT).  Returns the 7-tuple modify op: (kind, del_tmpl,
+        ins_tmpl, pattern, with_graph, using, using_named).
+        """
+        ins_tmpl = None
+        if del_tmpl is None:
+            ins_tmpl = self._quad_template()
+        elif self.peek_kw("insert"):
+            self.next()
+            ins_tmpl = self._quad_template()
+        using: list[str] = []
+        using_named: list[str] = []
+        while self.peek_kw("using"):
+            self.next()
+            named = False
+            if self.peek_kw("named"):
+                self.next()
+                named = True
+            g = self._var_or_iri()
+            if g[0] != "iri":
+                raise RdfParseError("USING requires an IRI")
+            (using_named if named else using).append(g[1])
+        self.expect("where")
+        pattern = self._group_graph_pattern()
+        return (
+            "modify", del_tmpl, ins_tmpl, pattern,
+            with_graph, tuple(using), tuple(using_named),
+        )
+
+    def _graph_or_default(self):
+        """GraphOrDefault ::= 'DEFAULT' | 'GRAPH'? iri — returns None for
+        the default graph, else the graph IRI string."""
+        if self.peek_kw("default"):
+            self.next()
+            return None
+        if self.peek_kw("graph"):
+            self.next()
+        g = self._var_or_iri()
+        if g[0] != "iri":
+            raise RdfParseError("ADD/COPY/MOVE requires DEFAULT or a graph IRI")
+        return g[1]
 
     def _quad_data(self) -> list:
         return self._quad_template()
@@ -190,12 +286,69 @@ class UpdateEngine:
                 else:
                     cond = F.col("graph") == target
                 do_delete(view().filter(cond))
+            elif kind == "load":
+                silent, src, into = op[1], op[2], op[3]
+                try:
+                    quads = self._load_document(src, into)
+                except Exception:
+                    if silent:
+                        continue
+                    raise
+                do_insert(quads)
+            elif kind == "create":
+                pass  # a quad set has no empty graphs (same as Fuseki TDB)
+            elif kind in ("add", "copy", "move"):
+                src, dst = op[1], op[2]
+                if src == dst:
+                    continue  # spec: same graph is a no-op for all three
+                src_g = DEFAULT_GRAPH if src is None else src
+                dst_g = DEFAULT_GRAPH if dst is None else dst
+                # build the source selection against the pre-op state BEFORE
+                # mutating pending sets (DataFrames capture the plan now)
+                moved = (
+                    view()
+                    .filter(F.col("graph") == src_g)
+                    .withColumn("graph", F.lit(dst_g))
+                )
+                if kind in ("copy", "move"):
+                    do_delete(view().filter(F.col("graph") == dst_g))
+                if kind == "move":
+                    do_delete(view().filter(F.col("graph") == src_g))
+                do_insert(moved)
             elif kind == "modify":
                 del_tmpl, ins_tmpl, pattern = op[1], op[2], op[3]
+                with_graph, using, using_named = op[4], op[5], op[6]
+                # WITH scopes unqualified template quads and (absent USING)
+                # the WHERE pattern's default graph (SPARQL 1.1 Update §3.1.3)
+                if with_graph is not None:
+                    wg = ("iri", with_graph)
+                    if del_tmpl:
+                        del_tmpl = [(s, p, o, g or wg) for s, p, o, g in del_tmpl]
+                    if ins_tmpl:
+                        ins_tmpl = [(s, p, o, g or wg) for s, p, o, g in ins_tmpl]
+                dataset = view()
+                graph_arg = None
+                if using or using_named:
+                    # USING builds the pattern's dataset: default graph :=
+                    # union of USING graphs (relabeled), named graphs :=
+                    # the USING NAMED set.  WITH is ignored for the pattern.
+                    parts = []
+                    if using:
+                        parts.append(
+                            dataset.filter(F.col("graph").isin(*using))
+                            .withColumn("graph", F.lit(DEFAULT_GRAPH))
+                        )
+                    if using_named:
+                        parts.append(dataset.filter(F.col("graph").isin(*using_named)))
+                    dataset = parts[0]
+                    for extra in parts[1:]:
+                        dataset = dataset.unionByName(extra)
+                elif with_graph is not None:
+                    graph_arg = ("iri", with_graph)
                 # translate the WHERE pattern once against the accumulated
                 # state, instantiate both templates from the same bindings
-                translator = Translator(view())
-                df = translator._pattern(translator._rewrite_exists(pattern), graph=None)
+                translator = Translator(dataset)
+                df = translator._pattern(translator._rewrite_exists(pattern), graph=graph_arg)
                 # materialize the (request-sized) bindings once: both
                 # templates instantiate from it, and later ops' anti-joins
                 # would otherwise re-evaluate the whole pattern lineage
@@ -209,6 +362,56 @@ class UpdateEngine:
             self.spark, adds=pending_adds, deletes=pending_dels, txn_id=txn_id
         )
         return {"version": version}
+
+    _LOAD_SUFFIXES = {
+        ".nt": "application/n-triples",
+        ".nq": "application/n-quads",
+        ".ttl": "text/turtle",
+        ".trig": "application/trig",
+        ".jsonld": "application/ld+json",
+        ".json": "application/ld+json",
+        ".rdf": "application/rdf+xml",
+        ".xml": "application/rdf+xml",
+    }
+
+    def _load_document(self, iri: str, into: str | None) -> DataFrame:
+        """LOAD <iri> [INTO GRAPH <g>]: fetch + parse an RDF document.
+
+        file:// and http(s):// IRIs; syntax chosen by file extension
+        (NQuads default, matching the package's Kafka-payload default).
+        With INTO GRAPH, every parsed quad lands in the target graph
+        (Fuseki pours the document into the single target graph).
+        """
+        import urllib.request
+        from urllib.parse import urlparse
+
+        from ..rdf.content_types import parse_payload
+
+        parsed = urlparse(iri)
+        if parsed.scheme == "file":
+            with open(parsed.path, "rb") as f:
+                payload = f.read()
+        elif parsed.scheme in ("http", "https"):
+            with urllib.request.urlopen(iri, timeout=60) as resp:
+                payload = resp.read()
+        else:
+            raise RdfParseError(f"LOAD: unsupported IRI scheme {parsed.scheme!r}")
+        path = parsed.path.lower()
+        ct = next(
+            (v for k, v in self._LOAD_SUFFIXES.items() if path.endswith(k)),
+            "application/n-quads",
+        )
+        import hashlib
+
+        # deterministic per document so a replayed LOAD re-derives the same
+        # bnode labels and set-semantics dedup holds (not Python hash(): salted)
+        suffix = hashlib.md5(iri.encode("utf-8")).hexdigest()[:12]
+        ops = parse_payload(payload, ct, bnode_suffix=f"load{suffix}")
+        rows = [
+            (into if into is not None else g, s, p, ok, ov, dt, lang)
+            for _op, g, s, p, ok, ov, dt, lang in ops
+        ]
+        return self.spark.createDataFrame(rows, QUAD_SCHEMA)
 
     def _const_quads(self, quads: list) -> DataFrame:
         rows = []

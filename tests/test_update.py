@@ -167,3 +167,142 @@ class TestGraphStoreProtocol:
         upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:d ex:p "v" }')
         df = upd.gsp_get()
         assert df.filter(F.col("subject") == EX + "d").count() == 1
+
+
+class TestGraphManagement:
+    """LOAD / CREATE / ADD / COPY / MOVE / WITH / USING (SPARQL 1.1 Update
+    §3.1.3, §3.2; the reference serves the full grammar via Fuseki/ARQ)."""
+
+    def seed(self, upd):
+        upd.update(
+            "PREFIX ex: <http://e/> INSERT DATA {"
+            ' ex:d ex:p "dv" .'
+            ' GRAPH ex:g1 { ex:a ex:p "1" . ex:b ex:p "2" }'
+            ' GRAPH ex:g2 { ex:c ex:p "3" } }'
+        )
+
+    def test_add_graph_to_graph(self, spark, store, upd):
+        self.seed(upd)
+        upd.update("PREFIX ex: <http://e/> ADD GRAPH ex:g1 TO GRAPH ex:g2")
+        got = all_quads(spark, store)
+        assert (EX + "g2", EX + "a", EX + "p", "1") in got
+        assert (EX + "g2", EX + "c", EX + "p", "3") in got  # dst kept
+        assert (EX + "g1", EX + "a", EX + "p", "1") in got  # src kept
+
+    def test_copy_replaces_destination(self, spark, store, upd):
+        self.seed(upd)
+        upd.update("PREFIX ex: <http://e/> COPY ex:g1 TO ex:g2")
+        g2 = {q for q in all_quads(spark, store) if q[0] == EX + "g2"}
+        assert g2 == {
+            (EX + "g2", EX + "a", EX + "p", "1"),
+            (EX + "g2", EX + "b", EX + "p", "2"),
+        }
+        assert (EX + "g1", EX + "a", EX + "p", "1") in all_quads(spark, store)
+
+    def test_move_drops_source(self, spark, store, upd):
+        self.seed(upd)
+        upd.update("PREFIX ex: <http://e/> MOVE ex:g1 TO ex:g2")
+        got = all_quads(spark, store)
+        assert not any(q[0] == EX + "g1" for q in got)
+        g2 = {q for q in got if q[0] == EX + "g2"}
+        assert g2 == {
+            (EX + "g2", EX + "a", EX + "p", "1"),
+            (EX + "g2", EX + "b", EX + "p", "2"),
+        }
+
+    def test_add_default_to_graph_and_same_graph_noop(self, spark, store, upd):
+        self.seed(upd)
+        v0 = store.version
+        upd.update("PREFIX ex: <http://e/> ADD DEFAULT TO GRAPH ex:g2 ; COPY ex:g1 TO ex:g1")
+        got = all_quads(spark, store)
+        assert (EX + "g2", EX + "d", EX + "p", "dv") in got
+        assert (DEFAULT_GRAPH, EX + "d", EX + "p", "dv") in got
+        assert {q for q in got if q[0] == EX + "g1"} == {
+            (EX + "g1", EX + "a", EX + "p", "1"),
+            (EX + "g1", EX + "b", EX + "p", "2"),
+        }
+        assert store.version == v0 + 1  # one commit for the whole request
+
+    def test_move_to_default(self, spark, store, upd):
+        self.seed(upd)
+        upd.update("PREFIX ex: <http://e/> MOVE ex:g2 TO DEFAULT")
+        got = all_quads(spark, store)
+        assert (DEFAULT_GRAPH, EX + "c", EX + "p", "3") in got
+        assert (DEFAULT_GRAPH, EX + "d", EX + "p", "dv") not in got  # dst replaced
+        assert not any(q[0] == EX + "g2" for q in got)
+
+    def test_create_graph_noop(self, spark, store, upd):
+        self.seed(upd)
+        v0 = store.version
+        upd.update("PREFIX ex: <http://e/> CREATE GRAPH ex:fresh")
+        assert store.version == v0 + 1  # commits (empty), graph set unchanged
+        assert not any(q[0] == EX + "fresh" for q in all_quads(spark, store))
+
+    def test_with_scopes_templates_and_pattern(self, spark, store, upd):
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> WITH ex:g1 "
+            'DELETE { ?s ex:p "1" } INSERT { ?s ex:q "one" } WHERE { ?s ex:p "1" }'
+        )
+        got = all_quads(spark, store)
+        assert (EX + "g1", EX + "a", EX + "q", "one") in got
+        assert (EX + "g1", EX + "a", EX + "p", "1") not in got
+        # default graph untouched — WITH rescoped the pattern away from it
+        assert (DEFAULT_GRAPH, EX + "d", EX + "p", "dv") in got
+
+    def test_with_insert_only(self, spark, store, upd):
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> WITH ex:g2 "
+            "INSERT { ?s ex:copied true } WHERE { ?s ex:p ?o }"
+        )
+        assert (EX + "g2", EX + "c", EX + "copied", "true") in all_quads(spark, store)
+
+    def test_using_builds_pattern_dataset(self, spark, store, upd):
+        self.seed(upd)
+        # USING makes g1+g2 the pattern's default graph; INSERT goes to the
+        # real default graph (no WITH on the template side)
+        upd.update(
+            "PREFIX ex: <http://e/> "
+            "INSERT { ?s ex:merged true } USING ex:g1 USING ex:g2 WHERE { ?s ex:p ?o }"
+        )
+        got = all_quads(spark, store)
+        for subj in ("a", "b", "c"):
+            assert (DEFAULT_GRAPH, EX + subj, EX + "merged", "true") in got
+        # ex:d lives in the true default graph, which USING replaced
+        assert (DEFAULT_GRAPH, EX + "d", EX + "merged", "true") not in got
+
+    def test_using_named(self, spark, store, upd):
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> "
+            "INSERT { ?s ex:from ?g } USING NAMED ex:g1 WHERE { GRAPH ?g { ?s ex:p ?o } }"
+        )
+        got = all_quads(spark, store)
+        assert (DEFAULT_GRAPH, EX + "a", EX + "from", EX + "g1") in got
+        assert not any(p == EX + "from" and o == EX + "g2" for _, _, p, o in got)
+
+    def test_load_nt_into_graph(self, spark, store, upd, tmp_path):
+        doc = tmp_path / "doc.nt"
+        doc.write_text('<http://e/x> <http://e/p> "loaded" .\n')
+        upd.update(f"LOAD <file://{doc}> INTO GRAPH <http://e/g9>")
+        assert (EX + "g9", EX + "x", EX + "p", "loaded") in all_quads(spark, store)
+
+    def test_load_turtle_default_graph(self, spark, store, upd, tmp_path):
+        doc = tmp_path / "doc.ttl"
+        doc.write_text('@prefix ex: <http://e/> . ex:y ex:p "t" .\n')
+        upd.update(f"LOAD <file://{doc}>")
+        assert (DEFAULT_GRAPH, EX + "y", EX + "p", "t") in all_quads(spark, store)
+
+    def test_load_silent_swallows_missing(self, spark, store, upd, tmp_path):
+        upd.update(f"LOAD SILENT <file://{tmp_path}/nope.nt>")
+        with pytest.raises(Exception):
+            upd.update(f"LOAD <file://{tmp_path}/nope.nt>")
+
+    def test_load_is_idempotent(self, spark, store, upd, tmp_path):
+        doc = tmp_path / "b.ttl"
+        doc.write_text("@prefix ex: <http://e/> . ex:z ex:p [ ex:q 1 ] .\n")
+        upd.update(f"LOAD <file://{doc}>")
+        n1 = store.read(spark).count()
+        upd.update(f"LOAD <file://{doc}>")
+        assert store.read(spark).count() == n1  # same bnode labels re-derived
