@@ -283,3 +283,139 @@ def select_to_json(df) -> dict:
 
 def ask_to_json(value: bool) -> dict:
     return {"head": {}, "boolean": bool(value)}
+
+
+# ------------------------------------------------------------------ SELECT
+# results formats beyond JSON (SPARQL 1.1 Query Results XML / CSV / TSV —
+# Fuseki serves all four through content negotiation)
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def select_to_xml(df) -> str:
+    """SELECT result -> SPARQL Query Results XML (W3C REC, Fuseki's
+    application/sparql-results+xml)."""
+    vars_ = list(df.columns)
+    out = [
+        '<?xml version="1.0"?>',
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+        "  <head>",
+        *(f'    <variable name="{_xml_escape(v)}"/>' for v in vars_),
+        "  </head>",
+        "  <results>",
+    ]
+    for row in df.collect():
+        out.append("    <result>")
+        for v in vars_:
+            term = row[v]
+            if term is None or term["kind"] is None:
+                continue
+            kind, value = term["kind"], term["value"]
+            if kind == KIND_IRI:
+                body = f"<uri>{_xml_escape(value)}</uri>"
+            elif kind == KIND_BNODE:
+                label = value[2:] if value.startswith("_:") else value
+                body = f"<bnode>{_xml_escape(label)}</bnode>"
+            else:
+                attrs = ""
+                if term["lang"]:
+                    attrs = f' xml:lang="{_xml_escape(term["lang"])}"'
+                elif term["datatype"] and term["datatype"] != XSD_STRING:
+                    attrs = f' datatype="{_xml_escape(term["datatype"])}"'
+                body = f"<literal{attrs}>{_xml_escape(value)}</literal>"
+            out.append(f'      <binding name="{_xml_escape(v)}">{body}</binding>')
+        out.append("    </result>")
+    out.extend(["  </results>", "</sparql>", ""])
+    return "\n".join(out)
+
+
+def ask_to_xml(value: bool) -> str:
+    return (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+        "  <head/>\n"
+        f"  <boolean>{'true' if value else 'false'}</boolean>\n"
+        "</sparql>\n"
+    )
+
+
+def _csv_field(s: str) -> str:
+    if any(c in s for c in ',"\n\r'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def select_to_csv(df) -> str:
+    """SPARQL 1.1 CSV results: header without '?', plain lexical forms
+    (IRIs bare, bnodes _:label), RFC4180 quoting, CRLF rows."""
+    vars_ = list(df.columns)
+    lines = [",".join(_csv_field(v) for v in vars_)]
+    for row in df.collect():
+        fields = []
+        for v in vars_:
+            term = row[v]
+            if term is None or term["kind"] is None:
+                fields.append("")
+                continue
+            value = term["value"]
+            if term["kind"] == KIND_BNODE and not value.startswith("_:"):
+                value = f"_:{value}"
+            fields.append(_csv_field(value))
+        lines.append(",".join(fields))
+    return "\r\n".join(lines) + "\r\n"
+
+
+def select_to_tsv(df) -> str:
+    """SPARQL 1.1 TSV results: header keeps '?', terms in SPARQL syntax
+    (IRIs <>, literals quoted with lang/datatype tags)."""
+    vars_ = list(df.columns)
+    lines = ["\t".join(f"?{v}" for v in vars_)]
+    for row in df.collect():
+        fields = []
+        for v in vars_:
+            term = row[v]
+            if term is None or term["kind"] is None:
+                fields.append("")
+            else:
+                fields.append(_term_nq(term["kind"], term["value"], term["datatype"], term["lang"]))
+        lines.append("\t".join(fields))
+    return "\n".join(lines) + "\n"
+
+
+def ask_to_csv(value: bool) -> str:
+    # Fuseki's CSV/TSV boolean form: one header-less line
+    return ("true" if value else "false") + "\r\n"
+
+
+def ask_to_tsv(value: bool) -> str:
+    return ("true" if value else "false") + "\n"
+
+
+RESULTS_SERIALIZERS = {
+    # content-type -> (select_fn(df) -> str, ask_fn(bool) -> str)
+    "application/sparql-results+json": (
+        lambda df: _json.dumps(select_to_json(df)),
+        lambda b: _json.dumps(ask_to_json(b)),
+    ),
+    "application/sparql-results+xml": (select_to_xml, ask_to_xml),
+    "text/csv": (select_to_csv, ask_to_csv),
+    "text/tab-separated-values": (select_to_tsv, ask_to_tsv),
+}
+
+
+def negotiate_results_serializer(accept: str | None):
+    """Accept header -> ((select_fn, ask_fn), content-type); first
+    recognized media type wins, anything else (or ``*/*``) -> JSON."""
+    default_ct = "application/sparql-results+json"
+    if accept:
+        for part in accept.split(","):
+            mt = part.split(";")[0].strip().lower()
+            if mt in RESULTS_SERIALIZERS:
+                return RESULTS_SERIALIZERS[mt], mt
+            if mt in ("*/*", "application/*"):
+                break
+    return RESULTS_SERIALIZERS[default_ct], default_ct

@@ -37,9 +37,8 @@ from pyspark.sql import SparkSession, functions as F
 from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
 from .rdf.content_types import parse_payload
 from .rdf.serialize import (
-    ask_to_json,
     negotiate_graph_serializer,
-    select_to_json,
+    negotiate_results_serializer,
 )
 from .sparql import SparqlEngine
 from .sparql.ast import ConstructQuery, DescribeQuery
@@ -108,15 +107,16 @@ class SparqlHttpServer:
     def run_query(self, store: QuadStore, text: str, accept: str | None = None):
         engine = SparqlEngine.from_store(self.spark, store)
         ast, result = engine.query_typed(text)
-        if isinstance(result, bool):
-            return _JSON, json.dumps(ask_to_json(result))
         # branch on the parsed query form, NOT result column names: a
         # SELECT projecting variables named like the quad columns must
-        # still serialize as SPARQL results JSON
+        # still serialize as SPARQL results
         if isinstance(ast, (ConstructQuery, DescribeQuery)):
             serialize, content_type = negotiate_graph_serializer(accept)
             return content_type, serialize(result.collect())
-        return _JSON, json.dumps(select_to_json(result))
+        (select_fn, ask_fn), content_type = negotiate_results_serializer(accept)
+        if isinstance(result, bool):
+            return content_type, ask_fn(result)
+        return content_type, select_fn(result)
 
     def run_update(self, store: QuadStore, text: str) -> dict:
         return UpdateEngine(self.spark, store).update(

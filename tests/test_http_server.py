@@ -92,6 +92,66 @@ class TestContentNegotiation:
             assert code == 200 and ct.startswith(expect_ct), (accept, ct)
             assert marker in body, (accept, body)
 
+
+    G2 = quote(EX + "rfgraph", safe="")
+
+    def test_select_results_formats(self, server):
+        ttl = b'@prefix ex: <http://example.org/> . ex:rf ex:p "v1" . ex:rf ex:q 5 .'
+        code, _, _ = req(f"{server}/data?graph={self.G2}", "PUT", ttl, "text/turtle")
+        assert code == 200
+        q = (
+            "SELECT ?s ?o WHERE { GRAPH <http://example.org/rfgraph>"
+            ' { ?s <http://example.org/p> ?o } }'
+        ).encode()
+
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query",
+                             accept="application/sparql-results+xml")
+        assert code == 200 and ct.startswith("application/sparql-results+xml")
+        assert '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' in body
+        assert "<uri>http://example.org/rf</uri>" in body
+        assert "<literal>v1</literal>" in body
+
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query", accept="text/csv")
+        assert code == 200 and ct.startswith("text/csv")
+        assert body.splitlines()[0] == "s,o"
+        assert "http://example.org/rf,v1" in body
+
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query",
+                             accept="text/tab-separated-values")
+        assert code == 200 and ct.startswith("text/tab-separated-values")
+        assert body.splitlines()[0] == "?s\t?o"
+        assert "<http://example.org/rf>\t\"v1\"" in body
+
+        # typed literal keeps its datatype tag in TSV
+        q2 = (
+            "SELECT ?o WHERE { GRAPH <http://example.org/rfgraph>"
+            ' { ?s <http://example.org/q> ?o } }'
+        ).encode()
+        code, ct, body = req(f"{server}/query", "POST", q2,
+                             "application/sparql-query",
+                             accept="text/tab-separated-values")
+        assert "integer" in body and body.splitlines()[0] == "?o"
+
+        # unknown accept falls back to JSON
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query", accept="application/weird")
+        assert code == 200 and ct.startswith("application/sparql-results+json")
+        json.loads(body)
+
+    def test_ask_results_formats(self, server):
+        q = b"ASK { GRAPH <http://example.org/rfgraph> { ?s ?p ?o } }"
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query",
+                             accept="application/sparql-results+xml")
+        assert code == 200 and "<boolean>true</boolean>" in body
+        code, ct, body = req(f"{server}/query", "POST", q,
+                             "application/sparql-query", accept="text/csv")
+        assert code == 200 and body.strip() == "true"
+        req(f"{server}/data?graph={self.G2}", "DELETE")
+
     def test_construct_honors_accept(self, server):
         q = (
             b"CONSTRUCT { ?s ?p ?o } WHERE { GRAPH <http://example.org/cngraph> { ?s ?p ?o } }"
