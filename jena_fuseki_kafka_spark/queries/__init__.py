@@ -118,6 +118,9 @@ _CHECK_PRIORITY = [
     # new operators this round
     "d05_decontamination",
     "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t09_url_domain_stats",
+    "t10_char_entropy",
     # core keeps (flagship + dedup/similarity/text/ingest acceptance)
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",

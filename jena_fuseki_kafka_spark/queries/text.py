@@ -325,3 +325,175 @@ def t07(spark, sf_dir):
             "passes_repetition"
         ),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------ PII
+# The synthetic corpus contains no PII, so both engines append the SAME
+# deterministic doc_id-derived contact block before scanning — the scrub
+# operator itself (pattern counting + redaction) is what's under test,
+# over an input with known-varying match counts.
+
+_PII_AUG_SQL = """
+    text
+    || ' contact: user' || doc_id::VARCHAR || '@mail.example.com'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' cc admin' || doc_id::VARCHAR || '@corp.example.net' ELSE '' END
+    || ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0199' ELSE '' END
+"""
+
+_RE_EMAIL = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}"
+_RE_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_RE_PHONE = r"\b555-\d{4}\b"
+
+
+@query(
+    "t08_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                '{_RE_IPV4}', '<IP>', 'g'),
+                '{_RE_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM aug ORDER BY doc_id
+    """,
+)
+def t08(spark, sf_dir):
+    """PII scrub: count and redact emails / IPv4s / phone-shaped tokens.
+
+    Pure JVM regex expressions (``regexp_extract_all`` + chained
+    ``regexp_replace``) — embarrassingly parallel per row, zero shuffle
+    beyond the final ORDER BY, so throughput at 100 TB is scan-bound.
+    The standard curation step before training-data release (cf. C4 /
+    RefinedWeb pipelines).
+    """
+    aug = F.expr(
+        "concat(text,"
+        " ' contact: user', cast(doc_id as string), '@mail.example.com',"
+        " if(doc_id % 3 = 0, concat(' cc admin', cast(doc_id as string), '@corp.example.net'), ''),"
+        " ' from 10.', cast(doc_id % 200 as string), '.0.', cast(doc_id % 250 as string),"
+        " if(doc_id % 5 = 0, ' call 555-0199', ''))"
+    )
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _RE_EMAIL, "<EMAIL>"),
+            _RE_IPV4, "<IP>",
+        ),
+        _RE_PHONE, "<PHONE>",
+    )
+    def n_matches(pattern: str):
+        # column-function form: SQL-literal escaping would eat the \d \b
+        return F.size(F.regexp_extract_all(F.col("t"), F.lit(pattern), F.lit(0))).cast("long")
+
+    return d.select(
+        "doc_id",
+        n_matches(_RE_EMAIL).alias("n_emails"),
+        n_matches(_RE_IPV4).alias("n_ipv4"),
+        n_matches(_RE_PHONE).alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_URL_AUG_SQL = """
+    text
+    || ' see https://site' || (doc_id % 23)::VARCHAR || '.example.org/p/' || doc_id::VARCHAR
+    || CASE WHEN doc_id % 4 = 0 THEN ' and http://cdn.example.com/assets/a.js' ELSE '' END
+"""
+
+_RE_URL = r"https?://[a-z0-9.-]+[a-z0-9./_-]*"
+_RE_DOMAIN = r"https?://([a-z0-9.-]+)"
+
+
+@query(
+    "t09_url_domain_stats",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS t FROM documents),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{_RE_URL}')) AS url FROM aug
+    )
+    SELECT regexp_extract(url, '{_RE_DOMAIN}', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls
+    GROUP BY domain
+    ORDER BY n_urls DESC, domain
+    LIMIT 15
+    """,
+)
+def t09(spark, sf_dir):
+    """URL/domain statistics: extract links, aggregate by domain.
+
+    Extraction is per-row JVM regex; the only shuffle is the domain
+    aggregation, whose key cardinality is the (small) domain universe —
+    partial aggregation collapses it map-side, so the exchange carries
+    one row per (task, domain) at any corpus size.  Feeds domain-level
+    filtering/weighting decisions (cf. Common Crawl curation).
+    """
+    aug = F.expr(
+        "concat(text,"
+        " ' see https://site', cast(doc_id % 23 as string), '.example.org/p/', cast(doc_id as string),"
+        " if(doc_id % 4 = 0, ' and http://cdn.example.com/assets/a.js', ''))"
+    )
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", aug.alias("t"))
+    urls = d.select(
+        "doc_id", F.explode(F.expr(f"regexp_extract_all(t, '{_RE_URL}', 0)")).alias("url")
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", _RE_DOMAIN, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+        .limit(15)
+    )
+
+
+@query(
+    "t10_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t10(spark, sf_dir):
+    """Per-document Shannon character entropy (a gibberish/boilerplate
+    quality signal: natural text sits in a narrow entropy band).
+
+    Spark side is SHUFFLE-FREE: char counts come from higher-order array
+    functions (``array_distinct`` + ``filter``/``size``) evaluated per
+    row inside whole-stage codegen, then the entropy identity
+    H = log2(N) - sum(c*log2(c))/N folds them with ``aggregate`` —
+    no explode, no groupBy.  The DuckDB oracle computes the same number
+    the classic explode-and-group way, making the check independent.
+    At 100 TB this is scan-bound; the explode formulation would shuffle
+    ~n_chars rows per document instead.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    expr = (
+        "round("
+        "  log2(length(text)) - aggregate("
+        "    transform(array_distinct(split(text, '')),"
+        "              c -> size(filter(split(text, ''), x -> x = c))),"
+        "    0D, (acc, c) -> acc + c * log2(c)"
+        "  ) / length(text), 4)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", ""))).cast("long").alias("n_distinct_chars"),
+        F.expr(expr).alias("entropy"),
+    ).orderBy("doc_id")
