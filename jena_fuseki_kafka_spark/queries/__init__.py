@@ -99,6 +99,8 @@ _CHECK_PRIORITY = [
     # streaming / temporal / skew / sampling / multimodal (no r01 verdict)
     "st01_streaming_tumbling_window",
     "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",

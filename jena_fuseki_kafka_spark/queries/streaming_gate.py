@@ -97,3 +97,78 @@ def st02(spark, sf_dir):
     counts = deduped.groupBy("user_id").agg(F.count("*").alias("n_types"))
     name = _run_to_table(counts, mode="complete")
     return spark.table(name).orderBy("user_id")
+
+
+@query(
+    "st03_streaming_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 50
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def st03(spark, sf_dir):
+    """Session windows executed AS A STREAM: Spark's native
+    ``session_window`` state machine (merge-on-overlap keyed state,
+    watermark-bounded) instead of the batch gaps-and-islands window
+    chain.  The oracle IS the gaps-and-islands formulation in DuckDB —
+    two independent algorithms, one answer.  Spark closes a session when
+    the next event is >= gap after the last, which the oracle's
+    ``>= INTERVAL 30 MINUTE`` lag test mirrors exactly."""
+    from .streaming_ops import session_window_counts
+
+    stream = _stream_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    name = _run_to_table(session_window_counts(stream), mode="complete")
+    return (
+        spark.table(name)
+        .select("user_id", F.col("session_start"), F.col("n_events"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "st04_streaming_first_seen",
+    oracle="""
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events WHERE user_id < 200
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def st04(spark, sf_dir):
+    """Custom stateful streaming operator under the gate:
+    ``streaming_first_seen`` (applyInPandasWithState, one boolean of
+    state per key, hash-partitioned by the state store) emits only the
+    first event per user across micro-batches.  The oracle is the batch
+    row_number()-over-key answer — keyed-state streaming vs window
+    function, same result."""
+    from .streaming_ops import streaming_first_seen
+
+    stream = _stream_events(spark, sf_dir).filter(F.col("user_id") < 200)
+    deduped = streaming_first_seen(stream, key_col="user_id", order_col="event_id")
+    name = _run_to_table(deduped, mode="append")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+        .orderBy("user_id")
+    )
