@@ -353,17 +353,16 @@ def d03(spark, sf_dir):
     )
     a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "t", "k")
     b_ = keyed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "t", "k")
-    # distinct collapses pairs found by multiple tables before the verify
-    cands = (
-        a.join(b_, ["t", "k"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # verify (per-row bit_count) BEFORE the distinct: the Hamming filter
+    # is free inside the join stage, so the dedup-across-tables shuffle
+    # only carries confirmed near-dup pairs, not every candidate
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cands.filter(hamming <= SIMHASH_MAX_HAMMING)
+        a.join(b_, ["t", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
