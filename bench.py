@@ -42,6 +42,9 @@ HEADLINE = [
     "s04_ann_ivf",
     "t03_token_count",
     "t06_topk_bigrams_per_lang",
+    "t08_pii_scrub",
+    "t10_char_entropy",
+    "d05_decontamination",
     "p02_curation_pipeline",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
