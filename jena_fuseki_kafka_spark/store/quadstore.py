@@ -100,10 +100,15 @@ def _semi_join_quads(left: DataFrame, right: DataFrame, broadcast_right: bool = 
 
 
 class QuadStore:
-    def __init__(self, path: str, n_buckets: int = 16):
+    def __init__(self, path: str, n_buckets: int = 16, grace_versions: int = 2):
         self.path = path
         self.files_dir = os.path.join(path, "files")
         self.n_buckets = n_buckets
+        # MVCC read grace: files dropped by a commit/compaction stay on disk
+        # until `grace_versions` further versions have committed, so a reader
+        # that captured an earlier manifest snapshot can finish its scan
+        # without FileNotFound (Delta/Iceberg vacuum-retention, in miniature)
+        self.grace_versions = grace_versions
         self._write_lock = _write_lock_for(path)
         os.makedirs(self.files_dir, exist_ok=True)
         # initialize-once under the lock: a second instance racing an
@@ -146,7 +151,9 @@ class QuadStore:
 
     def _read_manifest(self) -> dict:
         with open(self._manifest_path()) as f:
-            return json.load(f)
+            manifest = json.load(f)
+        manifest.setdefault("tombstones", [])  # pre-grace manifests
+        return manifest
 
     def _write_manifest(self, manifest: dict) -> None:
         # unique tmp name: concurrent writers (or a crashed leftover) must
@@ -276,8 +283,8 @@ class QuadStore:
         manifest["files"] = current_files + new_files
         if txn_id is not None:
             manifest["txns"] = (manifest["txns"] + [txn_id])[-1000:]
+        self._retire(manifest, drop_files)
         self._write_manifest(manifest)
-        self._cleanup(drop_files)
         return manifest["version"]
 
     # -- maintenance ------------------------------------------------------
@@ -315,17 +322,40 @@ class QuadStore:
         untouched = [f for f in manifest["files"] if f not in set(merge)]
         manifest["version"] += 1
         manifest["files"] = untouched + new_entries
+        self._retire(manifest, merge)
         self._write_manifest(manifest)
-        self._cleanup(merge)
         return manifest["version"]
 
-    def _cleanup(self, drop_files: list[str]) -> None:
-        # old files are kept briefly for readers of the prior snapshot; a
-        # real deployment vacuums by age. Here: best-effort eager cleanup.
-        for f in drop_files:
-            try:
-                import shutil
+    def _retire(self, manifest: dict, drop_files: list[str]) -> None:
+        """Tombstone newly dropped leaves at the (already incremented)
+        manifest version and physically delete only tombstones older than
+        ``grace_versions`` — readers of recent snapshots keep their files.
+        Runs before the manifest swap; a crash in between just leaves
+        tombstones pointing at already-deleted paths, which re-delete as
+        no-ops next time."""
+        version = manifest["version"]
+        tombstones = manifest["tombstones"] + [[f, version] for f in drop_files]
+        keep: list[list] = []
+        for f, dropped_at in tombstones:
+            if version - dropped_at >= self.grace_versions:
+                self._delete_leaf(f)
+            else:
+                keep.append([f, dropped_at])
+        manifest["tombstones"] = keep
 
-                shutil.rmtree(os.path.join(self.files_dir, f), ignore_errors=True)
-            except OSError:
-                pass
+    def vacuum(self) -> int:
+        """Delete every tombstoned leaf regardless of age (admin op, like
+        Delta VACUUM with retention 0).  Returns the number removed."""
+        with self._write_lock:
+            manifest = self._read_manifest()
+            n = len(manifest["tombstones"])
+            for f, _dropped_at in manifest["tombstones"]:
+                self._delete_leaf(f)
+            manifest["tombstones"] = []
+            self._write_manifest(manifest)
+            return n
+
+    def _delete_leaf(self, f: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.files_dir, f), ignore_errors=True)

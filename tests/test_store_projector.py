@@ -5,6 +5,7 @@ routing with Dead-Letter-* headers (:345-374), good-prefix guarantee
 """
 
 import datetime
+import os
 
 import pytest
 
@@ -345,3 +346,67 @@ class TestCompaction:
         for t in range(n_threads):
             for i in range(per_thread):
                 assert final.seen_txn(f"t{t}-{i}")
+
+
+class TestVacuumGrace:
+    """MVCC read grace: dropped leaves survive `grace_versions` further
+    commits so readers of recent snapshots never lose files mid-scan."""
+
+    def _quads(self, spark, n, tag):
+        rows = [("", f"s{tag}-{i}", "p", "iri", f"o{i}", None, None) for i in range(n)]
+        return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+    def _on_disk(self, store):
+        out = set()
+        for name in os.listdir(store.files_dir):
+            sub = os.path.join(store.files_dir, name)
+            for leaf in os.listdir(sub):
+                if leaf.startswith("bucket="):
+                    out.add(f"{name}/{leaf}")
+        return out
+
+    def test_dropped_files_survive_grace_then_vanish(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qg"), n_buckets=2, grace_versions=2)
+        store.commit(spark, adds=self._quads(spark, 8, "a"), txn_id="c1")
+        before = self._on_disk(store)
+        # delete rewrites every touched bucket -> all original leaves drop
+        store.commit(
+            spark,
+            deletes=self._quads(spark, 8, "a"),
+            adds=self._quads(spark, 4, "b"),
+            txn_id="c2",
+        )
+        assert before <= self._on_disk(store)  # still present (grace)
+        store.commit(spark, adds=self._quads(spark, 1, "c"), txn_id="c3")
+        assert before <= self._on_disk(store)  # version delta 1 < grace 2
+        store.commit(spark, adds=self._quads(spark, 1, "d"), txn_id="c4")
+        assert not (before & self._on_disk(store))  # grace expired, deleted
+
+    def test_reader_snapshot_survives_delete_commit(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qr"), n_buckets=2)
+        store.commit(spark, adds=self._quads(spark, 10, "a"), txn_id="c1")
+        snapshot = store.read(spark)  # plan captures the v1 file list
+        store.commit(spark, deletes=self._quads(spark, 10, "a"), txn_id="c2")
+        assert snapshot.count() == 10  # old files still on disk
+        assert store.count(spark) == 0  # new snapshot is empty
+
+    def test_vacuum_removes_all_tombstones(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qv"), n_buckets=2)
+        store.commit(spark, adds=self._quads(spark, 8, "a"), txn_id="c1")
+        before = self._on_disk(store)
+        store.commit(spark, deletes=self._quads(spark, 8, "a"), txn_id="c2")
+        assert before <= self._on_disk(store)
+        n = store.vacuum()
+        assert n >= 1
+        assert not (before & self._on_disk(store))
+        assert store.vacuum() == 0
+
+    def test_compaction_respects_grace(self, spark, tmp_path):
+        store = QuadStore(str(tmp_path / "qc2"), n_buckets=2)
+        for i in range(4):
+            store.commit(spark, adds=self._quads(spark, 3, f"t{i}"), txn_id=f"c{i}")
+        before = self._on_disk(store)
+        v = store.compact(spark, min_files_per_bucket=2)
+        assert v == store.version
+        assert before <= self._on_disk(store)  # merged leaves tombstoned, not deleted
+        assert store.count(spark) == 12
