@@ -120,3 +120,24 @@ class TestTemporalJoins:
         for name in ("q29_asof_join", "q30_interval_join"):
             p = plan(spark, name)
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+class TestTextPipelineOps:
+    def test_t08_no_python_udf(self, spark):
+        p = plan(spark, "t08_pii_scrub")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+    def test_t10_entropy_no_aggregate_exchange(self, spark):
+        # the whole entropy computation is per-row higher-order array
+        # functions: no HashAggregate/explode shuffle may appear — only the
+        # fan_out repartition and the output-sort range exchange
+        p = plan(spark, "t10_char_entropy")
+        assert "HashAggregate" not in p and "ObjectHashAggregate" not in p, p
+        assert "Generate" not in p, p  # no explode
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+    def test_t09_domain_agg_is_partial(self, spark):
+        # domain aggregation must partial-aggregate map-side so the
+        # exchange carries (task x domain), not one row per URL
+        p = plan(spark, "t09_url_domain_stats")
+        assert "partial_count" in p, p
