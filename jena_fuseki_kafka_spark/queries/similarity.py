@@ -316,3 +316,52 @@ def s04(spark, sf_dir):
         .select("query_id", "vec_id", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------- s05 recall
+# the standard ANN evaluation: recall@k of the IVF index against the
+# brute-force ground truth.  Both oracles are already registered — the
+# gate's oracle nests them as CTEs, so the DuckDB side recomputes BOTH
+# algorithms independently and the driver cross-checks Spark's join too.
+from . import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "s05_ann_recall_gate",
+    oracle=f"""
+    WITH exact_r AS ({_ORACLES["s01_ann_bruteforce_topk"]}),
+    approx_r AS ({_ORACLES["s04_ann_ivf"]})
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {TOP_K}.0, 4)
+             AS recall_at_k
+    FROM exact_r e
+    LEFT JOIN approx_r a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def s05(spark, sf_dir):
+    """Recall@k of the IVF index (s04) against brute-force ground truth
+    (s01) — the eval loop every production ANN deployment runs before
+    trusting an index.  Ground truth is 5 queries x top-10 (tiny), so the
+    comparison join broadcasts; the heavy lifting is the two underlying
+    searches, each already scale-shaped (see s01/s04 docstrings)."""
+    exact = s01(spark, sf_dir).select("query_id", "vec_id")
+    approx = s04(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av"), F.lit(1).alias("hit")
+    )
+    joined = exact.join(
+        F.broadcast(approx),
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+        "left",
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            n_hits.cast("long").alias("n_hits"),
+            F.round(n_hits / TOP_K, 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
