@@ -122,3 +122,81 @@ def p02(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- p03 mixture
+# Rebalance the corpus to a configured per-source mixture under a global
+# budget — the "data mixture" op every LLM pipeline runs (cf. temperature /
+# proportional sampling across sources).  The mixture weight here derives
+# deterministically from the source id (stand-in for the mixture config
+# table; swapping in a real config is one small broadcast join).  All
+# arithmetic is integer-exact so both engines compute identical rates, and
+# keep/drop stays a per-row stable-hash decision (retry/speculation-safe).
+_MIX_BUDGET_PERMILLE = 500  # keep ~half the corpus overall
+
+_W_SQL = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
+
+
+@query(
+    "p03_mixture_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, {_W_SQL} AS w, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(LEAST(1000, (total * {_MIX_BUDGET_PERMILLE} * w) // (sum_w * n_docs))
+                  AS BIGINT) AS rate_permille
+      FROM counts, tot
+    )
+    SELECT r.source, r.n_docs, r.rate_permille,
+           CAST(SUM(CASE WHEN {_bucket_sql("CAST(d.doc_id AS VARCHAR)")} < r.rate_permille
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.rate_permille
+    ORDER BY r.source
+    """,
+)
+def p03(spark, sf_dir):
+    """Mixture rebalance: per-source keep-rates so the kept corpus hits a
+    weighted target mix under a global budget.
+
+    Two tiny aggregations (per-source counts, global totals) produce the
+    rate table; the corpus-sized pass is one broadcast join + map-side
+    filter — no corpus shuffle at any scale.  Rates use integer
+    arithmetic (``div``) so Spark and DuckDB agree bit-exactly, and the
+    keep decision is the same stable md5 bucket p01/p02 use."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.expr("cast(substring(source, 4) as int) % 4 + 1")
+    counts = d.groupBy("source").agg(
+        F.first(w).alias("w"), F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1000),
+            F.expr(f"(total * {_MIX_BUDGET_PERMILLE} * w) div (sum_w * n_docs)"),
+        ).cast("long").alias("rate_permille"),
+    )
+    kept = F.when(
+        _bucket_spark(F.col("doc_id").cast("string")) < F.col("rate_permille"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("rate_permille").alias("rate_permille"),
+            F.sum(kept).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
