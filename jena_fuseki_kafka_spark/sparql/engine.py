@@ -18,16 +18,27 @@ from .translate import Translator
 
 
 class SparqlEngine:
-    def __init__(self, quads: DataFrame, max_path_iterations: int = 256):
+    def __init__(
+        self,
+        quads: DataFrame,
+        max_path_iterations: int = 256,
+        n_buckets: int | None = None,
+    ):
         missing = [c for c in QUAD_COLS if c not in quads.columns]
         if missing:
             raise ValueError(f"quads DataFrame missing columns: {missing}")
         self.quads = quads
         self.max_path_iterations = max_path_iterations
+        self.n_buckets = n_buckets
 
     @classmethod
     def from_store(cls, spark, store: QuadStore, **kw) -> "SparqlEngine":
-        return cls(store.read(spark), **kw)
+        """Engine over the store snapshot WITH the bucket column: constant-
+        subject patterns prune to the one bucket they hash to (point
+        lookups read 1/n_buckets of the store)."""
+        return cls(
+            store.read(spark, with_bucket=True), n_buckets=store.n_buckets, **kw
+        )
 
     def query(self, text: str):
         """Run a SPARQL query.
@@ -46,7 +57,7 @@ class SparqlEngine:
         column names mis-serializes a SELECT that happens to project
         variables named like the quad columns."""
         ast = parse_sparql(text)
-        translator = Translator(self.quads, self.max_path_iterations)
+        translator = Translator(self.quads, self.max_path_iterations, self.n_buckets)
         df = translator.translate(ast)
         if isinstance(ast, AskQuery):
             return ast, df.count() > 0
@@ -58,5 +69,5 @@ class SparqlEngine:
         ast = parse_sparql(text)
         if not isinstance(ast, SelectQuery):
             raise ValueError("select_values requires a SELECT query")
-        df = Translator(self.quads, self.max_path_iterations).translate(ast)
+        df = Translator(self.quads, self.max_path_iterations, self.n_buckets).translate(ast)
         return df.select(*[F.col(c)["value"].alias(c) for c in df.columns])

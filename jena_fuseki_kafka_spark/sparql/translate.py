@@ -88,9 +88,19 @@ def _const_struct(term) -> Column:
 
 
 class Translator:
-    def __init__(self, quads: DataFrame, max_path_iterations: int = 256):
+    def __init__(
+        self,
+        quads: DataFrame,
+        max_path_iterations: int = 256,
+        n_buckets: int | None = None,
+    ):
         self.quads = quads
         self.max_path_iterations = max_path_iterations
+        # when the quad table carries the store's subject-hash ``bucket``
+        # column, constant-subject patterns filter on it — Catalyst
+        # constant-folds the per-bucket union and scans 1/n_buckets of
+        # the store (see QuadStore.read(with_bucket=True))
+        self.n_buckets = n_buckets if (n_buckets and "bucket" in quads.columns) else None
         self._anon_var = 0
 
     # ------------------------------------------------------------ entry
@@ -362,6 +372,13 @@ class Translator:
             return self._path_pattern(s, p, o, graph)
 
         q = self.quads
+        # bucket pruning: a constant subject hashes to exactly one store
+        # bucket; the filter folds the per-bucket union down to one scan
+        if self.n_buckets and s[0] == "iri":
+            q = q.filter(
+                F.col("bucket")
+                == F.pmod(F.xxhash64(F.lit(s[1])), F.lit(self.n_buckets))
+            )
         # graph scoping: None -> default graph; ("iri", v) -> that graph;
         # ("var", n) -> any named graph, bound
         gvar = None

@@ -171,14 +171,42 @@ class QuadStore:
         return txn_id in self._read_manifest()["txns"]
 
     # -- read -------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, with_bucket: bool = False) -> DataFrame:
         """Current committed snapshot as a DataFrame (MVCC: uses the file
-        list frozen at manifest-read time)."""
+        list frozen at manifest-read time).
+
+        ``with_bucket=True`` adds the subject-hash ``bucket`` column by
+        building the plan as one scan per bucket (each tagged with its
+        constant bucket id) unioned together.  A downstream filter
+        ``bucket = <const>`` then constant-folds every other branch to an
+        empty relation and Catalyst prunes their files from the plan —
+        point lookups (constant-subject SPARQL patterns, DESCRIBE) read
+        1/n_buckets of the store.  Falls back to the flat scan when any
+        legacy un-bucketed leaf is present."""
         manifest = self._read_manifest()
         if not manifest["files"]:
-            return spark.createDataFrame([], QUAD_SCHEMA)
+            df = spark.createDataFrame([], QUAD_SCHEMA)
+            return df.withColumn("bucket", F.lit(None).cast("int")) if with_bucket else df
+        if with_bucket:
+            by_bucket: dict[int | None, list[str]] = {}
+            for f in manifest["files"]:
+                by_bucket.setdefault(self._bucket_of(f), []).append(f)
+            if None not in by_bucket:
+                parts = [
+                    spark.read.schema(QUAD_SCHEMA)
+                    .parquet(*[os.path.join(self.files_dir, f) for f in fs])
+                    .withColumn("bucket", F.lit(b))
+                    for b, fs in sorted(by_bucket.items())
+                ]
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+                return df
         paths = [os.path.join(self.files_dir, f) for f in manifest["files"]]
-        return spark.read.schema(QUAD_SCHEMA).parquet(*paths)
+        df = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
+        if with_bucket:
+            df = df.withColumn("bucket", self._bucket_col().cast("int"))
+        return df
 
     def count(self, spark: SparkSession) -> int:
         return self.read(spark).count()

@@ -548,3 +548,50 @@ class TestMiscBuiltins:
         assert row["b"]["value"].startswith("_:b")
         assert row["b"]["kind"] == "bnode"
         assert row["z"]["value"] == "Z"
+
+
+class TestBucketPruning:
+    """Constant-subject patterns must scan only the one store bucket the
+    subject hashes to (QuadStore.read(with_bucket=True) union-fold)."""
+
+    def _store(self, spark, tmp_path):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+        from jena_fuseki_kafka_spark.store import QuadStore
+
+        store = QuadStore(str(tmp_path / "bp"), n_buckets=8)
+        rows = [
+            ("", f"http://e/s{i}", "http://e/p", "iri", f"http://e/o{i}", None, None)
+            for i in range(64)
+        ]
+        store.commit(spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA), txn_id="c1")
+        return store
+
+    def test_point_lookup_scans_one_bucket(self, spark, tmp_path):
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        store = self._store(spark, tmp_path)
+        eng = SparqlEngine.from_store(spark, store)
+        df = eng.query("SELECT ?o WHERE { <http://e/s7> <http://e/p> ?o }")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan  # 7 of 8 branches folded
+        vals = [r["o"]["value"] for r in df.collect()]
+        assert vals == ["http://e/o7"]
+
+    def test_variable_subject_reads_all_buckets(self, spark, tmp_path):
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        store = self._store(spark, tmp_path)
+        eng = SparqlEngine.from_store(spark, store)
+        df = eng.query("SELECT ?s WHERE { ?s <http://e/p> ?o }")
+        assert df.count() == 64  # nothing pruned away that shouldn't be
+
+    def test_pruned_equals_unpruned(self, spark, tmp_path):
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        store = self._store(spark, tmp_path)
+        pruned = SparqlEngine.from_store(spark, store)
+        flat = SparqlEngine(store.read(spark))
+        q = "SELECT ?o WHERE { <http://e/s33> <http://e/p> ?o }"
+        a = [r["o"]["value"] for r in pruned.query(q).collect()]
+        b = [r["o"]["value"] for r in flat.query(q).collect()]
+        assert a == b == ["http://e/o33"]
