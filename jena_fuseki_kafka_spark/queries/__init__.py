@@ -125,6 +125,7 @@ _CHECK_PRIORITY = [
     "t10_char_entropy",
     "s05_ann_recall_gate",
     "p03_mixture_rebalance",
+    "q38_approx_percentile",
     # core keeps (flagship + dedup/similarity/text/ingest acceptance)
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",

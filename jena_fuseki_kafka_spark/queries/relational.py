@@ -857,3 +857,38 @@ def q37(spark, sf_dir):
         F.sum(vd).over(running).cast("double").alias("running_total"),
         F.avg(vd).over(mov3).cast("double").alias("moving_avg3"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q38_approx_percentile",
+    oracle="""
+    SELECT CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS exact_p95,
+           1 AS p50_ok, 1 AS p95_ok
+    FROM lineitem
+    """,
+)
+def q38(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna sketch) gated against the
+    exact answer: the estimate must land within 1%% of truth (q32's
+    accuracy-gate pattern for quantiles).  At 100 TB the approx pass is a
+    mergeable per-partition sketch — no global sort, no single-reducer
+    percentile, which is what makes per-column distribution profiling of a
+    full corpus feasible at all."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.50)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("ap95"),
+    )
+    def ok(approx, exact):
+        return F.when(
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.01, 1
+        ).otherwise(0)
+    return agg.select(
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("exact_p95", 4).alias("exact_p95"),
+        ok("ap50", "exact_p50").alias("p50_ok"),
+        ok("ap95", "exact_p95").alias("p95_ok"),
+    )
