@@ -109,6 +109,7 @@ _CHECK_PRIORITY = [
     "m01_image_features",
     "m02_audio_features",
     "m03_video_frame_sample",
+    "m04_frame_dedup",
     # oracle-typing fixes this round (hash-failed in r01 on HUGEINT columns)
     "q16_conditional_agg_case",
     "q23_funnel_signup_to_purchase",

@@ -212,3 +212,74 @@ def m03(spark, sf_dir):
     return frames.mapInPandas(checksum, schema=_FRAME_SUM_SCHEMA).orderBy(
         "media_id", "frame_index"
     )
+
+
+_FRAME_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("fp", T.StringType(), False),
+    ]
+)
+
+
+@query(
+    "m04_frame_dedup",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 2 + doc_id % 5 AS nf, 4 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, w, h, (doc_id*31 + f*911) % 256 AS base
+      FROM vids, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f)
+    ),
+    groups AS (
+      SELECT w, h, base, COUNT(*) AS c FROM frames GROUP BY w, h, base
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_frames,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(MAX(c) AS BIGINT) AS max_group_size
+    FROM groups
+    """,
+)
+def m04(spark, sf_dir):
+    """Cross-video frame-level exact dedup: demux every video into frames
+    (Arrow mapInPandas), fingerprint the raw frame BYTES (md5), and count
+    duplicate groups — the media twin of d01, the first pass a video
+    training pipeline runs so repeated intros/stills don't dominate.
+
+    The oracle never sees the bytes: fake frames are fully determined by
+    (width, height, (31*doc_id + 911*frame) mod 256), so DuckDB counts
+    duplicate groups from that signature while Spark hashes the actual
+    decoded frames — independent derivations of the same partition.
+    Shuffle carries 16-byte fingerprints, never frames; at scale this is
+    the hash-groupBy dedup shape with frame bytes staying columnar in
+    Arrow batches."""
+    import hashlib
+
+    media = fake_media(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, stride=1)
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "fp": [hashlib.md5(bytes(b)).hexdigest() for b in pdf["frame"]],
+                }
+            )
+
+    groups = (
+        frames.mapInPandas(fingerprint, schema=_FRAME_FP_SCHEMA)
+        .groupBy("width", "height", "fp")
+        .agg(F.count("*").alias("c"))
+    )
+    return groups.agg(
+        F.sum("c").cast("long").alias("n_frames"),
+        F.count("*").cast("long").alias("n_distinct_frames"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.max("c").cast("long").alias("max_group_size"),
+    )
