@@ -306,3 +306,26 @@ class TestGraphManagement:
         n1 = store.read(spark).count()
         upd.update(f"LOAD <file://{doc}>")
         assert store.read(spark).count() == n1  # same bnode labels re-derived
+
+
+class TestLoadOverHttp:
+    def test_load_from_gsp_endpoint(self, spark, tmp_path):
+        """LOAD <http://...> pulls another dataset's GSP export (N-Quads
+        by default) into this store — the cross-dataset copy a two-server
+        deployment does."""
+        from jena_fuseki_kafka_spark.server import SparqlHttpServer
+
+        src_store = QuadStore(str(tmp_path / "src"))
+        UpdateEngine(spark, src_store).update(
+            'PREFIX ex: <http://e/> INSERT DATA { ex:remote ex:p "via-http" }'
+        )
+        srv = SparqlHttpServer(spark, src_store, dataset="src")
+        port = srv.start()
+        try:
+            dst_store = QuadStore(str(tmp_path / "dst"))
+            upd = UpdateEngine(spark, dst_store)
+            upd.update(f"LOAD <http://127.0.0.1:{port}/src/data?default>")
+            got = all_quads(spark, dst_store)
+            assert (DEFAULT_GRAPH, EX + "remote", EX + "p", "via-http") in got
+        finally:
+            srv.stop()
