@@ -79,76 +79,14 @@ from . import multimodal_surface  # noqa: E402,F401
 # registered queries per round, so ordering is part of the verification
 # contract: queries without a prior driver verdict, and queries whose
 # implementation changed this round, go first; queries already driver-green
-# in a previous round rotate to the tail.  Names listed here come first in
-# the stated order; anything registered but unlisted keeps its import order
-# after them (so a newly added query is never silently dropped).
+# in a previous round rotate to the tail.  Anything registered but unlisted
+# is by definition brand-new (no verdict at all), so it sorts BEFORE the
+# listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # SPARQL engine surface (no driver verdict in r01)
-    "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r13_subselect",
-    "r14_degree_histogram",
-    # streaming / temporal / skew / sampling / multimodal (no r01 verdict)
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "p01_stratified_sample",
-    "p02_curation_pipeline",
-    "m01_image_features",
-    "m02_audio_features",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    # oracle-typing fixes this round (hash-failed in r01 on HUGEINT columns)
-    "q16_conditional_agg_case",
-    "q23_funnel_signup_to_purchase",
-    "d01_exact_dedup",
-    "t03_token_count",
-    # implementation changed this round -> must re-verify
-    "d03_simhash",
-    "d04_ngram_jaccard_blocked",
-    # new operators this round
-    "d05_decontamination",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t09_url_domain_stats",
-    "t10_char_entropy",
-    "s05_ann_recall_gate",
-    "p03_mixture_rebalance",
-    "q38_approx_percentile",
-    # core keeps (flagship + dedup/similarity/text/ingest acceptance)
-    "r01_sparql_acceptance_count",
-    "r02_bgp_join_filter",
-    "q01_pricing_summary",
-    "d02_minhash_lsh",
-    "s01_ann_bruteforce_topk",
-    "s02_ann_lsh_bucketed",
+    # implementation changed this round (r3) -> must re-verify first
     "s03_embedding_near_dup",
-    "s04_ann_ivf",
-    "t01_language_id",
-    "t02_quality_score",
-    "t04_fingerprint",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    "q20_tumbling_window_hourly",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q26_cohort_retention",
-    "q27_sliding_window",
-    "q34_lead_lag_ntile",
-    "q36_per_group_outlier_filter",
-    # ---- driver-green in r01, rotated past the 50-query window ----
+    # ---- last driver verdict r01 (33 queries): rotate into the r3 window
+    # so every registered query has a verdict <=1 round old ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -166,19 +104,79 @@ _CHECK_PRIORITY = [
     "q17_string_functions",
     "q18_multi_join_part_supplier_stats",
     "q19_disjunctive_predicate_join",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "q22_json_props_extract",
     "q24_exact_percentiles",
     "q25_cube_aggregation",
+    "q26_cohort_retention",
+    "q27_sliding_window",
     "q28_set_operations",
     "q31_grouping_sets",
     "q32_approx_distinct",
     "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q36_per_group_outlier_filter",
     "q37_running_frames",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    # core keeps (flagship + ingest acceptance) -- refresh every round
+    "r01_sparql_acceptance_count",
+    "q01_pricing_summary",
+    "d02_minhash_lsh",
+    # ---- driver-green in r02, rotated toward the tail ----
+    "r02_bgp_join_filter",
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "p01_stratified_sample",
+    "p02_curation_pipeline",
+    "p03_mixture_rebalance",
+    "m01_image_features",
+    "m02_audio_features",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "q16_conditional_agg_case",
+    "q23_funnel_signup_to_purchase",
+    "q38_approx_percentile",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d04_ngram_jaccard_blocked",
+    "d05_decontamination",
+    "s01_ann_bruteforce_topk",
+    "s02_ann_lsh_bucketed",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "t01_language_id",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t09_url_domain_stats",
+    "t10_char_entropy",
 ]
 
 
 def _apply_check_priority() -> None:
-    ordered = [n for n in _CHECK_PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _CHECK_PRIORITY]
+    ordered = [n for n in QUERIES if n not in _CHECK_PRIORITY]
+    ordered += [n for n in _CHECK_PRIORITY if n in QUERIES]
     for mapping in (QUERIES, ORACLES):
         snapshot = dict(mapping)
         mapping.clear()
