@@ -122,11 +122,11 @@ def apply_event_batch(
     # Fan the batch out to every core before the parse UDF: a micro-batch
     # is typically a handful of Kafka partitions (or one small file split),
     # so without this the Python parse runs on 1-2 tasks while the rest of
-    # the cluster idles.  The shuffle moves only the bounded batch payload
-    # (<= batch_bytes), always cheaper than single-threaded parsing.
-    parallelism = spark.sparkContext.defaultParallelism
-    if events.rdd.getNumPartitions() < parallelism:
-        events = events.repartition(parallelism)
+    # the cluster idles.  Unconditional: the shuffle moves only the bounded
+    # batch payload (<= batch_bytes), always cheaper than single-threaded
+    # parsing — and probing the current partition count would force an RDD
+    # conversion + full plan analysis on the driver every micro-batch.
+    events = events.repartition(spark.sparkContext.defaultParallelism)
     # cache: parse once, consumed by the ok branch, the bad branch, and the
     # adds/deletes actions inside commit
     parsed = parse_events(events).persist()
