@@ -1,10 +1,20 @@
 """RDF serializers: quad rows -> N-Quads / Turtle / TriG / JSON-LD /
-RDF-XML text, SELECT rows -> SPARQL results JSON.  The write-side
-complement of the parsers, used by the HTTP facade's Graph Store Protocol
-GET and query endpoints with Accept-header negotiation (the reference
-serves any registered Jena syntax through Fuseki; the grammars are the
-public W3C specs).  Every serializer round-trips through this package's
-own parser for the same syntax.
+RDF-XML text, SELECT rows -> SPARQL results JSON / XML / CSV / TSV.
+The write-side complement of the parsers, used by the HTTP facade's
+Graph Store Protocol GET and query endpoints with Accept-header
+negotiation (the reference serves any registered Jena syntax through
+Fuseki; the grammars are the public W3C specs).  Every serializer
+round-trips through this package's own parser for the same syntax.
+
+Serializers are CHUNK ITERATORS (``iter_*``): they consume an iterator
+of rows and yield text chunks, so the HTTP layer can stream a
+store-sized graph export with ``df.toLocalIterator()`` and chunked
+transfer encoding instead of ``collect()``-ing it onto the driver.
+Subject/graph grouping is over *consecutive* rows — callers sort the
+DataFrame by (graph, subject) for compact output; unsorted input still
+serializes valid (just less compact) RDF.  The ``quads_to_*`` /
+``select_to_*`` string forms are joins of the iterators, kept for
+query-sized results and tests.
 """
 
 from __future__ import annotations
@@ -42,122 +52,137 @@ def _term_nq(kind: str, value: str, datatype: str | None, lang: str | None) -> s
     return lit
 
 
-def quads_to_nquads(rows) -> str:
-    """Serialize quad rows (QUAD_COLS attribute order) as N-Quads; rows in
-    the default graph come out as triples (N-Quads allows both)."""
-    out = []
+def _runs(rows, keyfn):
+    """Group an iterator into (key, [rows]) runs of CONSECUTIVE equal keys.
+    Memory is bounded by the largest single run (one subject / one graph),
+    never the whole stream."""
+    run_key, run = None, []
+    for r in rows:
+        k = keyfn(r)
+        if run and k != run_key:
+            yield run_key, run
+            run = []
+        run_key = k
+        run.append(r)
+    if run:
+        yield run_key, run
+
+
+# ------------------------------------------------------------------ N-Quads
+def iter_nquads(rows):
+    """Quad rows (QUAD_COLS attribute order) -> N-Quads lines; rows in the
+    default graph come out as triples (N-Quads allows both).  One chunk
+    per row: streams with O(1) memory."""
     for r in rows:
         subj = f"<{r.subject}>" if not r.subject.startswith("_:") else r.subject
         term = _term_nq(r.object_kind, r.object_value, r.object_datatype, r.object_lang)
         if r.graph and r.graph != DEFAULT_GRAPH:
-            out.append(f"{subj} <{r.predicate}> {term} <{r.graph}> .")
+            yield f"{subj} <{r.predicate}> {term} <{r.graph}> .\n"
         else:
-            out.append(f"{subj} <{r.predicate}> {term} .")
-    return "\n".join(out) + ("\n" if out else "")
+            yield f"{subj} <{r.predicate}> {term} .\n"
 
 
-def quads_to_turtle(rows) -> str:
-    """Serialize quad rows as Turtle (subject-grouped ``;`` form).  Turtle
-    cannot express named graphs, so the graph column is ignored — callers
-    serialize a single graph's contents (the GSP GET case) or use TriG."""
-    by_subj: dict[str, list] = {}
-    order: list[str] = []
-    for r in rows:
-        if r.subject not in by_subj:
-            order.append(r.subject)
-            by_subj[r.subject] = []
-        by_subj[r.subject].append(r)
-    lines = []
-    for s in order:
-        subj = s if s.startswith("_:") else f"<{s}>"
+def quads_to_nquads(rows) -> str:
+    return "".join(iter_nquads(rows))
+
+
+# ------------------------------------------------------------------ Turtle
+def iter_turtle(rows):
+    """Quad rows -> Turtle (subject-grouped ``;`` form).  Turtle cannot
+    express named graphs, so the graph column is ignored — callers
+    serialize a single graph's contents (the GSP GET case) or use TriG.
+    Consecutive same-subject rows share one block."""
+    for subj_iri, run in _runs(rows, lambda r: r.subject):
+        subj = subj_iri if subj_iri.startswith("_:") else f"<{subj_iri}>"
         pairs = " ;\n    ".join(
             f"<{r.predicate}> "
             + _term_nq(r.object_kind, r.object_value, r.object_datatype, r.object_lang)
-            for r in by_subj[s]
+            for r in run
         )
-        lines.append(f"{subj} {pairs} .")
-    return "\n".join(lines) + ("\n" if lines else "")
+        yield f"{subj} {pairs} .\n"
+
+
+def quads_to_turtle(rows) -> str:
+    return "".join(iter_turtle(rows))
+
+
+# ------------------------------------------------------------------ TriG
+def iter_trig(rows):
+    """Quad rows -> TriG: default-graph triples bare, named graphs as
+    ``<g> { ... }`` blocks.  Consecutive same-graph rows share a block."""
+    for g, run in _runs(rows, lambda r: r.graph or DEFAULT_GRAPH):
+        if g == DEFAULT_GRAPH:
+            yield from iter_turtle(run)
+        else:
+            yield f"<{g}> {{\n"
+            for chunk in iter_turtle(run):
+                yield "".join(f"  {line}\n" for line in chunk.splitlines())
+            yield "}\n"
 
 
 def quads_to_trig(rows) -> str:
-    """Serialize quad rows as TriG: default-graph triples bare, named
-    graphs as ``<g> { ... }`` blocks."""
-    by_graph: dict[str, list] = {}
-    order: list[str] = []
-    for r in rows:
-        g = r.graph or DEFAULT_GRAPH
-        if g not in by_graph:
-            order.append(g)
-            by_graph[g] = []
-        by_graph[g].append(r)
-    parts = []
-    for g in order:
-        block = quads_to_turtle(by_graph[g])
-        if g == DEFAULT_GRAPH:
-            parts.append(block)
-        else:
-            indented = "".join(f"  {line}\n" for line in block.splitlines())
-            parts.append(f"<{g}> {{\n{indented}}}\n")
-    return "".join(parts)
+    return "".join(iter_trig(rows))
 
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def quads_to_jsonld(rows) -> str:
-    """Serialize quad rows as expanded-form JSON-LD: a top-level ``@graph``
-    of node objects, with named graphs as ``{"@id": g, "@graph": [...]}``.
-    Round-trips through ``parse_jsonld``."""
-
-    def term_json(r) -> dict:
+# ------------------------------------------------------------------ JSON-LD
+def _jsonld_node(subject: str, run) -> dict:
+    node: dict = {"@id": subject}
+    for r in run:
+        if r.predicate == _RDF_TYPE and r.object_kind == KIND_IRI:
+            node.setdefault("@type", []).append(r.object_value)
+            continue
         if r.object_kind == KIND_IRI or r.object_kind == KIND_BNODE:
-            return {"@id": r.object_value}
-        v: dict = {"@value": r.object_value}
-        if r.object_lang:
-            v["@language"] = r.object_lang
-        elif r.object_datatype and r.object_datatype != XSD_STRING:
-            v["@type"] = r.object_datatype
-        return v
-
-    def nodes_of(graph_rows) -> list[dict]:
-        by_subj: dict[str, dict] = {}
-        order: list[str] = []
-        for r in graph_rows:
-            node = by_subj.get(r.subject)
-            if node is None:
-                node = by_subj[r.subject] = {"@id": r.subject}
-                order.append(r.subject)
-            if r.predicate == _RDF_TYPE and r.object_kind == KIND_IRI:
-                node.setdefault("@type", []).append(r.object_value)
-            else:
-                node.setdefault(r.predicate, []).append(term_json(r))
-        return [by_subj[s] for s in order]
-
-    by_graph: dict[str, list] = {}
-    g_order: list[str] = []
-    for r in rows:
-        g = r.graph or DEFAULT_GRAPH
-        if g not in by_graph:
-            g_order.append(g)
-            by_graph[g] = []
-        by_graph[g].append(r)
-    top: list[dict] = []
-    for g in g_order:
-        if g == DEFAULT_GRAPH:
-            top.extend(nodes_of(by_graph[g]))
+            v: dict = {"@id": r.object_value}
         else:
-            top.append({"@id": g, "@graph": nodes_of(by_graph[g])})
-    return _json.dumps({"@graph": top}, indent=1)
+            v = {"@value": r.object_value}
+            if r.object_lang:
+                v["@language"] = r.object_lang
+            elif r.object_datatype and r.object_datatype != XSD_STRING:
+                v["@type"] = r.object_datatype
+        node.setdefault(r.predicate, []).append(v)
+    return node
 
 
+def iter_jsonld(rows):
+    """Quad rows -> expanded-form JSON-LD: a top-level ``@graph`` of node
+    objects, named graphs as ``{"@id": g, "@graph": [...]}``.  Streams one
+    node object per chunk; consecutive (graph, subject) rows share a node.
+    Round-trips through ``parse_jsonld``."""
+    yield '{"@graph": ['
+    first = True
+    for g, graph_run in _runs(rows, lambda r: r.graph or DEFAULT_GRAPH):
+        if g == DEFAULT_GRAPH:
+            for s, run in _runs(graph_run, lambda r: r.subject):
+                yield ("" if first else ",") + "\n" + _json.dumps(_jsonld_node(s, run))
+                first = False
+        else:
+            yield ("" if first else ",") + "\n" + '{"@id": ' + _json.dumps(g) + ', "@graph": ['
+            gfirst = True
+            for s, run in _runs(graph_run, lambda r: r.subject):
+                yield ("" if gfirst else ",") + "\n" + _json.dumps(_jsonld_node(s, run))
+                gfirst = False
+            yield "\n]}"
+            first = False
+    yield "\n]}\n"
+
+
+def quads_to_jsonld(rows) -> str:
+    return "".join(iter_jsonld(rows))
+
+
+# ------------------------------------------------------------------ RDF/XML
 _NCNAME_TAIL = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 
-def quads_to_rdfxml(rows) -> str:
-    """Serialize quad rows as RDF/XML (graph column ignored, like Turtle).
-    Predicate IRIs split into namespace + NCName local part; namespaces
-    collect into generated ``xmlns:nsN`` declarations.  Round-trips
-    through ``parse_rdfxml``."""
+def iter_rdfxml(rows):
+    """Quad rows -> RDF/XML (graph column ignored, like Turtle).  Predicate
+    IRIs split into namespace + NCName local part; each ``rdf:Description``
+    declares the ``xmlns:nsN`` prefixes it uses LOCALLY, so blocks stream
+    without a buffered whole-document namespace table.  Round-trips
+    through ``parse_rdfxml`` (ElementTree resolves per-element xmlns)."""
     from xml.sax.saxutils import escape, quoteattr
 
     def split_iri(iri: str) -> tuple[str, str]:
@@ -166,29 +191,24 @@ def quads_to_rdfxml(rows) -> str:
             raise ValueError(f"cannot derive an XML name from predicate <{iri}>")
         return iri[: m.start()], m.group(0)
 
-    namespaces: dict[str, str] = {}
+    yield (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+    )
+    for s, run in _runs(rows, lambda r: r.subject):
+        namespaces: dict[str, str] = {}
 
-    def prefix_of(ns: str) -> str:
-        if ns not in namespaces:
-            namespaces[ns] = f"ns{len(namespaces) + 1}"
-        return namespaces[ns]
+        def prefix_of(ns: str) -> str:
+            if ns not in namespaces:
+                namespaces[ns] = f"ns{len(namespaces) + 1}"
+            return namespaces[ns]
 
-    by_subj: dict[str, list] = {}
-    order: list[str] = []
-    for r in rows:
-        if r.subject not in by_subj:
-            order.append(r.subject)
-            by_subj[r.subject] = []
-        by_subj[r.subject].append(r)
-
-    body_parts: list[str] = []
-    for s in order:
         if s.startswith("_:"):
             ident = f"rdf:nodeID={quoteattr(s[2:])}"
         else:
             ident = f"rdf:about={quoteattr(s)}"
         props: list[str] = []
-        for r in by_subj[s]:
+        for r in run:
             ns, local = split_iri(r.predicate)
             tag = f"{prefix_of(ns)}:{local}"
             if r.object_kind == KIND_IRI:
@@ -205,23 +225,22 @@ def quads_to_rdfxml(rows) -> str:
                 elif r.object_datatype and r.object_datatype != XSD_STRING:
                     attrs = f" rdf:datatype={quoteattr(r.object_datatype)}"
                 props.append(f"    <{tag}{attrs}>{escape(r.object_value)}</{tag}>")
-        body_parts.append(
-            f"  <rdf:Description {ident}>\n" + "\n".join(props) + "\n  </rdf:Description>"
+        xmlns = "".join(
+            f' xmlns:{p}="{escape(ns)}"' for ns, p in namespaces.items()
         )
-
-    xmlns = "".join(
-        f'\n         xmlns:{p}="{escape(ns)}"' for ns, p in namespaces.items()
-    )
-    return (
-        '<?xml version="1.0" encoding="UTF-8"?>\n'
-        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
-        + xmlns
-        + ">\n"
-        + "\n".join(body_parts)
-        + "\n</rdf:RDF>\n"
-    )
+        yield (
+            f"  <rdf:Description {ident}{xmlns}>\n"
+            + "\n".join(props)
+            + "\n  </rdf:Description>\n"
+        )
+    yield "</rdf:RDF>\n"
 
 
+def quads_to_rdfxml(rows) -> str:
+    return "".join(iter_rdfxml(rows))
+
+
+# ------------------------------------------------------------ negotiation
 # Accept-header negotiation for graph payloads: media type -> (serializer,
 # response Content-Type).  N-Quads is the default, as on the parse side.
 GRAPH_SERIALIZERS = {
@@ -234,22 +253,71 @@ GRAPH_SERIALIZERS = {
     "application/rdf+xml": (quads_to_rdfxml, "application/rdf+xml"),
 }
 
+# Streaming variants, plus whether the syntax can express named graphs.
+# Triple-only formats (Turtle, RDF/XML, N-Triples) silently flatten a
+# multi-graph dataset — the HTTP layer refuses those for whole-dataset
+# reads (406) rather than lose graph membership without any signal.
+GRAPH_STREAMERS = {
+    "application/n-quads": (iter_nquads, "application/n-quads", True),
+    "application/n-triples": (iter_nquads, "application/n-quads", True),
+    "text/turtle": (iter_turtle, "text/turtle", False),
+    "application/turtle": (iter_turtle, "text/turtle", False),
+    "application/trig": (iter_trig, "application/trig", True),
+    "application/ld+json": (iter_jsonld, "application/ld+json", True),
+    "application/rdf+xml": (iter_rdfxml, "application/rdf+xml", False),
+}
+
+_WILDCARDS = ("*/*", "application/*", "text/*")
+
+
+def _accept_preferences(accept: str) -> list[tuple[float, int, str]]:
+    """Parse an Accept header into (q, listing_order, media_type), sorted
+    highest q first, ties broken by listing order (RFC 9110 §12.5.1)."""
+    prefs = []
+    for i, part in enumerate(accept.split(",")):
+        pieces = part.split(";")
+        mt = pieces[0].strip().lower()
+        if not mt:
+            continue
+        q = 1.0
+        for param in pieces[1:]:
+            k, _, v = param.partition("=")
+            if k.strip().lower() == "q":
+                try:
+                    q = float(v.strip())
+                except ValueError:
+                    q = 0.0
+        prefs.append((q, i, mt))
+    return sorted(prefs, key=lambda p: (-p[0], p[1]))
+
+
+def _negotiate(accept: str | None, registry: dict, default_mt: str) -> str:
+    """Pick the supported media type with the highest q-value; wildcards
+    select the default.  No supported type at q>0 -> default."""
+    if not accept:
+        return default_mt
+    for q, _, mt in _accept_preferences(accept):
+        if q <= 0:
+            continue
+        if mt in registry:
+            return mt
+        if mt in _WILDCARDS:
+            return default_mt
+    return default_mt
+
 
 def negotiate_graph_serializer(accept: str | None):
-    """Pick (serializer, content_type) from an Accept header value; first
-    recognized media type wins, anything else (or ``*/*``) -> N-Quads."""
-    default = GRAPH_SERIALIZERS["application/n-quads"]
-    if not accept:
-        return default
-    for part in accept.split(","):
-        mt = part.split(";")[0].strip().lower()
-        if mt in GRAPH_SERIALIZERS:
-            return GRAPH_SERIALIZERS[mt]
-        if mt in ("*/*", "application/*", "text/*"):
-            return default
-    return default
+    """Accept header -> (serializer, content_type); highest q-weighted
+    supported media type wins, wildcards / nothing usable -> N-Quads."""
+    return GRAPH_SERIALIZERS[_negotiate(accept, GRAPH_SERIALIZERS, "application/n-quads")]
 
 
+def negotiate_graph_streamer(accept: str | None):
+    """Accept header -> (chunk_iterator_fn, content_type, quad_capable)."""
+    return GRAPH_STREAMERS[_negotiate(accept, GRAPH_STREAMERS, "application/n-quads")]
+
+
+# ------------------------------------------------------------------ SELECT
 def _binding_json(term) -> dict:
     """Term struct row (kind/value/datatype/lang) -> SPARQL JSON binding."""
     kind = term["kind"]
@@ -266,28 +334,38 @@ def _binding_json(term) -> dict:
     return b
 
 
-def select_to_json(df) -> dict:
+def _select_rows(df):
+    """Row iterator for a SELECT result: ``toLocalIterator`` fetches one
+    partition at a time, so driver memory is bounded by a partition, not
+    the result."""
+    return df.toLocalIterator()
+
+
+def iter_select_json(df):
     """SELECT result DataFrame (one term-struct column per var) ->
-    SPARQL 1.1 Query Results JSON dict."""
+    SPARQL 1.1 Query Results JSON, one binding-object chunk per row."""
     vars_ = list(df.columns)
-    bindings = []
-    for row in df.collect():
+    yield '{"head": {"vars": ' + _json.dumps(vars_) + '}, "results": {"bindings": ['
+    first = True
+    for row in _select_rows(df):
         b = {}
         for v in vars_:
             term = row[v]
             if term is not None and term["kind"] is not None:
                 b[v] = _binding_json(term)
-        bindings.append(b)
-    return {"head": {"vars": vars_}, "results": {"bindings": bindings}}
+        yield ("" if first else ",") + "\n" + _json.dumps(b)
+        first = False
+    yield "\n]}}\n"
+
+
+def select_to_json(df) -> dict:
+    """Materialized dict form (query-sized results and tests)."""
+    return _json.loads("".join(iter_select_json(df)))
 
 
 def ask_to_json(value: bool) -> dict:
     return {"head": {}, "boolean": bool(value)}
 
-
-# ------------------------------------------------------------------ SELECT
-# results formats beyond JSON (SPARQL 1.1 Query Results XML / CSV / TSV —
-# Fuseki serves all four through content negotiation)
 
 def _xml_escape(s: str) -> str:
     return (
@@ -296,20 +374,23 @@ def _xml_escape(s: str) -> str:
     )
 
 
-def select_to_xml(df) -> str:
+def iter_select_xml(df):
     """SELECT result -> SPARQL Query Results XML (W3C REC, Fuseki's
-    application/sparql-results+xml)."""
+    application/sparql-results+xml), one <result> chunk per row."""
     vars_ = list(df.columns)
-    out = [
-        '<?xml version="1.0"?>',
-        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
-        "  <head>",
-        *(f'    <variable name="{_xml_escape(v)}"/>' for v in vars_),
-        "  </head>",
-        "  <results>",
-    ]
-    for row in df.collect():
-        out.append("    <result>")
+    yield "\n".join(
+        [
+            '<?xml version="1.0"?>',
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+            "  <head>",
+            *(f'    <variable name="{_xml_escape(v)}"/>' for v in vars_),
+            "  </head>",
+            "  <results>",
+            "",
+        ]
+    )
+    for row in _select_rows(df):
+        out = ["    <result>"]
         for v in vars_:
             term = row[v]
             if term is None or term["kind"] is None:
@@ -329,8 +410,12 @@ def select_to_xml(df) -> str:
                 body = f"<literal{attrs}>{_xml_escape(value)}</literal>"
             out.append(f'      <binding name="{_xml_escape(v)}">{body}</binding>')
         out.append("    </result>")
-    out.extend(["  </results>", "</sparql>", ""])
-    return "\n".join(out)
+        yield "\n".join(out) + "\n"
+    yield "  </results>\n</sparql>\n"
+
+
+def select_to_xml(df) -> str:
+    return "".join(iter_select_xml(df))
 
 
 def ask_to_xml(value: bool) -> str:
@@ -349,12 +434,12 @@ def _csv_field(s: str) -> str:
     return s
 
 
-def select_to_csv(df) -> str:
+def iter_select_csv(df):
     """SPARQL 1.1 CSV results: header without '?', plain lexical forms
     (IRIs bare, bnodes _:label), RFC4180 quoting, CRLF rows."""
     vars_ = list(df.columns)
-    lines = [",".join(_csv_field(v) for v in vars_)]
-    for row in df.collect():
+    yield ",".join(_csv_field(v) for v in vars_) + "\r\n"
+    for row in _select_rows(df):
         fields = []
         for v in vars_:
             term = row[v]
@@ -365,25 +450,33 @@ def select_to_csv(df) -> str:
             if term["kind"] == KIND_BNODE and not value.startswith("_:"):
                 value = f"_:{value}"
             fields.append(_csv_field(value))
-        lines.append(",".join(fields))
-    return "\r\n".join(lines) + "\r\n"
+        yield ",".join(fields) + "\r\n"
 
 
-def select_to_tsv(df) -> str:
+def select_to_csv(df) -> str:
+    return "".join(iter_select_csv(df))
+
+
+def iter_select_tsv(df):
     """SPARQL 1.1 TSV results: header keeps '?', terms in SPARQL syntax
     (IRIs <>, literals quoted with lang/datatype tags)."""
     vars_ = list(df.columns)
-    lines = ["\t".join(f"?{v}" for v in vars_)]
-    for row in df.collect():
+    yield "\t".join(f"?{v}" for v in vars_) + "\n"
+    for row in _select_rows(df):
         fields = []
         for v in vars_:
             term = row[v]
             if term is None or term["kind"] is None:
                 fields.append("")
             else:
-                fields.append(_term_nq(term["kind"], term["value"], term["datatype"], term["lang"]))
-        lines.append("\t".join(fields))
-    return "\n".join(lines) + "\n"
+                fields.append(
+                    _term_nq(term["kind"], term["value"], term["datatype"], term["lang"])
+                )
+        yield "\t".join(fields) + "\n"
+
+
+def select_to_tsv(df) -> str:
+    return "".join(iter_select_tsv(df))
 
 
 def ask_to_csv(value: bool) -> str:
@@ -398,7 +491,7 @@ def ask_to_tsv(value: bool) -> str:
 RESULTS_SERIALIZERS = {
     # content-type -> (select_fn(df) -> str, ask_fn(bool) -> str)
     "application/sparql-results+json": (
-        lambda df: _json.dumps(select_to_json(df)),
+        lambda df: "".join(iter_select_json(df)),
         lambda b: _json.dumps(ask_to_json(b)),
     ),
     "application/sparql-results+xml": (select_to_xml, ask_to_xml),
@@ -406,16 +499,28 @@ RESULTS_SERIALIZERS = {
     "text/tab-separated-values": (select_to_tsv, ask_to_tsv),
 }
 
+RESULTS_STREAMERS = {
+    # content-type -> (iter_select_fn(df) -> chunks, ask_fn(bool) -> str)
+    "application/sparql-results+json": (
+        iter_select_json,
+        lambda b: _json.dumps(ask_to_json(b)),
+    ),
+    "application/sparql-results+xml": (iter_select_xml, ask_to_xml),
+    "text/csv": (iter_select_csv, ask_to_csv),
+    "text/tab-separated-values": (iter_select_tsv, ask_to_tsv),
+}
+
+_RESULTS_DEFAULT = "application/sparql-results+json"
+
 
 def negotiate_results_serializer(accept: str | None):
-    """Accept header -> ((select_fn, ask_fn), content-type); first
-    recognized media type wins, anything else (or ``*/*``) -> JSON."""
-    default_ct = "application/sparql-results+json"
-    if accept:
-        for part in accept.split(","):
-            mt = part.split(";")[0].strip().lower()
-            if mt in RESULTS_SERIALIZERS:
-                return RESULTS_SERIALIZERS[mt], mt
-            if mt in ("*/*", "application/*"):
-                break
-    return RESULTS_SERIALIZERS[default_ct], default_ct
+    """Accept header -> ((select_fn, ask_fn), content-type); highest
+    q-weighted supported media type wins, wildcards / nothing -> JSON."""
+    mt = _negotiate(accept, RESULTS_SERIALIZERS, _RESULTS_DEFAULT)
+    return RESULTS_SERIALIZERS[mt], mt
+
+
+def negotiate_results_streamer(accept: str | None):
+    """Accept header -> ((iter_select_fn, ask_fn), content-type)."""
+    mt = _negotiate(accept, RESULTS_STREAMERS, _RESULTS_DEFAULT)
+    return RESULTS_STREAMERS[mt], mt

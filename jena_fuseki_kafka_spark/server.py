@@ -37,8 +37,9 @@ from pyspark.sql import SparkSession, functions as F
 from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
 from .rdf.content_types import parse_payload
 from .rdf.serialize import (
-    negotiate_graph_serializer,
-    negotiate_results_serializer,
+    iter_nquads,
+    negotiate_graph_streamer,
+    negotiate_results_streamer,
 )
 from .sparql import SparqlEngine
 from .sparql.ast import ConstructQuery, DescribeQuery
@@ -46,6 +47,10 @@ from .sparql.update import UpdateEngine
 from .store import QuadStore
 
 _JSON = "application/sparql-results+json"
+
+
+class NotAcceptable(Exception):
+    """Negotiated format cannot represent the requested resource (HTTP 406)."""
 
 
 class SparqlHttpServer:
@@ -88,6 +93,10 @@ class SparqlHttpServer:
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
+        # HTTP/1.1 keep-alive leaves handler threads parked in recv between
+        # requests; don't let them block shutdown
+        self._httpd.daemon_threads = True
+        self._httpd.block_on_close = False
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self._httpd.server_address[1]
@@ -105,18 +114,26 @@ class SparqlHttpServer:
 
     # ------------------------------------------------------------ operations
     def run_query(self, store: QuadStore, text: str, accept: str | None = None):
+        """Returns (content_type, chunk_iterator).  Results stream off the
+        executors via ``toLocalIterator`` — driver memory is bounded by one
+        partition, and the HTTP layer writes chunked, so a store-sized
+        CONSTRUCT or SELECT never materializes on the driver."""
         engine = SparqlEngine.from_store(self.spark, store)
         ast, result = engine.query_typed(text)
         # branch on the parsed query form, NOT result column names: a
         # SELECT projecting variables named like the quad columns must
         # still serialize as SPARQL results
         if isinstance(ast, (ConstructQuery, DescribeQuery)):
-            serialize, content_type = negotiate_graph_serializer(accept)
-            return content_type, serialize(result.collect())
-        (select_fn, ask_fn), content_type = negotiate_results_serializer(accept)
+            stream, content_type, _ = negotiate_graph_streamer(accept)
+            if stream is not iter_nquads:
+                # subject-grouped syntaxes: distributed sort, then stream
+                # consecutive runs (compact blocks, O(partition) memory)
+                result = result.orderBy("graph", "subject")
+            return content_type, stream(result.toLocalIterator())
+        (select_stream, ask_fn), content_type = negotiate_results_streamer(accept)
         if isinstance(result, bool):
-            return content_type, ask_fn(result)
-        return content_type, select_fn(result)
+            return content_type, iter((ask_fn(result),))
+        return content_type, select_stream(result)
 
     def run_update(self, store: QuadStore, text: str) -> dict:
         return UpdateEngine(self.spark, store).update(
@@ -124,13 +141,26 @@ class SparqlHttpServer:
         )
 
     def gsp_read(self, store: QuadStore, graph: str | None, accept: str | None = None):
+        """Returns (content_type, chunk_iterator).  A whole-dataset read in
+        a triple-only syntax (Turtle, RDF/XML) would silently flatten named
+        graphs into one graph — refuse with 406 and point at the quad-
+        capable formats instead (the graph= / default cases are fine: the
+        client named the one graph it wants)."""
+        stream, content_type, quad_capable = negotiate_graph_streamer(accept)
+        if graph is None and not quad_capable:
+            raise NotAcceptable(
+                f"{content_type} cannot represent a multi-graph dataset; "
+                "request ?graph=<iri> / ?default, or Accept a quad format "
+                "(application/n-quads, application/trig, application/ld+json)"
+            )
         df = store.read(self.spark)
         if graph == "default":
             df = df.filter(F.col("graph") == DEFAULT_GRAPH)
         elif graph:
             df = df.filter(F.col("graph") == graph)
-        serialize, content_type = negotiate_graph_serializer(accept)
-        return content_type, serialize(df.collect())
+        if stream is not iter_nquads:
+            df = df.orderBy("graph", "subject")
+        return content_type, stream(df.toLocalIterator())
 
     def gsp_write(self, store: QuadStore, body: bytes, content_type: str | None, graph: str | None, replace: bool):
         # fresh bnode scope per request: two uploads both saying _:b1
@@ -172,6 +202,11 @@ class SparqlHttpServer:
 
 def _make_handler(server: SparqlHttpServer):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so streamed responses can use chunked transfer encoding
+        # (every response sends Content-Length or Transfer-Encoding, as the
+        # protocol requires for persistent connections)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -183,6 +218,35 @@ def _make_handler(server: SparqlHttpServer):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _send_stream(self, code: int, content_type: str, chunks):
+            """Stream an iterator of text chunks as a chunked response.
+            Chunks coalesce to ~64 KiB wire writes; at no point does the
+            full payload exist in driver memory."""
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode("ascii"))
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            buf: list[bytes] = []
+            size = 0
+            for chunk in chunks:
+                data = chunk.encode("utf-8")
+                if not data:
+                    continue
+                buf.append(data)
+                size += len(data)
+                if size >= 65536:
+                    emit(b"".join(buf))
+                    buf, size = [], 0
+            if buf:
+                emit(b"".join(buf))
+            self.wfile.write(b"0\r\n\r\n")
 
         def _error(self, code: int, msg: str):
             self._send(code, "text/plain", msg + "\n")
@@ -217,10 +281,12 @@ def _make_handler(server: SparqlHttpServer):
                 return self._run_query(store, q)
             if op == "data":
                 try:
-                    ct, body = server.gsp_read(
+                    ct, chunks = server.gsp_read(
                         store, self._graph_param(qs), self.headers.get("Accept")
                     )
-                    return self._send(200, ct, body)
+                    return self._send_stream(200, ct, chunks)
+                except NotAcceptable as e:
+                    return self._error(406, str(e))
                 except Exception as e:  # pragma: no cover - defensive
                     return self._error(500, str(e))
             return self._error(404, "unknown endpoint")
@@ -287,10 +353,10 @@ def _make_handler(server: SparqlHttpServer):
         # ---------------------------------------------------- helpers
         def _run_query(self, store, q: str):
             try:
-                content_type, payload = server.run_query(
+                content_type, chunks = server.run_query(
                     store, q, self.headers.get("Accept")
                 )
-                return self._send(200, content_type, payload)
+                return self._send_stream(200, content_type, chunks)
             except RdfParseError as e:
                 return self._error(400, str(e))
 

@@ -344,3 +344,75 @@ class TestMultiDataset:
             assert code == 404
         finally:
             srv.stop()
+
+
+class TestStreamingServe:
+    """Store-sized exports must stream: the serve path never collect()s a
+    result onto the driver (it iterates partitions via toLocalIterator and
+    writes chunked), and triple-only formats refuse whole-dataset reads
+    rather than silently flattening named graphs."""
+
+    G = quote(EX + "streamgraph", safe="")
+
+    def test_serve_path_never_collects(self, server, monkeypatch):
+        ttl = b'@prefix ex: <http://example.org/> . ex:sg1 ex:p "a" . ex:sg2 ex:p "b" .'
+        code, _, _ = req(f"{server}/data?graph={self.G}", "PUT", ttl, "text/turtle")
+        assert code == 200
+
+        from pyspark.sql import DataFrame
+
+        calls = []
+        orig = DataFrame.collect
+
+        def tracking(self_df):
+            calls.append(1)
+            return orig(self_df)
+
+        monkeypatch.setattr(DataFrame, "collect", tracking)
+        # GSP GET (nquads + turtle), SELECT, CONSTRUCT — all streamed
+        code, _, body = req(f"{server}/data?graph={self.G}")
+        assert code == 200 and body.count("\n") == 2
+        code, _, body = req(f"{server}/data?graph={self.G}", accept="text/turtle")
+        assert code == 200 and "<http://example.org/sg1>" in body
+        q = (
+            "SELECT ?s ?o WHERE { GRAPH <http://example.org/streamgraph>"
+            " { ?s <http://example.org/p> ?o } }"
+        ).encode()
+        code, _, body = req(f"{server}/query", "POST", q, "application/sparql-query")
+        assert code == 200 and len(json.loads(body)["results"]["bindings"]) == 2
+        c = (
+            "CONSTRUCT { ?s <http://example.org/made> ?o } WHERE {"
+            " GRAPH <http://example.org/streamgraph>"
+            " { ?s <http://example.org/p> ?o } }"
+        ).encode()
+        code, _, body = req(f"{server}/query", "POST", c, "application/sparql-query")
+        assert code == 200 and body.count("made") == 2
+        assert calls == [], f"serve path collect()ed {len(calls)} time(s)"
+
+    def test_responses_are_chunked(self, server):
+        r = urllib.request.Request(f"{server}/data?graph={self.G}")
+        with urllib.request.urlopen(r) as resp:
+            assert resp.headers.get("Transfer-Encoding") == "chunked"
+            assert resp.headers.get("Content-Length") is None
+
+    def test_whole_dataset_triple_only_is_406(self, server):
+        for accept in ("text/turtle", "application/rdf+xml"):
+            code, _, body = req(f"{server}/data", accept=accept)
+            assert code == 406, (accept, code)
+            assert "quad" in body
+        # quad-capable formats serve the whole dataset fine
+        for accept in (None, "application/trig", "application/ld+json"):
+            code, _, _ = req(f"{server}/data", accept=accept)
+            assert code == 200, (accept, code)
+        # and a named graph still serializes to turtle
+        code, _, _ = req(f"{server}/data?graph={self.G}", accept="text/turtle")
+        assert code == 200
+
+    def test_results_negotiation_honors_q_values(self, server):
+        q = b"SELECT ?o WHERE { ?s <http://example.org/p> ?o }"
+        # ADVICE example: low-q csv listed first must not beat high-q xml
+        code, ct, _ = req(
+            f"{server}/query", "POST", q, "application/sparql-query",
+            accept="text/csv;q=0.1, application/sparql-results+xml;q=0.9",
+        )
+        assert code == 200 and ct.startswith("application/sparql-results+xml")

@@ -435,8 +435,21 @@ class TestSerializerRoundTrips:
         assert negotiate_graph_serializer(None)[0] is quads_to_nquads
         assert negotiate_graph_serializer("*/*")[0] is quads_to_nquads
         assert negotiate_graph_serializer("text/turtle")[0] is quads_to_turtle
+        # q-values rank (RFC 9110 12.5.1): implicit q=1.0 beats q=0.9
+        # regardless of listing order
         assert negotiate_graph_serializer(
             "application/ld+json;q=0.9, text/turtle"
+        )[0] is quads_to_turtle
+        assert negotiate_graph_serializer(
+            "text/turtle;q=0.1, application/ld+json;q=0.9"
+        )[0] is quads_to_jsonld
+        # ties break by listing order
+        assert negotiate_graph_serializer(
+            "application/ld+json;q=0.5, text/turtle;q=0.5"
+        )[0] is quads_to_jsonld
+        # q=0 means "never" — fall through to the next acceptable type
+        assert negotiate_graph_serializer(
+            "text/turtle;q=0, application/ld+json"
         )[0] is quads_to_jsonld
         assert negotiate_graph_serializer("application/weird")[0] is quads_to_nquads
 
