@@ -197,36 +197,83 @@ def s02(spark, sf_dir):
     )
 
 
+N_PROBE = 2
+CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
+
+
 @query(
     "s03_embedding_near_dup",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {NEAR_DUP_COSINE}
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    cell AS (
+      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+      )
+    ),
+    blocks AS (SELECT vec_id, embedding, cid FROM cell WHERE crk <= {N_PROBE}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM blocks a JOIN blocks b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND({_COS_SQL.format(a='ea', b='eb')}, 4) AS cosine
+    FROM pairs
+    WHERE {_COS_SQL.format(a='ea', b='eb')} >= {NEAR_DUP_COSINE}
     ORDER BY vec_a, vec_b
     """,
 )
 def s03(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by cluster label
-    (at scale the label comes from coarse quantization / k-means; here the
-    table ships one)."""
+    """Embedding-cosine near-duplicate pairs, blocked by the SAME coarse
+    quantizer s04's IVF index uses: every vector lands in its N_PROBE
+    nearest cells (multi-probe catches pairs straddling one boundary),
+    candidate pairs come from a cell-id EQUI-join, and only candidates pay
+    the exact cosine.  Block size is bounded by cell population (~n /
+    (n/{CENTROID_MOD}) = {CENTROID_MOD} x {N_PROBE} expected members), not
+    by the cardinality of a data-supplied label column — the unbounded-
+    block failure the previous label-blocked version had at scale."""
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    blocks = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= N_PROBE)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    a = blocks.select(
+        F.col("vec_id").alias("vec_a"), F.col("cid"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = blocks.select(
+        F.col("vec_id").alias("vec_b"), F.col("cid"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
     cos = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "label")
+        a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        # a pair sharing BOTH probed cells appears twice -> dedup on ids
+        # BEFORE paying the exact cosine
+        .dropDuplicates(["vec_a", "vec_b"])
         .filter(cos >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
-
-
-N_PROBE = 2
-CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
 
 
 @query(

@@ -66,6 +66,21 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "CartesianProduct" not in p, p
 
+    def test_s03_pair_candidates_ride_cell_equi_join(self, spark):
+        # near-dup candidates come from an equi-join on IVF cell id; the
+        # only cross joins are the centroid-assignment scans against the
+        # BROADCAST centroid set (bounded by k, never row x row)
+        p = plan(spark, "s03_embedding_near_dup")
+        assert "CartesianProduct" not in p, p
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+            "BroadcastHashJoin" in p
+        ), p
+        import re as _re
+
+        # every nested-loop node must be a broadcast cross (centroids)
+        for m in _re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", p):
+            assert m.group(1) == "Cross" and m.group(2).startswith("Build"), p
+
 
 class TestAggregation:
     def test_q01_partial_aggregation(self, spark):
