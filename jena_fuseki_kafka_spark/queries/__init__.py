@@ -83,48 +83,12 @@ from . import multimodal_surface  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # implementation changed this round (r3) -> must re-verify first
+    # NEW this round (r4): the non-vacuous near-dup gate (VERDICT r3 item 1)
+    "s03b_embedding_near_dup_lowt",
+    # implementation refactored this round (shared _near_dup core) -> re-verify
     "s03_embedding_near_dup",
-    # ---- last driver verdict r01 (33 queries): rotate into the r3 window
+    # ---- last driver verdict r02 (33 queries): rotate into the r4 window
     # so every registered query has a verdict <=1 round old ----
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q18_multi_join_part_supplier_stats",
-    "q19_disjunctive_predicate_join",
-    "q20_tumbling_window_hourly",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q24_exact_percentiles",
-    "q25_cube_aggregation",
-    "q26_cohort_retention",
-    "q27_sliding_window",
-    "q28_set_operations",
-    "q31_grouping_sets",
-    "q32_approx_distinct",
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q36_per_group_outlier_filter",
-    "q37_running_frames",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    # core keeps (flagship + ingest acceptance) -- refresh every round
-    "r01_sparql_acceptance_count",
-    "q01_pricing_summary",
-    "d02_minhash_lsh",
-    # ---- driver-green in r02, rotated toward the tail ----
     "r02_bgp_join_filter",
     "r03_graph_quantification",
     "r04_sparql_engine_group_by",
@@ -171,6 +135,44 @@ _CHECK_PRIORITY = [
     "t08_pii_scrub",
     "t09_url_domain_stats",
     "t10_char_entropy",
+    # core keeps (flagship + ingest acceptance) -- refresh every round
+    "r01_sparql_acceptance_count",
+    "q01_pricing_summary",
+    "d02_minhash_lsh",
+    # ---- driver-green in r03, rotated toward the tail ----
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q24_exact_percentiles",
+    "q25_cube_aggregation",
+    "q26_cohort_retention",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q31_grouping_sets",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q36_per_group_outlier_filter",
+    "q37_running_frames",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
 ]
 
 

@@ -201,9 +201,8 @@ N_PROBE = 2
 CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
 
 
-@query(
-    "s03_embedding_near_dup",
-    oracle=f"""
+def _near_dup_oracle(threshold: float) -> str:
+    return f"""
     WITH c AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
       WHERE vec_id % {CENTROID_MOD} = 0
@@ -227,11 +226,12 @@ CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
     SELECT vec_a, vec_b,
            ROUND({_COS_SQL.format(a='ea', b='eb')}, 4) AS cosine
     FROM pairs
-    WHERE {_COS_SQL.format(a='ea', b='eb')} >= {NEAR_DUP_COSINE}
+    WHERE {_COS_SQL.format(a='ea', b='eb')} >= {threshold}
     ORDER BY vec_a, vec_b
-    """,
-)
-def s03(spark, sf_dir):
+    """
+
+
+def _near_dup(spark, sf_dir, threshold: float):
     """Embedding-cosine near-duplicate pairs, blocked by the SAME coarse
     quantizer s04's IVF index uses: every vector lands in its N_PROBE
     nearest cells (multi-probe catches pairs straddling one boundary),
@@ -270,10 +270,30 @@ def s03(spark, sf_dir):
         # a pair sharing BOTH probed cells appears twice -> dedup on ids
         # BEFORE paying the exact cosine
         .dropDuplicates(["vec_a", "vec_b"])
-        .filter(cos >= NEAR_DUP_COSINE)
+        .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("s03_embedding_near_dup", oracle=_near_dup_oracle(NEAR_DUP_COSINE))
+def s03(spark, sf_dir):
+    """Near-dup pairs at the production 0.95 threshold (see _near_dup)."""
+    return _near_dup(spark, sf_dir, NEAR_DUP_COSINE)
+
+
+LOW_T_COSINE = 0.30  # testdata embeddings are near-orthogonal: 0.95 yields
+# zero pairs at sf<=0.1, making the driver gate vacuous (0 rows == 0 rows).
+# The lowered-threshold variant forces the whole pipeline — quantizer,
+# multi-probe blocking, pair dedup, exact cosine — to produce and match a
+# NON-EMPTY result set (611 rows at sf0.01), so the standing driver
+# evidence actually exercises the operator.
+
+
+@query("s03b_embedding_near_dup_lowt", oracle=_near_dup_oracle(LOW_T_COSINE))
+def s03b(spark, sf_dir):
+    """Non-vacuous near-dup gate: same pipeline as s03 at threshold 0.30."""
+    return _near_dup(spark, sf_dir, LOW_T_COSINE)
 
 
 @query(
