@@ -93,6 +93,12 @@ class ConnectorConfig:
         self.kafka_properties = {
             k: interpolate_env(f"kafka_properties.{k}", v) for k, v in self.kafka_properties.items()
         }
+        # secured-cluster bundles (SASL/SSL/mTLS) fail fast here, not at
+        # stream start (ref DockerTestSecureKafka.java:22 and friends run
+        # e2e against secured clusters; see config/security.py)
+        from .security import validate_kafka_security
+
+        validate_kafka_security(self.kafka_properties, self.name)
         # invariants
         if not self.topics:
             raise ConfigError(f"connector {self.name!r}: at least one topic is required")
@@ -135,6 +141,13 @@ class ConnectorConfig:
             doc = json.load(f)
         items = doc["connectors"] if isinstance(doc, dict) else doc
         return [cls.from_dict(c) for c in items]
+
+    def redacted_properties(self) -> dict:
+        """``kafka_properties`` with secret values masked — the only form
+        that may appear in ``Engine.status()``, logs, or error text."""
+        from .security import redact_properties
+
+        return redact_properties(self.kafka_properties)
 
     def starting_offsets(self) -> str:
         """Map the reference's read policy (FKS.java:105-114) to Spark's

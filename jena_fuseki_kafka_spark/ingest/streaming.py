@@ -152,7 +152,7 @@ class IngestStream:
                 f"connector {self.conn.name!r}: malformed events and no DLQ configured"
             )
 
-    def start(self, trigger_available_now: bool = False):
+    def start(self, trigger_available_now: bool = False, processing_time: str = "10 seconds"):
         source = self._resolve_source()
         checkpoint = self.conn.state_dir or os.path.join(self.store.path, "_checkpoint")
         writer = (
@@ -163,7 +163,9 @@ class IngestStream:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         else:
-            writer = writer.trigger(processingTime="10 seconds")  # FKConst poll cadence
+            # default cadence mirrors the reference's poll loop (FKConst);
+            # tests shrink it to exercise stall/resume quickly
+            writer = writer.trigger(processingTime=processing_time)
         self.query = writer.start()
         return self.query
 

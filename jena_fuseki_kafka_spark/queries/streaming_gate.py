@@ -38,6 +38,10 @@ def _stream_events(spark, sf_dir: str) -> DataFrame:
     for field in stream.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # watermarks require TIMESTAMP, not TIMESTAMP_NTZ (Spark 4
+            # parquet inference); session tz is UTC so the cast is identity
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -148,7 +148,11 @@ def q30(spark, sf_dir):
     would pick BroadcastNestedLoopJoin and die at scale)."""
     ev = load(spark, sf_dir, "events")
     W = WINDOW_SECONDS
-    bucket = (F.col("ts").cast("long") / W).cast("long")
+    # ts may arrive as TIMESTAMP_NTZ (Spark 4 parquet inference), which
+    # cannot cast straight to long; route through TIMESTAMP first.  Any
+    # epoch-linear mapping works — the bucket is only a candidate key and
+    # the residual filter below compares the real timestamps.
+    bucket = (F.col("ts").cast("timestamp").cast("long") / W).cast("long")
 
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("user_id"),

@@ -293,6 +293,8 @@ class TestTurtleConfigLoader:
         # file overrides inline within a level (assembler :293-295)
         (tmp_path / "kafka.properties").write_text(
             "# comment\nsecurity.protocol=SASL_SSL\nsasl.mechanism=PLAIN\n"
+            "sasl.jaas.config=org.apache.kafka.common.security.plain.PlainLoginModule"
+            ' required username="u" password="p";\n'
         )
         ttl = """
         PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
@@ -344,3 +346,192 @@ class TestTurtleConfigLoader:
         p.write_text(ttl)
         with pytest.raises(ConfigError, match="bootstrap"):
             load_turtle_config(str(p))
+
+
+class TestKafkaSecurity:
+    """Secured-cluster config bundles must validate at config time and
+    never leak secrets (ref DockerTestSecureKafka.java:22,
+    DockerTestMutualTlsKafka.java:22, README.md:305-315)."""
+
+    JAAS = (
+        'org.apache.kafka.common.security.plain.PlainLoginModule required '
+        'username="alice" password="alice-secret";'
+    )
+
+    def sasl_ssl(self, tmp_path, **extra):
+        ts = tmp_path / "truststore.jks"
+        ts.write_bytes(b"\xfe\xed\xfe\xed")
+        props = {
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "PLAIN",
+            "sasl.jaas.config": self.JAAS,
+            "ssl.truststore.location": str(ts),
+            "ssl.truststore.password": "ts-pass",
+        }
+        props.update(extra)
+        return props
+
+    def mtls(self, tmp_path, **extra):
+        ts = tmp_path / "truststore.jks"
+        ks = tmp_path / "keystore.jks"
+        ts.write_bytes(b"\xfe\xed\xfe\xed")
+        ks.write_bytes(b"\xfe\xed\xfe\xed")
+        props = {
+            "security.protocol": "SSL",
+            "ssl.truststore.location": str(ts),
+            "ssl.truststore.password": "ts-pass",
+            "ssl.keystore.location": str(ks),
+            "ssl.keystore.password": "ks-pass",
+            "ssl.key.password": "key-pass",
+        }
+        props.update(extra)
+        return props
+
+    # ---- valid bundles pass at config time -----------------------------
+    def test_sasl_ssl_bundle_ok(self, tmp_path):
+        c = conn(kafka_properties=self.sasl_ssl(tmp_path))
+        assert c.kafka_properties["sasl.mechanism"] == "PLAIN"
+
+    def test_mtls_bundle_ok(self, tmp_path):
+        c = conn(kafka_properties=self.mtls(tmp_path))
+        assert c.kafka_properties["security.protocol"] == "SSL"
+
+    def test_scram_bundle_ok(self, tmp_path):
+        jaas = (
+            'org.apache.kafka.common.security.scram.ScramLoginModule required '
+            'username="u" password="p";'
+        )
+        c = conn(kafka_properties={
+            "security.protocol": "SASL_PLAINTEXT",
+            "sasl.mechanism": "SCRAM-SHA-512",
+            "sasl.jaas.config": jaas,
+        })
+        assert c.kafka_properties["sasl.mechanism"] == "SCRAM-SHA-512"
+
+    def test_gssapi_without_jaas_ok(self):
+        # Kerberos configures via krb5/jaas files, not inline jaas
+        conn(kafka_properties={
+            "security.protocol": "SASL_PLAINTEXT",
+            "sasl.mechanism": "GSSAPI",
+        })
+
+    # ---- fail-fast cases ------------------------------------------------
+    def test_unknown_protocol(self):
+        with pytest.raises(ConfigError, match="security.protocol"):
+            conn(kafka_properties={"security.protocol": "TLSv9"})
+
+    def test_sasl_without_mechanism(self):
+        with pytest.raises(ConfigError, match="sasl.mechanism"):
+            conn(kafka_properties={"security.protocol": "SASL_PLAINTEXT"})
+
+    def test_plain_mechanism_without_jaas(self):
+        with pytest.raises(ConfigError, match="sasl.jaas.config"):
+            conn(kafka_properties={
+                "security.protocol": "SASL_PLAINTEXT",
+                "sasl.mechanism": "PLAIN",
+            })
+
+    def test_malformed_jaas_missing_semicolon(self, tmp_path):
+        bad = self.sasl_ssl(
+            tmp_path,
+            **{"sasl.jaas.config":
+               'org.apache.kafka.common.security.plain.PlainLoginModule required username="u"'}
+        )
+        with pytest.raises(ConfigError, match="malformed sasl.jaas.config"):
+            conn(kafka_properties=bad)
+
+    def test_malformed_jaas_missing_control_flag(self, tmp_path):
+        bad = self.sasl_ssl(
+            tmp_path,
+            **{"sasl.jaas.config":
+               'org.apache.kafka.common.security.plain.PlainLoginModule username="u";'}
+        )
+        with pytest.raises(ConfigError, match="malformed sasl.jaas.config"):
+            conn(kafka_properties=bad)
+
+    def test_jaas_error_does_not_echo_credentials(self, tmp_path):
+        bad = self.sasl_ssl(
+            tmp_path,
+            **{"sasl.jaas.config": 'Broken hunter2-password-value'}
+        )
+        with pytest.raises(ConfigError) as ei:
+            conn(kafka_properties=bad)
+        assert "hunter2" not in str(ei.value)
+
+    def test_missing_truststore_file(self, tmp_path):
+        props = self.sasl_ssl(tmp_path)
+        props["ssl.truststore.location"] = str(tmp_path / "nope.jks")
+        with pytest.raises(ConfigError, match="ssl.truststore.location"):
+            conn(kafka_properties=props)
+
+    def test_missing_keystore_file(self, tmp_path):
+        props = self.mtls(tmp_path)
+        props["ssl.keystore.location"] = str(tmp_path / "nope.jks")
+        with pytest.raises(ConfigError, match="ssl.keystore.location"):
+            conn(kafka_properties=props)
+
+    def test_truststore_password_without_location(self):
+        with pytest.raises(ConfigError, match="ssl.truststore.password"):
+            conn(kafka_properties={
+                "security.protocol": "SSL",
+                "ssl.truststore.password": "p",
+            })
+
+    def test_keystore_password_without_location(self, tmp_path):
+        props = self.mtls(tmp_path)
+        del props["ssl.keystore.location"]
+        with pytest.raises(ConfigError, match="ssl.keystore"):
+            conn(kafka_properties=props)
+
+    def test_sasl_props_on_plaintext(self):
+        with pytest.raises(ConfigError, match="sasl"):
+            conn(kafka_properties={"sasl.mechanism": "PLAIN"})
+
+    def test_ssl_props_on_plaintext(self, tmp_path):
+        ts = tmp_path / "t.jks"
+        ts.write_bytes(b"x")
+        with pytest.raises(ConfigError, match="ssl"):
+            conn(kafka_properties={"ssl.truststore.location": str(ts)})
+
+    # ---- env-interpolated secrets --------------------------------------
+    def test_env_interpolated_secret(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("KS_PASS", "s3cr3t-from-env")
+        props = self.mtls(tmp_path, **{"ssl.keystore.password": "env:{KS_PASS}"})
+        c = conn(kafka_properties=props)
+        assert c.kafka_properties["ssl.keystore.password"] == "s3cr3t-from-env"
+        assert c.redacted_properties()["ssl.keystore.password"] == "*****"
+
+    def test_env_interpolated_secret_unset_errors(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("KS_PASS", raising=False)
+        props = self.mtls(tmp_path, **{"ssl.keystore.password": "env:{KS_PASS}"})
+        with pytest.raises(ConfigError, match="KS_PASS"):
+            conn(kafka_properties=props)
+
+    # ---- redaction ------------------------------------------------------
+    def test_redacted_properties_masks_all_secrets(self, tmp_path):
+        c = conn(kafka_properties=self.sasl_ssl(tmp_path))
+        red = c.redacted_properties()
+        assert red["sasl.jaas.config"] == "*****"
+        assert red["ssl.truststore.password"] == "*****"
+        # non-secrets survive for diagnostics
+        assert red["security.protocol"] == "SASL_SSL"
+        assert red["sasl.mechanism"] == "PLAIN"
+        assert "alice-secret" not in str(red)
+
+    def test_engine_status_redacts(self, tmp_path):
+        from jena_fuseki_kafka_spark.lifecycle import Engine
+
+        props = self.mtls(tmp_path)
+        c = conn(
+            kafka_properties=props,
+            dataset=str(tmp_path / "ds"),
+            bootstrap_servers="broker:9093",
+        )
+        eng = Engine(spark=None)
+        eng.add_connector(c)
+        status = eng.status()
+        text = repr(status)
+        for secret in ("ts-pass", "ks-pass", "key-pass"):
+            assert secret not in text
+        assert status["c1"]["kafka_properties"]["ssl.keystore.password"] == "*****"
+        assert status["c1"]["kafka_properties"]["security.protocol"] == "SSL"

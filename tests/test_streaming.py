@@ -118,6 +118,76 @@ class TestFileStreamIngest:
             stream.run_available()
 
 
+class TestStalledSource:
+    """A9 stall-handler contract, mirroring the reference's Toxiproxy delay
+    suite (DockerTestKafkaDelays.java:146-226): a source that goes silent
+    must not crash the connector or corrupt the store, and data arriving
+    after the stall must land exactly once.  Kafka+Toxiproxy is replaced by
+    the file-source twin — silence is simply no new files across several
+    live triggers."""
+
+    def _await(self, cond, timeout_s=60, interval_s=0.25):
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if cond():
+                return True
+            time.sleep(interval_s)
+        return False
+
+    def test_stall_mid_run_then_resume_no_loss_no_crash(self, spark, tmp_path, events_dir):
+        import time
+
+        conn = make_conn(tmp_path)
+        store = QuadStore(conn.dataset)
+        stream = IngestStream(spark, conn, store=store, source=file_stream(spark, events_dir))
+
+        write_events(spark, events_dir, [ev(f'<http://e/s{i}> <http://e/p> "a" .', i) for i in range(3)])
+        q = stream.start(processing_time="250 milliseconds")
+        try:
+            assert self._await(lambda: store.count(spark) == 3), "initial data never landed"
+
+            # --- stall: no new data across many trigger intervals ---------
+            v_stalled = store.version
+            time.sleep(2.0)  # ~8 empty triggers at 250ms
+            assert q.isActive, "query died during source silence"
+            assert q.exception() is None
+            # txn boundary respected at the stall: nothing committed, no
+            # partial state, counts exact (timeout-no-crash, ref :177-216)
+            assert store.version == v_stalled
+            assert store.count(spark) == 3
+
+            # --- late data arrives (latency-data-arrives, ref :222-226) ---
+            write_events(spark, events_dir, [ev('<http://e/late> <http://e/p> "b" .', 99)])
+            assert self._await(lambda: store.count(spark) == 4), "late data never landed"
+            assert q.isActive and q.exception() is None
+        finally:
+            stream.stop()
+        # exactly-once accounting across the stall
+        assert stream.metrics["adds"] == 4
+        assert stream.metrics["dlq"] == 0
+
+    def test_source_silent_from_start_loads_nothing_and_stays_up(
+        self, spark, tmp_path, events_dir
+    ):
+        import time
+
+        conn = make_conn(tmp_path)
+        store = QuadStore(conn.dataset)
+        stream = IngestStream(spark, conn, store=store, source=file_stream(spark, events_dir))
+        q = stream.start(processing_time="250 milliseconds")
+        try:
+            time.sleep(1.5)
+            # the reference's givenTimeoutProxy case: nothing consumed, no
+            # crash, server keeps answering with zero data
+            assert q.isActive and q.exception() is None
+            assert store.count(spark) == 0
+            assert stream.metrics["batches"] == 0
+        finally:
+            stream.stop()
+
+
 class TestEngineLifecycle:
     def test_engine_two_connectors_two_datasets(self, spark, tmp_path):
         # DockerTestConfigFK two-connector/two-dataset shape
