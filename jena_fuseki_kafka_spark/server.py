@@ -178,14 +178,19 @@ class SparqlHttpServer:
         if replace:
             deletes = store.read(self.spark).filter(F.col("graph") == target)
         store.commit(
-            self.spark, adds=adds, deletes=deletes, txn_id=self._next_txn("gsp")
+            self.spark, adds=adds, deletes=deletes, txn_id=self._next_txn("gsp"),
+            # a replaced graph is store-sized: shuffle, never broadcast
+            broadcast_deletes=deletes is None,
         )
         return len(rows)
 
     def gsp_delete(self, store: QuadStore, graph: str | None):
         target = DEFAULT_GRAPH if graph in (None, "default") else graph
         deletes = store.read(self.spark).filter(F.col("graph") == target)
-        store.commit(self.spark, deletes=deletes, txn_id=self._next_txn("gsp-del"))
+        store.commit(
+            self.spark, deletes=deletes, txn_id=self._next_txn("gsp-del"),
+            broadcast_deletes=False,
+        )
 
     def apply_patch(self, store: QuadStore, body: bytes, content_type: str | None):
         ops = parse_payload(body, content_type or "application/rdf-patch")

@@ -221,10 +221,55 @@ class _UpdateParser(SparqlParser):
         return out
 
 
+def _pattern_is_constrained(pattern) -> bool:
+    """Heuristic: is a Modify/DELETE WHERE pattern's binding set bounded by
+    the request (constants/filters narrow it) rather than store-sized?
+
+    ``DELETE WHERE { ?s ?p ?o }`` (and the GRAPH ?g variant) binds every
+    quad in the store — broadcasting quads built from those bindings is a
+    driver/executor OOM at scale, so the caller must route them through a
+    shuffle join instead.  Any constant term, FILTER, VALUES, or MINUS
+    narrows the result enough to call it request-sized; unknown node types
+    default to unconstrained (the safe join strategy).
+    """
+    from .ast import (
+        BGP, Filter, GraphPattern, Join, LeftJoin, Minus, SubSelect, Union,
+        ValuesPattern,
+    )
+
+    if isinstance(pattern, BGP):
+        return any(
+            t is not None and t[0] != "var"
+            for (s, p, o, g) in pattern.triples
+            for t in (s, p, o, g)
+        )
+    if isinstance(pattern, GraphPattern):
+        return pattern.graph[0] != "var" or _pattern_is_constrained(pattern.pattern)
+    if isinstance(pattern, Join):
+        # a join narrows to the more selective side
+        return _pattern_is_constrained(pattern.left) or _pattern_is_constrained(
+            pattern.right
+        )
+    if isinstance(pattern, LeftJoin):
+        return _pattern_is_constrained(pattern.left)  # OPTIONAL never narrows
+    if isinstance(pattern, Union):
+        return _pattern_is_constrained(pattern.left) and _pattern_is_constrained(
+            pattern.right
+        )
+    if isinstance(pattern, (Filter, Minus)):
+        return True
+    if isinstance(pattern, (ValuesPattern, SubSelect)):
+        return True
+    return False
+
+
 class UpdateEngine:
     def __init__(self, spark: SparkSession, store: QuadStore):
         self.spark = spark
         self.store = store
+        # strategy chosen for the most recent update()'s final commit —
+        # exposed for tests/observability of the broadcast gate
+        self.last_commit_broadcast: dict[str, bool] = {"adds": True, "deletes": True}
 
     # ------------------------------------------------------------ update
     def update(self, text: str, txn_id: str | None = None) -> dict:
@@ -238,31 +283,40 @@ class UpdateEngine:
         base = self.store.read(self.spark)
         pending_adds: DataFrame | None = None
         pending_dels: DataFrame | None = None
+        # broadcast gate: True while every contribution to the pending set
+        # is request-sized (constants, loaded documents, constrained
+        # patterns).  CLEAR/DROP, whole-graph ADD/COPY/MOVE, and
+        # unconstrained DELETE WHERE flip the flag — those sets are
+        # store-sized and must ride shuffle joins, never a broadcast.
+        adds_bounded = True
+        dels_bounded = True
 
         def view() -> DataFrame:
             v = base
             if pending_dels is not None:
-                v = _anti_join_quads(v, pending_dels, broadcast_right=True)
+                v = _anti_join_quads(v, pending_dels, broadcast_right=dels_bounded)
             if pending_adds is not None:
                 v = v.unionByName(pending_adds).dropDuplicates(QUAD_COLS)
             return v
 
-        def do_insert(df: DataFrame) -> None:
-            nonlocal pending_adds, pending_dels
+        def do_insert(df: DataFrame, bounded: bool = True) -> None:
+            nonlocal pending_adds, pending_dels, adds_bounded
             df = df.select(*QUAD_COLS)
             if pending_dels is not None:
-                pending_dels = _anti_join_quads(pending_dels, df, broadcast_right=True)
+                pending_dels = _anti_join_quads(pending_dels, df, broadcast_right=bounded)
+            adds_bounded = adds_bounded and bounded
             pending_adds = (
                 df
                 if pending_adds is None
                 else pending_adds.unionByName(df).dropDuplicates(QUAD_COLS)
             )
 
-        def do_delete(df: DataFrame) -> None:
-            nonlocal pending_adds, pending_dels
+        def do_delete(df: DataFrame, bounded: bool = True) -> None:
+            nonlocal pending_adds, pending_dels, dels_bounded
             df = df.select(*QUAD_COLS)
             if pending_adds is not None:
-                pending_adds = _anti_join_quads(pending_adds, df, broadcast_right=True)
+                pending_adds = _anti_join_quads(pending_adds, df, broadcast_right=bounded)
+            dels_bounded = dels_bounded and bounded
             pending_dels = (
                 df
                 if pending_dels is None
@@ -285,7 +339,7 @@ class UpdateEngine:
                     cond = F.lit(True)
                 else:
                     cond = F.col("graph") == target
-                do_delete(view().filter(cond))
+                do_delete(view().filter(cond), bounded=False)
             elif kind == "load":
                 silent, src, into = op[1], op[2], op[3]
                 try:
@@ -311,10 +365,10 @@ class UpdateEngine:
                     .withColumn("graph", F.lit(dst_g))
                 )
                 if kind in ("copy", "move"):
-                    do_delete(view().filter(F.col("graph") == dst_g))
+                    do_delete(view().filter(F.col("graph") == dst_g), bounded=False)
                 if kind == "move":
-                    do_delete(view().filter(F.col("graph") == src_g))
-                do_insert(moved)
+                    do_delete(view().filter(F.col("graph") == src_g), bounded=False)
+                do_insert(moved, bounded=False)
             elif kind == "modify":
                 del_tmpl, ins_tmpl, pattern = op[1], op[2], op[3]
                 with_graph, using, using_named = op[4], op[5], op[6]
@@ -354,12 +408,19 @@ class UpdateEngine:
                 # would otherwise re-evaluate the whole pattern lineage
                 if del_tmpl and ins_tmpl:
                     df = df.localCheckpoint(eager=True)
+                bounded = _pattern_is_constrained(pattern)
                 if del_tmpl:
-                    do_delete(self._instantiate(df, del_tmpl))
+                    do_delete(self._instantiate(df, del_tmpl), bounded=bounded)
                 if ins_tmpl:
-                    do_insert(self._instantiate(df, ins_tmpl))
+                    do_insert(self._instantiate(df, ins_tmpl), bounded=bounded)
+        self.last_commit_broadcast = {"adds": adds_bounded, "deletes": dels_bounded}
         version = self.store.commit(
-            self.spark, adds=pending_adds, deletes=pending_dels, txn_id=txn_id
+            self.spark,
+            adds=pending_adds,
+            deletes=pending_dels,
+            txn_id=txn_id,
+            broadcast_adds=adds_bounded,
+            broadcast_deletes=dels_bounded,
         )
         return {"version": version}
 
@@ -474,7 +535,11 @@ class UpdateEngine:
         g = DEFAULT_GRAPH if graph is None else graph
         current = self.store.read(self.spark).filter(F.col("graph") == g)
         incoming = quads.select(*QUAD_COLS).withColumn("graph", F.lit(g))
-        return self.store.commit(self.spark, adds=incoming, deletes=current, txn_id=txn_id)
+        # the replaced graph is store-sized; never broadcast it
+        return self.store.commit(
+            self.spark, adds=incoming, deletes=current, txn_id=txn_id,
+            broadcast_deletes=False,
+        )
 
     def gsp_post(self, quads: DataFrame, graph: str | None = None, txn_id=None) -> int:
         """POST: merge (append with set semantics)."""
@@ -486,4 +551,6 @@ class UpdateEngine:
         """DELETE: drop the graph's contents."""
         g = DEFAULT_GRAPH if graph is None else graph
         current = self.store.read(self.spark).filter(F.col("graph") == g)
-        return self.store.commit(self.spark, deletes=current, txn_id=txn_id)
+        return self.store.commit(
+            self.spark, deletes=current, txn_id=txn_id, broadcast_deletes=False
+        )

@@ -219,6 +219,8 @@ class QuadStore:
         deletes: DataFrame | None = None,
         txn_id: str | None = None,
         assume_unique: bool = False,
+        broadcast_deletes: bool = True,
+        broadcast_adds: bool = True,
     ) -> int:
         """Atomically apply net adds and deletes; returns new version.
 
@@ -227,7 +229,13 @@ class QuadStore:
         computes last-op-wins before calling commit).  ``assume_unique``
         skips the within-batch dropDuplicates shuffle when the caller
         already reduced to unique quads (the projector's net-effect
-        aggregate guarantees it).
+        aggregate guarantees it).  ``broadcast_deletes``/``broadcast_adds``
+        control the join strategy for the rewrite-on-delete anti-join and
+        the set-semantics dedup: True (the default) is right for
+        request/batch-sized inputs; callers whose delete or add set may be
+        store-sized (CLEAR ALL, unconstrained DELETE WHERE, whole-graph
+        COPY) must pass False so the join shuffles instead of broadcasting
+        a store-sized side into every executor (and the driver).
 
         Thread-safe: holds the per-store write lock for the whole
         read-manifest -> write-files -> swap-manifest sequence, so HTTP
@@ -235,7 +243,10 @@ class QuadStore:
         losing each other's commits.
         """
         with self._write_lock:
-            return self._commit_locked(spark, adds, deletes, txn_id, assume_unique)
+            return self._commit_locked(
+                spark, adds, deletes, txn_id, assume_unique,
+                broadcast_deletes, broadcast_adds,
+            )
 
     def _commit_locked(
         self,
@@ -244,6 +255,8 @@ class QuadStore:
         deletes: DataFrame | None,
         txn_id: str | None,
         assume_unique: bool,
+        broadcast_deletes: bool = True,
+        broadcast_adds: bool = True,
     ) -> int:
         manifest = self._read_manifest()
         if txn_id is not None and txn_id in manifest["txns"]:
@@ -276,7 +289,9 @@ class QuadStore:
             if affected:
                 paths = [os.path.join(self.files_dir, f) for f in affected]
                 current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)
-                survivors = _anti_join_quads(current, deletes, broadcast_right=True)
+                survivors = _anti_join_quads(
+                    current, deletes, broadcast_right=broadcast_deletes
+                )
                 survivor_entries = self._write_partitioned(survivors)
                 drop_files = affected
                 current_files = untouched + survivor_entries
@@ -303,8 +318,8 @@ class QuadStore:
                 # store WITHOUT a shuffle, then anti-join adds against that
                 # small duplicate set.  The store is read, never shuffled;
                 # at bucketed layout this becomes a bucket-pruned scan.
-                dups = _semi_join_quads(current, adds, broadcast_right=True)
-                adds = _anti_join_quads(adds, dups, broadcast_right=True)
+                dups = _semi_join_quads(current, adds, broadcast_right=broadcast_adds)
+                adds = _anti_join_quads(adds, dups, broadcast_right=broadcast_adds)
             new_files.extend(self._write_partitioned(adds))
 
         manifest["version"] += 1
