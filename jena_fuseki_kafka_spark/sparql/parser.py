@@ -96,6 +96,29 @@ BUILTINS = {
 }
 
 
+def _rejoin_tokens(toks: list[str]) -> str:
+    """Re-serialize a token span into valid SPARQL for a remote endpoint.
+
+    A plain space-join would split literal suffixes off their literals —
+    ``"lit"@en`` -> ``"lit" @en`` and ``"5"^^xsd:int`` -> ``"5" ^^ xsd:int``
+    — which some endpoints reject (the grammar attaches LANGTAG/'^^'
+    directly to the string).  Reattach ``@lang`` and ``^^type`` to the
+    preceding string token without intervening whitespace.
+    """
+    out: list[str] = []
+    for t in toks:
+        prev = out[-1] if out else ""
+        if prev.endswith("^^"):
+            out[-1] += t  # datatype IRI/pname after ^^
+        elif prev.endswith(('"', "'")) and (
+            t == "^^" or (t.startswith("@") and len(t) > 1 and t[1].isalpha())
+        ):
+            out[-1] += t  # LANGTAG or ^^ after a string literal
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
 def _tokenize(text: str) -> list[str]:
     toks, pos, n = [], 0, len(text)
     while pos < n:
@@ -383,7 +406,7 @@ class SparqlParser:
                 # endpoint (tokens re-join into valid SPARQL)
                 start = self.i
                 sub = self._group_graph_pattern()
-                raw = " ".join(self.toks[start : self.i])
+                raw = _rejoin_tokens(self.toks[start : self.i])
                 add(ServicePattern(ep[1], sub, silent, raw, dict(self.prefixes)))
             elif tl == "bind":
                 self.next()

@@ -302,6 +302,49 @@ class TestServiceFederation:
         )
         assert {r.city for r in df.collect()} == {"Berlin", "Paris"}
 
+    def test_service_ships_lang_literal_without_space(self, spark, remote):
+        # "Berlin"@de must re-serialize with the LANGTAG attached — some
+        # endpoints reject '"Berlin" @de' (whitespace before LANGTAG)
+        from jena_fuseki_kafka_spark.sparql.parser import SparqlParser
+        from jena_fuseki_kafka_spark.sparql.ast import ServicePattern
+
+        q = (
+            "PREFIX ex: <http://example.org/> SELECT ?s WHERE { "
+            f'SERVICE <{remote}> {{ ?s ex:city "x"@en . ?s ex:n "5"^^ex:int }} }}'
+        )
+        parsed = SparqlParser(q).parse()
+
+        def find_service(node):
+            if isinstance(node, ServicePattern):
+                return node
+            for attr in ("left", "right", "pattern"):
+                child = getattr(node, attr, None)
+                if child is not None:
+                    hit = find_service(child)
+                    if hit:
+                        return hit
+            return None
+
+        svc = find_service(parsed.pattern)
+        assert svc is not None
+        assert '"x"@en' in svc.raw, svc.raw
+        assert '"5"^^ex:int' in svc.raw, svc.raw
+
+    def test_service_join_on_lang_tagged_literal(self, spark, remote, tmp_path):
+        # e2e: the shipped pattern contains a lang-tagged literal and the
+        # remote endpoint (a second server instance) must accept it
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+        from jena_fuseki_kafka_spark.sparql import SparqlEngine
+
+        rows = [("", EX + "alice", EX + "age", "literal", "30", None, None)]
+        eng = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?age WHERE { ?s ex:age ?age . "
+            f'SERVICE <{remote}> {{ ?s ex:city "Berlin" }} }}'
+        )
+        assert {r.s for r in df.collect()} == {EX + "alice"}
+
     def test_service_silent_failure_is_identity(self, spark):
         eng = self._local_engine(spark)
         df = eng.select_values(
