@@ -81,34 +81,71 @@ FRAME_SCHEMA = T.StructType(
 
 
 # ---------------------------------------------------------------- codecs
+# Real codecs are wired behind import-tries: Pillow for images and
+# soundfile for non-WAV audio when installed; stdlib ``wave`` decodes PCM
+# WAV everywhere (a real container format, exercised by tests even in
+# this dependency-free environment).  The deterministic FAKE containers
+# remain the fallback test vehicle; unsupported payloads raise
+# NotImplementedError (the documented stub boundary).
+
+
 def decode_image(data: bytes) -> tuple[int, int, bytes]:
     """Decode an image to (width, height, grayscale bytes).
 
-    Real codecs (PIL/opencv) are unavailable in this container — only the
-    deterministic FAKEIMG container is supported; anything else raises
-    NotImplementedError (the documented stub boundary)."""
+    FAKEIMG decodes natively; any other format goes through Pillow when it
+    is importable (converted to 8-bit grayscale), else raises
+    NotImplementedError."""
     if data[:7] == b"FAKEIMG":
         w, h = struct.unpack_from("<HH", data, 7)
         pixels = data[11 : 11 + w * h]
         return w, h, pixels
-    try:  # pragma: no cover - not installed here
-        from PIL import Image  # noqa: F401
+    try:
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "real image decode requires PIL/opencv (not in this environment); "
+            "real image decode requires Pillow (not in this environment); "
             "only the FAKEIMG container is supported"
         ) from None
-    raise NotImplementedError("real decode path not implemented")
+    import io
+
+    with Image.open(io.BytesIO(data)) as img:  # pragma: no cover - needs Pillow
+        gray = img.convert("L")
+        return gray.width, gray.height, gray.tobytes()
 
 
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
+    """Decode audio to (sample_rate, 16-bit samples of channel 0).
+
+    FAKEAUD decodes natively; RIFF/WAVE PCM decodes via stdlib ``wave``
+    (a real codec, available everywhere); other formats go through
+    soundfile when importable, else raise NotImplementedError."""
     if data[:7] == b"FAKEAUD":
         rate, n = struct.unpack_from("<II", data, 7)
         samples = list(struct.unpack_from(f"<{n}h", data, 15))
         return rate, samples
-    raise NotImplementedError(
-        "real audio decode requires an audio library (not in this environment)"
-    )
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise NotImplementedError("only 16-bit PCM WAV is supported")
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+            all_samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+            return rate, list(all_samples[::nch])  # channel 0
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real audio decode beyond PCM WAV requires soundfile "
+            "(not in this environment)"
+        ) from None
+    import io  # pragma: no cover - needs soundfile
+
+    samples, rate = soundfile.read(io.BytesIO(data), dtype="int16", always_2d=True)
+    return int(rate), [int(s) for s in samples[:, 0]]
 
 
 def split_video_frames(data: bytes) -> tuple[int, int, list[bytes]]:

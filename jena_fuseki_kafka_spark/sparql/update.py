@@ -343,7 +343,7 @@ class UpdateEngine:
             elif kind == "load":
                 silent, src, into = op[1], op[2], op[3]
                 try:
-                    quads = self._load_document(src, into)
+                    quads = self._load_document(src, into, txn_id=txn_id)
                 except Exception:
                     if silent:
                         continue
@@ -435,7 +435,7 @@ class UpdateEngine:
         ".xml": "application/rdf+xml",
     }
 
-    def _load_document(self, iri: str, into: str | None) -> DataFrame:
+    def _load_document(self, iri: str, into: str | None, txn_id: str | None = None) -> DataFrame:
         """LOAD <iri> [INTO GRAPH <g>]: fetch + parse an RDF document.
 
         file:// and http(s):// IRIs; syntax chosen by file extension
@@ -463,10 +463,17 @@ class UpdateEngine:
             "application/n-quads",
         )
         import hashlib
+        import uuid
 
-        # deterministic per document so a replayed LOAD re-derives the same
-        # bnode labels and set-semantics dedup holds (not Python hash(): salted)
-        suffix = hashlib.md5(iri.encode("utf-8")).hexdigest()[:12]
+        # SPARQL/Jena semantics mint fresh bnodes per LOAD execution (a
+        # re-LOAD doubles bnode-rooted structures), so the label seed must
+        # differ across requests.  Mixing in the request txn_id keeps
+        # crash-replay deterministic: a replayed request re-derives the
+        # SAME labels, and the commit's idempotent txn_id makes the
+        # re-apply a no-op.  Without a txn_id there is no replay contract,
+        # so a random seed gives plain per-execution freshness.
+        seed = f"{iri}|{txn_id if txn_id is not None else uuid.uuid4()}"
+        suffix = hashlib.md5(seed.encode("utf-8")).hexdigest()[:12]
         ops = parse_payload(payload, ct, bnode_suffix=f"load{suffix}")
         rows = [
             (into if into is not None else g, s, p, ok, ov, dt, lang)

@@ -89,6 +89,75 @@ class TestAudioPipeline:
         assert r.rms == 3.0
 
 
+def wav_bytes(rate, samples, nch=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+class TestRealCodecs:
+    """The optional real-codec path behind the documented boundary: PCM
+    WAV decodes via stdlib ``wave`` everywhere; Pillow/soundfile engage
+    when importable (skipped otherwise)."""
+
+    def test_wav_is_a_real_codec_here(self):
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_audio
+
+        rate, samples = decode_audio(wav_bytes(22050, [10, -10, 10, -10]))
+        assert rate == 22050
+        assert samples == [10, -10, 10, -10]
+
+    def test_wav_stereo_takes_channel_zero(self):
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_audio
+
+        # interleaved L,R: L channel is [1, 3], R channel is [2, 4]
+        rate, samples = decode_audio(wav_bytes(8000, [1, 2, 3, 4], nch=2))
+        assert samples == [1, 3]
+
+    def test_wav_through_audio_features_pipeline(self, spark):
+        df = media_df(spark, [(9, "audio", wav_bytes(16000, [5, -5, 5, -5]), META)])
+        r = audio_features(df).collect()[0]
+        assert r.sample_rate == 16000
+        assert r.n_samples == 4
+        assert r.rms == 5.0
+        assert r.error is None
+
+    def test_non_pcm_wav_rejected_cleanly(self, spark):
+        # 8-bit WAV: unsupported width must land in the error column, not crash
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x80\x7f")
+        df = media_df(spark, [(1, "audio", buf.getvalue(), META)])
+        r = audio_features(df).collect()[0]
+        assert r.error is not None and "16-bit" in r.error
+
+    def test_pillow_decode_when_available(self):
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_image
+
+        img = PIL.new("L", (4, 2), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        w, h, pixels = decode_image(buf.getvalue())
+        assert (w, h) == (4, 2)
+        assert set(pixels) == {128}
+
+
 class TestVideoPipeline:
     def test_frame_sampling(self, spark):
         frames = [bytes([i] * 4) for i in range(6)]  # 2x2 frames

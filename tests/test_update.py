@@ -299,13 +299,25 @@ class TestGraphManagement:
         with pytest.raises(Exception):
             upd.update(f"LOAD <file://{tmp_path}/nope.nt>")
 
-    def test_load_is_idempotent(self, spark, store, upd, tmp_path):
+    def test_reload_mints_fresh_bnodes(self, spark, store, upd, tmp_path):
+        # SPARQL/Jena semantics: each LOAD execution mints fresh bnodes, so
+        # re-LOADing a bnode-rooted document doubles its structures
         doc = tmp_path / "b.ttl"
         doc.write_text("@prefix ex: <http://e/> . ex:z ex:p [ ex:q 1 ] .\n")
         upd.update(f"LOAD <file://{doc}>")
-        n1 = store.read(spark).count()
+        assert store.read(spark).count() == 2
         upd.update(f"LOAD <file://{doc}>")
-        assert store.read(spark).count() == n1  # same bnode labels re-derived
+        assert store.read(spark).count() == 4
+
+    def test_load_replay_same_txn_is_noop(self, spark, store, upd, tmp_path):
+        # crash-replay contract: the SAME request (same txn_id) re-derives
+        # the same bnode labels and the idempotent commit drops the re-apply
+        doc = tmp_path / "b2.ttl"
+        doc.write_text("@prefix ex: <http://e/> . ex:z ex:p [ ex:q 1 ] .\n")
+        upd.update(f"LOAD <file://{doc}>", txn_id="req-1")
+        assert store.read(spark).count() == 2
+        upd.update(f"LOAD <file://{doc}>", txn_id="req-1")  # replayed request
+        assert store.read(spark).count() == 2
 
 
 class TestLoadOverHttp:
