@@ -21,6 +21,7 @@ FAKE formats (deterministic, self-describing):
 from __future__ import annotations
 
 import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -177,7 +178,10 @@ def image_features(media: DataFrame) -> DataFrame:
                         hist[b >> 5] += 1
                         total += b
                     out.append((mid, w, h, total / len(pixels), hist, None))
-                except (NotImplementedError, ValueError, struct.error) as e:
+                # OSError covers PIL.UnidentifiedImageError and truncated
+                # reads — corrupt payloads land in the error column (DLQ
+                # discipline), never crash the mapInPandas task
+                except (NotImplementedError, ValueError, struct.error, OSError) as e:
                     out.append((mid, None, None, None, None, str(e)))
             yield pd.DataFrame(
                 out,
@@ -230,7 +234,17 @@ def audio_features(media: DataFrame) -> DataFrame:
                     n = len(samples)
                     rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
                     out.append((mid, rate, n, rms, None))
-                except (NotImplementedError, struct.error) as e:
+                # wave.Error is a plain Exception subclass (not OSError);
+                # EOFError/OSError cover truncated RIFF payloads — all go
+                # to the error column, never crash the task
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    struct.error,
+                    OSError,
+                    EOFError,
+                    wave.Error,
+                ) as e:
                     out.append((mid, None, None, None, str(e)))
             yield pd.DataFrame(
                 out, columns=["media_id", "sample_rate", "n_samples", "rms", "error"]

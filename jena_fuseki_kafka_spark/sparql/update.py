@@ -221,20 +221,55 @@ class _UpdateParser(SparqlParser):
         return out
 
 
+def _filter_expr_bounds(expr) -> bool:
+    """Does a FILTER expression bound the binding set to request size?
+
+    Only constant equality / IN over a variable genuinely pins a variable
+    to a request-enumerable set:  ``FILTER(?o = "x")``, ``FILTER(?p IN
+    (<a>, <b>))``.  Anything else — inequality, regex, arithmetic,
+    ``?o != "x"`` — still admits a store-sized result and must NOT grant
+    the broadcast hint.  AND bounds if either side bounds (conjunction
+    narrows); OR bounds only if both sides bound (union of bounded sets).
+    """
+    from .ast import Iri, Lit, Op, Var
+
+    if isinstance(expr, Op):
+        if expr.op == "&&":
+            return any(_filter_expr_bounds(a) for a in expr.args)
+        if expr.op == "||":
+            return all(_filter_expr_bounds(a) for a in expr.args)
+        if expr.op in ("=", "in") and len(expr.args) >= 2:
+            lhs, rest = expr.args[0], expr.args[1:]
+            def is_const(e):
+                vals = e if isinstance(e, (list, tuple)) else [e]
+                return all(isinstance(v, (Lit, Iri)) for v in vals)
+            if isinstance(lhs, Var) and all(is_const(r) for r in rest):
+                return True
+            if expr.op == "=" and isinstance(expr.args[1], Var) and is_const(lhs):
+                return True
+    return False
+
+
 def _pattern_is_constrained(pattern) -> bool:
     """Heuristic: is a Modify/DELETE WHERE pattern's binding set bounded by
-    the request (constants/filters narrow it) rather than store-sized?
+    the request (constants narrow it) rather than store-sized?
 
-    ``DELETE WHERE { ?s ?p ?o }`` (and the GRAPH ?g variant) binds every
-    quad in the store — broadcasting quads built from those bindings is a
-    driver/executor OOM at scale, so the caller must route them through a
-    shuffle join instead.  Any constant term, FILTER, VALUES, or MINUS
-    narrows the result enough to call it request-sized; unknown node types
-    default to unconstrained (the safe join strategy).
+    ``DELETE WHERE { ?s ?p ?o }`` (and the GRAPH ?g / FILTER variants)
+    binds every quad in the store — broadcasting quads built from those
+    bindings is a driver/executor OOM at scale, so the caller must route
+    them through a shuffle join instead.  A constant term in a triple
+    pattern, a constant-equality/IN FILTER, VALUES, or a sub-select
+    narrows the result enough to call it request-sized.  FILTER and MINUS
+    recurse into the pattern they wrap (a filter expression alone does not
+    guarantee a request-sized binding set — ``FILTER(?o != "x")`` is
+    store-sized), and a constant GRAPH term with an unconstrained body is
+    a whole-graph delete (same as DROP / GSP DELETE, which always ride the
+    shuffle path).  Unknown node types default to unconstrained (the safe
+    join strategy).
     """
     from .ast import (
-        BGP, Filter, GraphPattern, Join, LeftJoin, Minus, SubSelect, Union,
-        ValuesPattern,
+        BGP, Extend, Filter, GraphPattern, Join, LeftJoin, Minus, SubSelect,
+        Union, ValuesPattern,
     )
 
     if isinstance(pattern, BGP):
@@ -244,7 +279,9 @@ def _pattern_is_constrained(pattern) -> bool:
             for t in (s, p, o, g)
         )
     if isinstance(pattern, GraphPattern):
-        return pattern.graph[0] != "var" or _pattern_is_constrained(pattern.pattern)
+        # a constant graph alone bounds nothing: GRAPH <g> { ?s ?p ?o } is
+        # the whole named graph — store-sized, exactly like DROP GRAPH
+        return _pattern_is_constrained(pattern.pattern)
     if isinstance(pattern, Join):
         # a join narrows to the more selective side
         return _pattern_is_constrained(pattern.left) or _pattern_is_constrained(
@@ -256,8 +293,14 @@ def _pattern_is_constrained(pattern) -> bool:
         return _pattern_is_constrained(pattern.left) and _pattern_is_constrained(
             pattern.right
         )
-    if isinstance(pattern, (Filter, Minus)):
-        return True
+    if isinstance(pattern, Filter):
+        return _filter_expr_bounds(pattern.expr) or _pattern_is_constrained(
+            pattern.pattern
+        )
+    if isinstance(pattern, Minus):
+        return _pattern_is_constrained(pattern.left)  # MINUS never narrows to bounded
+    if isinstance(pattern, Extend):
+        return _pattern_is_constrained(pattern.pattern)  # BIND never narrows
     if isinstance(pattern, (ValuesPattern, SubSelect)):
         return True
     return False
@@ -290,6 +333,7 @@ class UpdateEngine:
         # store-sized and must ride shuffle joins, never a broadcast.
         adds_bounded = True
         dels_bounded = True
+        load_index = 0  # per-request LOAD sequence number (bnode freshness)
 
         def view() -> DataFrame:
             v = base
@@ -342,8 +386,11 @@ class UpdateEngine:
                 do_delete(view().filter(cond), bounded=False)
             elif kind == "load":
                 silent, src, into = op[1], op[2], op[3]
+                load_index += 1
                 try:
-                    quads = self._load_document(src, into, txn_id=txn_id)
+                    quads = self._load_document(
+                        src, into, txn_id=txn_id, load_index=load_index
+                    )
                 except Exception:
                     if silent:
                         continue
@@ -435,7 +482,13 @@ class UpdateEngine:
         ".xml": "application/rdf+xml",
     }
 
-    def _load_document(self, iri: str, into: str | None, txn_id: str | None = None) -> DataFrame:
+    def _load_document(
+        self,
+        iri: str,
+        into: str | None,
+        txn_id: str | None = None,
+        load_index: int = 0,
+    ) -> DataFrame:
         """LOAD <iri> [INTO GRAPH <g>]: fetch + parse an RDF document.
 
         file:// and http(s):// IRIs; syntax chosen by file extension
@@ -467,12 +520,15 @@ class UpdateEngine:
 
         # SPARQL/Jena semantics mint fresh bnodes per LOAD execution (a
         # re-LOAD doubles bnode-rooted structures), so the label seed must
-        # differ across requests.  Mixing in the request txn_id keeps
-        # crash-replay deterministic: a replayed request re-derives the
-        # SAME labels, and the commit's idempotent txn_id makes the
-        # re-apply a no-op.  Without a txn_id there is no replay contract,
-        # so a random seed gives plain per-execution freshness.
-        seed = f"{iri}|{txn_id if txn_id is not None else uuid.uuid4()}"
+        # differ across requests AND across repeated LOADs of the same IRI
+        # within one request ("LOAD <d>; LOAD <d>" must not collapse under
+        # set semantics — hence the per-request load_index in the seed).
+        # Mixing in the request txn_id keeps crash-replay deterministic: a
+        # replayed request re-derives the SAME labels, and the commit's
+        # idempotent txn_id makes the re-apply a no-op.  Without a txn_id
+        # there is no replay contract, so a random seed gives plain
+        # per-execution freshness.
+        seed = f"{iri}|{txn_id if txn_id is not None else uuid.uuid4()}|{load_index}"
         suffix = hashlib.md5(seed.encode("utf-8")).hexdigest()[:12]
         ops = parse_payload(payload, ct, bnode_suffix=f"load{suffix}")
         rows = [

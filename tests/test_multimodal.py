@@ -144,6 +144,21 @@ class TestRealCodecs:
         r = audio_features(df).collect()[0]
         assert r.error is not None and "16-bit" in r.error
 
+    def test_truncated_riff_lands_in_error_column(self, spark):
+        # a RIFF/WAVE header with a chopped body raises wave.Error or
+        # EOFError inside the decoder — must go to the error column (DLQ
+        # discipline), never crash the mapInPandas task
+        good = wav_bytes(16000, [5, -5, 5, -5])
+        truncated = good[:20]  # past the RIFF/WAVE magic, before fmt chunk ends
+        garbage_body = good[:12] + b"\x00" * 8
+        df = media_df(
+            spark,
+            [(1, "audio", truncated, META), (2, "audio", garbage_body, META)],
+        )
+        rows = {r.media_id: r for r in audio_features(df).collect()}
+        assert rows[1].error is not None and rows[1].rms is None
+        assert rows[2].error is not None and rows[2].rms is None
+
     def test_pillow_decode_when_available(self):
         PIL = pytest.importorskip("PIL.Image")
         import io

@@ -319,6 +319,24 @@ class TestGraphManagement:
         upd.update(f"LOAD <file://{doc}>", txn_id="req-1")  # replayed request
         assert store.read(spark).count() == 2
 
+    def test_repeated_load_in_one_request_mints_fresh_bnodes(
+        self, spark, store, upd, tmp_path
+    ):
+        # "LOAD <d>; LOAD <d>" in ONE request (one txn_id) is two LOAD
+        # executions — each mints fresh bnodes, so set semantics must not
+        # collapse them (the seed mixes a per-request load index)
+        doc = tmp_path / "b3.ttl"
+        doc.write_text("@prefix ex: <http://e/> . ex:z ex:p [ ex:q 1 ] .\n")
+        upd.update(
+            f"LOAD <file://{doc}> ; LOAD <file://{doc}>", txn_id="req-2"
+        )
+        assert store.read(spark).count() == 4
+        # and crash-replay of that same request stays a no-op
+        upd.update(
+            f"LOAD <file://{doc}> ; LOAD <file://{doc}>", txn_id="req-2"
+        )
+        assert store.read(spark).count() == 4
+
 
 class TestLoadOverHttp:
     def test_load_from_gsp_endpoint(self, spark, tmp_path):
@@ -384,6 +402,58 @@ class TestBroadcastGate:
         self.seed(upd)
         upd.update("PREFIX ex: <http://e/> DELETE WHERE { ?s ex:p ?o }")
         assert upd.last_commit_broadcast["deletes"] is True
+
+    def test_nonselective_filter_never_broadcasts(self, spark, store, upd):
+        # FILTER(?o != "x") still admits a store-sized delete set — a bare
+        # FILTER node must NOT grant the broadcast hint
+        self.seed(upd)
+        upd.update('DELETE { ?s ?p ?o } WHERE { ?s ?p ?o FILTER(?o != "a") }')
+        assert upd.last_commit_broadcast["deletes"] is False
+        assert (DEFAULT_GRAPH, EX + "s1", EX + "p", "a") in all_quads(spark, store)
+
+    def test_constant_equality_filter_broadcasts(self, spark, store, upd):
+        # FILTER(?o = "a") pins ?o to one request constant — request-sized
+        self.seed(upd)
+        upd.update('DELETE { ?s ?p ?o } WHERE { ?s ?p ?o FILTER(?o = "a") }')
+        assert upd.last_commit_broadcast["deletes"] is True
+        got = all_quads(spark, store)
+        assert (DEFAULT_GRAPH, EX + "s1", EX + "p", "a") not in got
+        assert (DEFAULT_GRAPH, EX + "s2", EX + "p", "b") in got
+
+    def test_constant_in_filter_broadcasts(self, spark, store, upd):
+        self.seed(upd)
+        upd.update('DELETE { ?s ?p ?o } WHERE { ?s ?p ?o FILTER(?o IN ("a", "b")) }')
+        assert upd.last_commit_broadcast["deletes"] is True
+        assert not any(q[3] in ("a", "b") and q[0] == DEFAULT_GRAPH
+                       for q in all_quads(spark, store))
+
+    def test_constant_graph_unconstrained_body_never_broadcasts(self, spark, store, upd):
+        # GRAPH <g> { ?s ?p ?o } is the whole named graph — store-sized,
+        # same class as DROP GRAPH / GSP DELETE which already ride shuffle
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> DELETE { GRAPH ex:g { ?s ?p ?o } } "
+            "WHERE { GRAPH ex:g { ?s ?p ?o } }"
+        )
+        assert upd.last_commit_broadcast["deletes"] is False
+        assert not any(q[0] == EX + "g" for q in all_quads(spark, store))
+
+    def test_constant_graph_constrained_body_broadcasts(self, spark, store, upd):
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> DELETE { GRAPH ex:g { ?s ex:p ?o } } "
+            "WHERE { GRAPH ex:g { ?s ex:p ?o } }"
+        )
+        assert upd.last_commit_broadcast["deletes"] is True
+
+    def test_minus_recurses_into_left(self, spark, store, upd):
+        # MINUS does not narrow: { ?s ?p ?o MINUS {...} } is store-sized
+        self.seed(upd)
+        upd.update(
+            "PREFIX ex: <http://e/> DELETE { ?s ?p ?o } "
+            'WHERE { ?s ?p ?o MINUS { ?s ex:q ?o } }'
+        )
+        assert upd.last_commit_broadcast["deletes"] is False
 
     def test_copy_marks_adds_and_deletes_unbounded(self, spark, store, upd):
         self.seed(upd)
