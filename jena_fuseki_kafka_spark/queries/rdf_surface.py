@@ -584,3 +584,43 @@ def r14(spark, sf_dir):
         F.col("d")["value"].alias("d"),
         F.col("n")["value"].cast("long").alias("n"),
     )
+
+
+@query(
+    "r15_optional_unbound_compat",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 350000 THEN 'jumbo'
+                WHEN o_totalprice > 200000 THEN 'big'
+                ELSE 'none' END AS size,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY size
+    """,
+)
+def r15(spark, sf_dir):
+    """Double OPTIONAL sharing a variable — the SPARQL 1.1 §18.3
+    compatible-mapping gate (the spec/ARQ behavior Fuseki serves, per the
+    reference's query endpoint config-connector.ttl:14-17).  Orders over
+    350k bind ?x from the FIRST optional ("jumbo"); the second optional's
+    "big" is then incompatible and must not overwrite.  Orders in
+    (200k, 350k] leave ?x unbound in the first optional — unbound is
+    COMPATIBLE, so the second optional must still bind "big" (the row an
+    unbound-as-non-matching implementation silently drops to 'none').
+    The oracle states spec semantics directly as a CASE ladder."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?size (COUNT(*) AS ?n) WHERE {
+          ?o ex:total ?t .
+          OPTIONAL { ?o ex:jumbototal ?x }
+          OPTIONAL { ?o ex:bigtotal ?x }
+          BIND(COALESCE(?x, "none") AS ?size)
+        } GROUP BY ?size ORDER BY ?size
+        """
+    )
+    return df.select(
+        F.col("size")["value"].alias("size"),
+        F.col("n")["value"].cast("long").alias("n"),
+    )

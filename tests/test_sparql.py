@@ -184,6 +184,104 @@ class TestAlgebra:
         assert vals(df, "l") == ["Alicia"]
 
 
+class TestCompatibleMappings:
+    """SPARQL 1.1 §18.3 compatible-mapping semantics: a variable left
+    unbound by an earlier OPTIONAL/UNION branch is compatible with any
+    later binding (the behavior ARQ/Fuseki serves).  The classic
+    double-OPTIONAL example is from the spec/Pérez et al."""
+
+    @pytest.fixture(scope="class")
+    def cengine(self, spark):
+        rows = [
+            q("a", "name", "A", kind="literal"),
+            q("a", "email", "a@e", kind="literal"),
+            q("b", "name", "B", kind="literal"),
+            q("b", "web", "w-b", kind="literal"),
+            q("c", "name", "C", kind="literal"),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_double_optional_unbound_compatible(self, cengine):
+        # ARQ answer: a -> email, b -> web (unbound ?x from the first
+        # OPTIONAL is compatible with the second's binding), c -> unbound
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x WHERE { ?s ex:name ?n "
+            "OPTIONAL { ?s ex:email ?x } OPTIONAL { ?s ex:web ?x } }"
+        )
+        rows = {r.s.rsplit("/", 1)[1]: r.x for r in df.collect()}
+        assert rows == {"a": "a@e", "b": "w-b", "c": None}
+
+    def test_join_after_optional_unbound_compatible(self, cengine):
+        # inner join of a maybe-unbound var: {A OPT B} . C — b's unbound
+        # ?x joins with its web binding; a's bound email doesn't match
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x WHERE { { ?s ex:name ?n OPTIONAL { ?s ex:email ?x } } "
+            "{ ?s ex:web ?x } }"
+        )
+        got = {(r.s.rsplit("/", 1)[1], r.x) for r in df.collect()}
+        assert got == {("b", "w-b")}
+
+    def test_conditioned_optional_with_unbound_left_var(self, cengine):
+        # FILTER inside the OPTIONAL: the merged (coalesced) value feeds
+        # the filter; rows whose only candidate is filtered out stay
+        # null-extended, and rows already carrying nulls are not
+        # duplicated by the anti join (null-safe)
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x WHERE { ?s ex:name ?n "
+            "OPTIONAL { ?s ex:email ?x } "
+            'OPTIONAL { ?s ex:web ?x FILTER(?x != "w-b") } }'
+        )
+        rows = [(r.s.rsplit("/", 1)[1], r.x) for r in df.collect()]
+        assert sorted(rows) == [("a", "a@e"), ("b", None), ("c", None)]
+
+    def test_conditioned_optional_left_nulls_not_duplicated(self, cengine):
+        # left rows carrying unbound vars must appear exactly once when a
+        # later conditioned OPTIONAL matches on a different variable
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x ?w WHERE { ?s ex:name ?n "
+            "OPTIONAL { ?s ex:email ?x } "
+            'OPTIONAL { ?s ex:web ?w FILTER(?w = "w-b") } }'
+        )
+        rows = sorted((r.s.rsplit("/", 1)[1], r.x, r.w) for r in df.collect())
+        assert rows == [("a", "a@e", None), ("b", None, "w-b"), ("c", None, None)]
+
+    def test_minus_domain_overlap(self, spark):
+        # MINUS removes only when domains overlap AND bindings agree on
+        # the overlap: (s=b, x=null) vs right (s=b, x="z") — compatible on
+        # s (overlap non-empty) -> removed per spec §18.5
+        rows = [
+            q("a", "name", "A", kind="literal"),
+            q("a", "email", "a@e", kind="literal"),
+            q("b", "name", "B", kind="literal"),
+            q("b", "other", "z", kind="literal"),
+        ]
+        eng = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = eng.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x WHERE { ?s ex:name ?n OPTIONAL { ?s ex:email ?x } "
+            "MINUS { ?s ex:other ?x } }"
+        )
+        got = {(r.s.rsplit("/", 1)[1], r.x) for r in df.collect()}
+        # a: right row (b,"z") incompatible on s -> kept
+        # b: left x unbound, right (b,"z") compatible with overlap {s} -> removed
+        assert got == {("a", "a@e")}
+
+    def test_certainly_bound_vars_keep_equi_join(self, cengine):
+        # the plan guard: a BGP-only join has no maybe-null shared vars,
+        # so the physical plan must still be a keyed equi-join (no
+        # null-or-equal residuals, no nested loop)
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:name ?n . ?s ex:email ?e }"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 class TestAggregatesAndModifiers:
     def test_count_group_by(self, engine):
         df = engine.query(
