@@ -3,14 +3,20 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect).  A warmup query
-runs first so JVM/codegen startup isn't attributed to the first query.
+Each query is timed end-to-end (plan + execute + collect), repeated
+REPEATS times (default 3, override with $SPARK_GRAFT_BENCH_REPEATS), and
+the reported number is the per-query MEDIAN — single-shot numbers proved
+noisier than a round's improvement (s02 swung 1.06s -> 2.59s across
+rounds with zero code change), so the median is the round-over-round
+signal.  A warmup pass runs first so JVM/codegen startup isn't attributed
+to the first query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -132,20 +138,34 @@ def main():
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["http_four_ops_roundtrip"] = []
+    # interleave repeats (full suite per round) rather than back-to-back
+    # per query, so one query's page-cache warmth doesn't flatter its own
+    # 2nd/3rd sample more than a real re-run would see
+    for rep in range(repeats):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
+            took = round(time.time() - t0, 3)
+            samples[name].append(took)
+            if rep == 0:
+                print(f"# {name}: {took:.2f}s ({n} rows)", file=sys.stderr)
+        samples["http_four_ops_roundtrip"].append(bench_http_four_ops(spark))
 
-    timings["http_four_ops_roundtrip"] = bench_http_four_ops(spark)
-    print(
-        f"# http_four_ops_roundtrip: {timings['http_four_ops_roundtrip']:.2f}s",
-        file=sys.stderr,
-    )
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
+    for name, vals in samples.items():
+        spread = max(vals) - min(vals)
+        print(
+            f"# median {name}: {timings[name]:.2f}s "
+            f"(samples {', '.join(f'{v:.2f}' for v in vals)}; spread {spread:.2f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
