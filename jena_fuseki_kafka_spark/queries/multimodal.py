@@ -90,22 +90,114 @@ FRAME_SCHEMA = T.StructType(
 # NotImplementedError (the documented stub boundary).
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_stdlib(data: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode (zlib inflate + the five scanline filters,
+    PNG spec RFC 2083 §6): 8-bit depth, non-interlaced, gray / gray+alpha
+    / RGB / RGBA.  Color converts to luma with Pillow's exact fixed-point
+    ITU-R 601 formula ((19595R + 38470G + 7471B + 0x8000) >> 16) so the
+    output is byte-identical whether this path or Pillow decodes.
+
+    This is the environment-independent real-codec path: it runs (and is
+    CI-tested) even where Pillow is absent."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} unsupported "
+            "(stdlib path handles 8-bit non-interlaced gray/RGB/alpha)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    bpp = channels
+    for _y in range(h):
+        f = raw[rpos]
+        rpos += 1
+        line = bytearray(raw[rpos : rpos + stride])
+        rpos += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (
+                    line[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        prev = line
+        out.extend(line)
+    if color == 0:
+        return w, h, bytes(out)
+    if color == 4:  # gray+alpha: take the gray channel
+        return w, h, bytes(out[::2])
+    gray = bytearray(w * h)
+    for j in range(w * h):
+        r, g, b = out[j * channels], out[j * channels + 1], out[j * channels + 2]
+        gray[j] = (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+    return w, h, bytes(gray)
+
+
 def decode_image(data: bytes) -> tuple[int, int, bytes]:
     """Decode an image to (width, height, grayscale bytes).
 
-    FAKEIMG decodes natively; any other format goes through Pillow when it
-    is importable (converted to 8-bit grayscale), else raises
-    NotImplementedError."""
+    FAKEIMG decodes natively; PNG decodes via the stdlib decoder above on
+    every environment (byte-identical to Pillow's grayscale conversion);
+    any other format goes through Pillow when it is importable, else
+    raises NotImplementedError."""
     if data[:7] == b"FAKEIMG":
         w, h = struct.unpack_from("<HH", data, 7)
         pixels = data[11 : 11 + w * h]
         return w, h, pixels
+    if data[:8] == PNG_SIG:
+        return _decode_png_stdlib(data)
     try:
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "real image decode requires Pillow (not in this environment); "
-            "only the FAKEIMG container is supported"
+            "real image decode beyond PNG requires Pillow (not in this "
+            "environment); FAKEIMG and PNG containers are supported"
         ) from None
     import io
 

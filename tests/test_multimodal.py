@@ -89,6 +89,57 @@ class TestAudioPipeline:
         assert r.rms == 3.0
 
 
+def png_bytes(w, h, pixels, color=0, filters=None):
+    """Minimal stdlib PNG encoder (zlib + struct): 8-bit, non-interlaced,
+    gray (color=0) or RGB (color=2), with a selectable filter per row so
+    the decoder's Sub/Up/Average/Paeth paths are all exercised."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    channels = {0: 1, 2: 3}[color]
+    stride = w * channels
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y] if filters else 0
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            enc[i] = (row[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def wav_bytes(rate, samples, nch=1):
     import io
     import wave
@@ -159,18 +210,42 @@ class TestRealCodecs:
         assert rows[1].error is not None and rows[1].rms is None
         assert rows[2].error is not None and rows[2].rms is None
 
-    def test_pillow_decode_when_available(self):
-        PIL = pytest.importorskip("PIL.Image")
-        import io
-
+    def test_png_is_a_real_codec_here(self):
+        # stdlib zlib+struct encode -> stdlib decode: PNG decodes on every
+        # environment, no Pillow needed (formerly this test skipped on
+        # missing Pillow); filters 0/1/2 all round-trip
         from jena_fuseki_kafka_spark.queries.multimodal import decode_image
 
-        img = PIL.new("L", (4, 2), color=128)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        w, h, pixels = decode_image(buf.getvalue())
-        assert (w, h) == (4, 2)
-        assert set(pixels) == {128}
+        pixels = bytes(range(48))  # 8x6 gradient
+        for filters in (None, [1] * 6, [2] * 6, [0, 1, 2, 4, 3, 0]):
+            w, h, got = decode_image(png_bytes(8, 6, pixels, filters=filters))
+            assert (w, h) == (8, 6)
+            assert got == pixels, f"filters={filters}"
+
+    def test_png_rgb_converts_to_pillow_luma(self):
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_image
+
+        # 2x1 RGB: pure red and pure white
+        rgb = bytes([255, 0, 0, 255, 255, 255])
+        w, h, got = decode_image(png_bytes(2, 1, rgb, color=2))
+        assert (w, h) == (2, 1)
+        # Pillow's fixed-point ITU-R 601: red -> 76, white -> 255
+        assert list(got) == [(19595 * 255 + 0x8000) >> 16, 255]
+
+    def test_png_through_image_features_pipeline(self, spark):
+        gray = bytes([100] * 12)
+        df = media_df(spark, [(21, "image", png_bytes(4, 3, gray), META)])
+        r = image_features(df).collect()[0]
+        assert r.error is None
+        assert (r.width, r.height) == (4, 3)
+        assert r.mean_intensity == 100.0
+        assert r.histogram[100 >> 5] == 12
+
+    def test_truncated_png_lands_in_error_column(self, spark):
+        good = png_bytes(4, 3, bytes(12))
+        df = media_df(spark, [(1, "image", good[:20], META)])
+        r = image_features(df).collect()[0]
+        assert r.error is not None and r.width is None
 
 
 class TestVideoPipeline:
