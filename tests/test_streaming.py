@@ -259,6 +259,100 @@ class TestEngineLifecycle:
         assert stream.store.count(spark) == 1
 
 
+class TestSecuredKafkaLifecycle:
+    """Secured-cluster negative paths through the Engine lifecycle (the
+    file-source twin of DockerTestSecureKafka / DockerTestMutualTlsKafka):
+    an invalid SASL bundle must fail at CONFIG time — before any stream
+    object exists, let alone starts — and no secret may leave the process
+    through ``Engine.status()``, even on the error path."""
+
+    SECRET_MARKERS = ("s3cr3t-pw", "jaas-p4ss", "trust-p4ss")
+
+    def _secured_props(self, tmp_path):
+        trust = tmp_path / "client.truststore.jks"
+        trust.write_bytes(b"\x00fake-store")
+        return {
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "PLAIN",
+            "sasl.jaas.config": (
+                "org.apache.kafka.common.security.plain.PlainLoginModule required "
+                'username="svc" password="jaas-p4ss";'
+            ),
+            "ssl.truststore.location": str(trust),
+            "ssl.truststore.password": "trust-p4ss",
+        }
+
+    def test_invalid_sasl_bundle_fails_before_any_stream(self, spark, tmp_path):
+        from jena_fuseki_kafka_spark.config.connector import ConfigError
+
+        active_before = len(spark.streams.active)
+        with pytest.raises(ConfigError, match="sasl.mechanism"):
+            Engine.from_config(
+                spark,
+                [
+                    dict(
+                        name="sec-bad",
+                        topics=["t1"],
+                        dataset=str(tmp_path / "ds"),
+                        kafka_properties={
+                            "security.protocol": "SASL_SSL",
+                            # mechanism missing -> structurally invalid
+                            "sasl.jaas.config": 'Foo.Bar required password="s3cr3t-pw";',
+                        },
+                    )
+                ],
+            )
+        # fail-fast means fail EMPTY: no stream object, no streaming query
+        assert len(spark.streams.active) == active_before
+
+    def test_invalid_bundle_error_never_echoes_secret(self, tmp_path):
+        from jena_fuseki_kafka_spark.config.connector import ConfigError
+
+        with pytest.raises(ConfigError) as ei:
+            make_conn(
+                tmp_path,
+                name="sec-jaas",
+                kafka_properties={
+                    "security.protocol": "SASL_PLAINTEXT",
+                    "sasl.mechanism": "PLAIN",
+                    # malformed (no control flag): rejected, but the message
+                    # must not quote the credential-bearing string
+                    "sasl.jaas.config": 'password="s3cr3t-pw"',
+                },
+            )
+        assert "s3cr3t-pw" not in str(ei.value)
+
+    def test_status_redacted_even_on_error_path(self, spark, tmp_path):
+        # valid secured bundle; the stream then FAILS mid-batch (malformed
+        # event, no DLQ).  status() must expose the failure but never the
+        # jaas password / store password — the redaction pin end-to-end.
+        import json
+
+        d = tmp_path / "events"
+        d.mkdir()
+        write_events(spark, str(d), [ev("garbage not rdf", 0)])
+        eng = Engine(spark)
+        conn = make_conn(
+            tmp_path, name="sec-ok", kafka_properties=self._secured_props(tmp_path)
+        )
+        eng.add_connector(conn, source=file_stream(spark, str(d)))
+        with pytest.raises(Exception):
+            eng.start(trigger_available_now=True)
+            for s in eng.streams.values():
+                s.query.awaitTermination()
+        st = eng.status()
+        assert st["sec-ok"]["kafka_properties"]["sasl.jaas.config"] == "*****"
+        assert st["sec-ok"]["kafka_properties"]["ssl.truststore.password"] == "*****"
+        # nothing secret anywhere in the whole (stringified) status payload
+        blob = json.dumps(st, default=str)
+        for marker in self.SECRET_MARKERS:
+            assert marker not in blob
+        # non-secret config still visible for operators
+        assert st["sec-ok"]["kafka_properties"]["security.protocol"] == "SASL_SSL"
+        for s in eng.streams.values():
+            s.query = None
+
+
 class TestEngineToHttp:
     def test_ingest_then_serve_over_http(self, spark, tmp_path):
         """Full reference shape end-to-end: two connectors ingest RDF off
