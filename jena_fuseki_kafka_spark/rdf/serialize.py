@@ -317,6 +317,32 @@ def negotiate_graph_streamer(accept: str | None):
     return GRAPH_STREAMERS[_negotiate(accept, GRAPH_STREAMERS, "application/n-quads")]
 
 
+def negotiate_dataset_streamer(accept: str | None):
+    """Accept negotiation for WHOLE-DATASET reads, where only quad-capable
+    syntaxes can represent named graphs.  Triple-only preferences (Turtle,
+    RDF/XML) are skipped rather than honored-then-406ed: per RFC 9110 the
+    server chooses among representations it can actually provide, and
+    Fuseki likewise serves a quad format for dataset GETs.  A ``*/*`` or
+    ``application/*`` wildcard selects TriG (Fuseki's dataset default);
+    no Accept header at all keeps the N-Quads default (matching the
+    parse-side default).  Returns (stream_fn, content_type), or None when
+    the client insists on exclusively triple-only formats (caller answers
+    406)."""
+    if not accept:
+        s, ct, _ = GRAPH_STREAMERS["application/n-quads"]
+        return s, ct
+    for q, _, mt in _accept_preferences(accept):
+        if q <= 0:
+            continue
+        entry = GRAPH_STREAMERS.get(mt)
+        if entry is not None and entry[2]:
+            return entry[0], entry[1]
+        if mt in ("*/*", "application/*"):  # no quad-capable text/* exists
+            s, ct, _ = GRAPH_STREAMERS["application/trig"]
+            return s, ct
+    return None
+
+
 # ------------------------------------------------------------------ SELECT
 def _binding_json(term) -> dict:
     """Term struct row (kind/value/datatype/lang) -> SPARQL JSON binding."""

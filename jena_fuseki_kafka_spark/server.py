@@ -38,6 +38,7 @@ from .model import DEFAULT_GRAPH, QUAD_SCHEMA, RdfParseError
 from .rdf.content_types import parse_payload
 from .rdf.serialize import (
     iter_nquads,
+    negotiate_dataset_streamer,
     negotiate_graph_streamer,
     negotiate_results_streamer,
 )
@@ -143,16 +144,23 @@ class SparqlHttpServer:
     def gsp_read(self, store: QuadStore, graph: str | None, accept: str | None = None):
         """Returns (content_type, chunk_iterator).  A whole-dataset read in
         a triple-only syntax (Turtle, RDF/XML) would silently flatten named
-        graphs into one graph — refuse with 406 and point at the quad-
-        capable formats instead (the graph= / default cases are fine: the
-        client named the one graph it wants)."""
-        stream, content_type, quad_capable = negotiate_graph_streamer(accept)
-        if graph is None and not quad_capable:
-            raise NotAcceptable(
-                f"{content_type} cannot represent a multi-graph dataset; "
-                "request ?graph=<iri> / ?default, or Accept a quad format "
-                "(application/n-quads, application/trig, application/ld+json)"
-            )
+        graphs into one graph — dataset negotiation skips triple-only
+        preferences (a wildcard picks TriG, like Fuseki) and refuses with
+        406 only when the client insists on exclusively lossy formats (the
+        graph= / default cases are fine: the client named the one graph it
+        wants)."""
+        if graph is None:
+            negotiated = negotiate_dataset_streamer(accept)
+            if negotiated is None:
+                raise NotAcceptable(
+                    "none of the requested formats can represent a "
+                    "multi-graph dataset; request ?graph=<iri> / ?default, "
+                    "or Accept a quad format (application/n-quads, "
+                    "application/trig, application/ld+json)"
+                )
+            stream, content_type = negotiated
+        else:
+            stream, content_type, _ = negotiate_graph_streamer(accept)
         df = store.read(self.spark)
         if graph == "default":
             df = df.filter(F.col("graph") == DEFAULT_GRAPH)

@@ -451,6 +451,25 @@ class TestStreamingServe:
         code, _, _ = req(f"{server}/data?graph={self.G}", accept="text/turtle")
         assert code == 200
 
+    def test_whole_dataset_wildcard_prefers_trig(self, server):
+        # */* on a multi-graph dataset serves TriG (Fuseki's dataset
+        # default), never 406 — the friendly path for browsers/curl -H
+        for accept in ("*/*", "application/*", "text/html, */*;q=0.1"):
+            code, ct, _ = req(f"{server}/data", accept=accept)
+            assert code == 200 and ct.startswith("application/trig"), (accept, ct)
+        # a lossy preference with a wildcard fallback picks TriG too:
+        # the server chooses among representations it can actually provide
+        code, ct, _ = req(f"{server}/data", accept="text/turtle, */*;q=0.1")
+        assert code == 200 and ct.startswith("application/trig")
+        # mixed lossy + explicit quad format: the quad format wins
+        code, ct, _ = req(
+            f"{server}/data", accept="text/turtle, application/ld+json;q=0.5"
+        )
+        assert code == 200 and ct.startswith("application/ld+json")
+        # no Accept header keeps the N-Quads default
+        code, ct, _ = req(f"{server}/data")
+        assert code == 200 and ct.startswith("application/n-quads")
+
     def test_results_negotiation_honors_q_values(self, server):
         q = b"SELECT ?o WHERE { ?s <http://example.org/p> ?o }"
         # ADVICE example: low-q csv listed first must not beat high-q xml

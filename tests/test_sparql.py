@@ -308,6 +308,22 @@ class TestAggregatesAndModifiers:
         )
         assert df.collect()[0]["names"]["value"] == "Alice,Bob,Carol,Dave"
 
+    def test_group_concat_distinct_and_default_separator(self, engine):
+        # contract (README "SPARQL conformance notes"): values sorted for
+        # determinism; DISTINCT dedups; default separator is a single space
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (GROUP_CONCAT(DISTINCT ?p; SEPARATOR=\"|\") AS ?ps) "
+            "WHERE { ?s ?p ?o }"
+        )
+        got = df.collect()[0]["ps"]["value"]
+        assert got == "|".join(sorted(set(got.split("|"))))  # sorted + deduped
+        df2 = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (GROUP_CONCAT(?n) AS ?names) WHERE { ?s ex:name ?n }"
+        )
+        assert df2.collect()[0]["names"]["value"] == "Alice Bob Carol Dave"
+
     def test_having(self, engine):
         df = engine.query(
             "PREFIX ex: <http://example.org/> "
