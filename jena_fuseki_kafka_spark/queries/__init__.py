@@ -83,14 +83,14 @@ from . import multimodal_surface  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # NEW this round (r4): the non-vacuous near-dup gate (VERDICT r3 item 1)
-    "s03b_embedding_near_dup_lowt",
-    # implementation refactored this round (shared _near_dup core) -> re-verify
-    "s03_embedding_near_dup",
-    # ---- last driver verdict r02 (33 queries): rotate into the r4 window
-    # so every registered query has a verdict <=1 round old ----
-    "r02_bgp_join_filter",
-    "r03_graph_quantification",
+    # NEW this round (r5): the SPARQL §18.3 compatible-mapping gate
+    # (VERDICT r4 item 1)
+    "r15_optional_unbound_compat",
+    # implementation changed this round -> re-verify:
+    # s02: packed single-pass LSH bucket hash (VERDICT r4 item 7)
+    "s02_ann_lsh_bucketed",
+    # r04-r14 ride the SPARQL engine, whose join semantics changed to
+    # compatible mappings this round (translate.py) -> all re-verify
     "r04_sparql_engine_group_by",
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",
@@ -102,44 +102,14 @@ _CHECK_PRIORITY = [
     "r12_group_concat",
     "r13_subselect",
     "r14_degree_histogram",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "p01_stratified_sample",
-    "p02_curation_pipeline",
-    "p03_mixture_rebalance",
+    # m01/m02 ride multimodal.py, which gained the stdlib PNG decoder and
+    # wider decode-error handling this round
     "m01_image_features",
     "m02_audio_features",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "q16_conditional_agg_case",
-    "q23_funnel_signup_to_purchase",
-    "q38_approx_percentile",
-    "d01_exact_dedup",
-    "d03_simhash",
-    "d04_ngram_jaccard_blocked",
-    "d05_decontamination",
-    "s01_ann_bruteforce_topk",
-    "s02_ann_lsh_bucketed",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "t01_language_id",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t09_url_domain_stats",
-    "t10_char_entropy",
-    # core keeps (flagship + ingest acceptance) -- refresh every round
-    "r01_sparql_acceptance_count",
-    "q01_pricing_summary",
+    # ---- last driver verdict r03: rotate into the r5 window so every
+    # verdict stays <=1 round old; d02 first (missed the r4 window at
+    # position 51 — VERDICT r4 item 4) ----
     "d02_minhash_lsh",
-    # ---- driver-green in r03, rotated toward the tail ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -173,6 +143,44 @@ _CHECK_PRIORITY = [
     "q37_running_frames",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
+    # ingest-acceptance core keep (declarative quad surface, position 50)
+    "r01_sparql_acceptance_count",
+    # ---- driver-green in r04 and unchanged this round -> tail ----
+    "q01_pricing_summary",
+    "r02_bgp_join_filter",
+    "r03_graph_quantification",
+    "s03b_embedding_near_dup_lowt",
+    "s03_embedding_near_dup",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "p01_stratified_sample",
+    "p02_curation_pipeline",
+    "p03_mixture_rebalance",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "q16_conditional_agg_case",
+    "q23_funnel_signup_to_purchase",
+    "q38_approx_percentile",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d04_ngram_jaccard_blocked",
+    "d05_decontamination",
+    "s01_ann_bruteforce_topk",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "t01_language_id",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t09_url_domain_stats",
+    "t10_char_entropy",
 ]
 
 

@@ -59,6 +59,16 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "CartesianProduct" not in p, p
 
+    def test_r15_compat_join_stays_keyed(self, spark):
+        # SPARQL compatible-mapping OPTIONAL: the maybe-unbound shared var
+        # becomes a null-or-equal RESIDUAL condition, but the join itself
+        # must stay keyed on the certainly-bound subject var — a nested
+        # loop here would make every OPTIONAL a scale failure
+        p = plan(spark, "r15_optional_unbound_compat")
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert re.search(r"isnull\(.*\) OR ", p), p  # residual compat clause present
+
     def test_d04_block_guard_broadcasts(self, spark):
         # the block-size guard must prune via broadcast semi-join, never
         # shuffle the doc-meta relation for the tiny block-count table
