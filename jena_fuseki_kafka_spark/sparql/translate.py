@@ -1229,7 +1229,29 @@ class Translator:
                 nonempty = right.limit(1).count() > 0
                 keep = nonempty if not exists.negated else not nonempty
                 return left if keep else left.limit(0)
-            return left.join(right.select(*common).distinct(), on=common, how=how)
+            mixed = self._mixed_cols(
+                common, _certainly_bound(inner), _certainly_bound(exists.pattern)
+            )
+            if not mixed:
+                return left.join(right.select(*common).distinct(), on=common, how=how)
+            # ARQ substitution semantics: an outer var left unbound is NOT
+            # substituted into the EXISTS pattern — it stays free, so any
+            # binding matches (same null-is-compatible rule as joins)
+            r = right.select(*common).distinct()
+            for c in common:
+                r = r.withColumnRenamed(c, f"__r_{c}")
+            cond = None
+            for c in common:
+                if c in mixed:
+                    e = (
+                        left[c].isNull()
+                        | r[f"__r_{c}"].isNull()
+                        | (left[c] == r[f"__r_{c}"])
+                    )
+                else:
+                    e = left[c] == r[f"__r_{c}"]
+                cond = e if cond is None else cond & e
+            return left.join(r, cond, how)
         return None
 
     def _has_aggregate(self, expr) -> bool:

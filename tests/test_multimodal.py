@@ -247,6 +247,58 @@ class TestRealCodecs:
         r = image_features(df).collect()[0]
         assert r.error is not None and r.width is None
 
+    def test_pillow_branch_via_test_double(self, monkeypatch):
+        # the Pillow code path (open -> convert("L") -> tobytes) has never
+        # run in this Pillow-less container; drive it with a stub module so
+        # the call sequence is exercised, not just written
+        import sys
+        import types
+
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_image
+
+        class FakeGray:
+            width, height = 3, 2
+
+            def tobytes(self):
+                return bytes([9] * 6)
+
+        class FakeImg:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def convert(self, mode):
+                assert mode == "L"
+                return FakeGray()
+
+        fake_image_mod = types.SimpleNamespace(open=lambda buf: FakeImg())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        w, h, pixels = decode_image(b"\xff\xd8\xff fake jpeg")
+        assert (w, h, pixels) == (3, 2, bytes([9] * 6))
+
+    def test_soundfile_branch_via_test_double(self, monkeypatch):
+        import sys
+        import types
+
+        import numpy as np
+
+        from jena_fuseki_kafka_spark.queries.multimodal import decode_audio
+
+        def fake_read(buf, dtype, always_2d):
+            assert dtype == "int16" and always_2d
+            return np.array([[7, 1], [-7, 2]], dtype="int16"), 48000
+
+        fake_sf = types.ModuleType("soundfile")
+        fake_sf.read = fake_read
+        monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+        rate, samples = decode_audio(b"OggS fake opus payload")
+        assert rate == 48000
+        assert samples == [7, -7]  # channel 0 only
+
 
 class TestVideoPipeline:
     def test_frame_sampling(self, spark):

@@ -270,6 +270,27 @@ class TestCompatibleMappings:
         # b: left x unbound, right (b,"z") compatible with overlap {s} -> removed
         assert got == {("a", "a@e")}
 
+    def test_exists_with_unbound_var_matches_any(self, cengine):
+        # ARQ substitution: an unbound outer ?x is NOT substituted into
+        # EXISTS, so the inner pattern matches any web triple; a's bound
+        # email matches no web value -> filtered out
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:name ?n OPTIONAL { ?s ex:email ?x } "
+            "FILTER EXISTS { ?w ex:web ?x } }"
+        )
+        got = {r.s.rsplit("/", 1)[1] for r in df.collect()}
+        assert got == {"b", "c"}  # a's x="a@e" matches no web binding
+
+    def test_not_exists_with_unbound_var(self, cengine):
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s WHERE { ?s ex:name ?n OPTIONAL { ?s ex:email ?x } "
+            "FILTER NOT EXISTS { ?w ex:web ?x } }"
+        )
+        got = {r.s.rsplit("/", 1)[1] for r in df.collect()}
+        assert got == {"a"}
+
     def test_certainly_bound_vars_keep_equi_join(self, cengine):
         # the plan guard: a BGP-only join has no maybe-null shared vars,
         # so the physical plan must still be a keyed equi-join (no
