@@ -131,19 +131,38 @@ class QuadStore:
             return int(entry.rsplit("=", 1)[1])
         return None  # legacy flat entry: always read
 
-    def _write_partitioned(self, df: DataFrame) -> list[str]:
+    # commits at or below this row count skip the bucket shuffle: a single
+    # task writes every bucket leaf.  Request-sized HTTP mutations and
+    # small micro-batches stay shuffle-free; ingest-volume batches (the
+    # soak writes ~2.5M quads per batch) keep the n_buckets repartition so
+    # write parallelism and file sizing hold at scale.
+    SMALL_COMMIT_ROWS = 200_000
+
+    def _write_partitioned(self, df: DataFrame, small: bool = False) -> list[str]:
         """Write df bucket-partitioned under a fresh uuid dir; return the
         manifest entries (one per non-empty bucket leaf)."""
         name = uuid.uuid4().hex
         out = os.path.join(self.files_dir, name)
-        df.withColumn("bucket", self._bucket_col()).repartition(
-            self.n_buckets, F.col("bucket")
-        ).write.partitionBy("bucket").mode("overwrite").parquet(out)
+        df = df.withColumn("bucket", self._bucket_col())
+        df = df.coalesce(1) if small else df.repartition(self.n_buckets, F.col("bucket"))
+        df.write.partitionBy("bucket").mode("overwrite").parquet(out)
         entries = []
         for d in sorted(os.listdir(out)):
             if d.startswith("bucket="):
                 entries.append(f"{name}/{d}")
         return entries
+
+    def _entry_row_count(self, entry: str) -> int:
+        """Row count of a manifest leaf from parquet footer metadata — no
+        Spark job, just footer reads (used to size delete rewrites)."""
+        import pyarrow.parquet as pq
+
+        leaf = os.path.join(self.files_dir, entry)
+        total = 0
+        for f in os.listdir(leaf):
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(leaf, f)).num_rows
+        return total
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -292,18 +311,25 @@ class QuadStore:
                 survivors = _anti_join_quads(
                     current, deletes, broadcast_right=broadcast_deletes
                 )
-                survivor_entries = self._write_partitioned(survivors)
+                # survivors <= the affected leaves' rows, known from
+                # parquet footers — small rewrites skip the bucket shuffle
+                affected_rows = sum(self._entry_row_count(f) for f in affected)
+                survivor_entries = self._write_partitioned(
+                    survivors, small=affected_rows <= self.SMALL_COMMIT_ROWS
+                )
                 drop_files = affected
                 current_files = untouched + survivor_entries
 
+        n_adds = 0
         if adds is not None:
             adds = adds.select(*QUAD_COLS)
             if not assume_unique:
                 adds = adds.dropDuplicates(QUAD_COLS)
-            # snapshot dedup only needs the buckets the new subjects hash to
-            add_buckets = {
-                r["b"] for r in adds.select(self._bucket_col().alias("b")).distinct().collect()
-            }
+            # one aggregation answers "which buckets?" (snapshot dedup only
+            # needs those) AND "how many rows?" (sizes the write)
+            add_stats = adds.groupBy(self._bucket_col().alias("b")).count().collect()
+            add_buckets = {r["b"] for r in add_stats}
+            n_adds = sum(r["count"] for r in add_stats)
             scan_files = [
                 f
                 for f in current_files
@@ -320,7 +346,9 @@ class QuadStore:
                 # at bucketed layout this becomes a bucket-pruned scan.
                 dups = _semi_join_quads(current, adds, broadcast_right=broadcast_adds)
                 adds = _anti_join_quads(adds, dups, broadcast_right=broadcast_adds)
-            new_files.extend(self._write_partitioned(adds))
+            new_files.extend(
+                self._write_partitioned(adds, small=n_adds <= self.SMALL_COMMIT_ROWS)
+            )
 
         manifest["version"] += 1
         manifest["files"] = current_files + new_files
