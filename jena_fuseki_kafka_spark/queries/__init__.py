@@ -84,8 +84,9 @@ from . import multimodal_surface  # noqa: E402,F401
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
     # NEW this round (r5): the SPARQL §18.3 compatible-mapping gate
-    # (VERDICT r4 item 1)
+    # (VERDICT r4 item 1) and the FROM/FROM NAMED dataset-clause gate
     "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
     # implementation changed this round -> re-verify:
     # s02: packed single-pass LSH bucket hash (VERDICT r4 item 7)
     "s02_ann_lsh_bucketed",

@@ -624,3 +624,48 @@ def r15(spark, sf_dir):
         F.col("size")["value"].alias("size"),
         F.col("n")["value"].cast("long").alias("n"),
     )
+
+
+@query(
+    "r16_from_named_dataset",
+    oracle="""
+    WITH merged AS (
+      SELECT DISTINCT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS s
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    named AS (
+      SELECT COUNT(*) AS named_quads FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (SELECT COUNT(*) FROM merged) AS default_subjects,
+           4 * named_quads AS named_quads
+    FROM named
+    """,
+)
+def r16(spark, sf_dir):
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2, served by
+    Fuseki per config-connector.ttl:14-17): the click+view graphs MERGE
+    into the query's default graph (set-union of quads, counted as
+    distinct subjects), while only the purchase graph is visible to
+    GRAPH patterns — the store's other named graphs must vanish from
+    both scopes."""
+    from ..sparql import SparqlEngine
+
+    quads = events_to_quads(load(spark, sf_dir, "events"))
+    engine = SparqlEngine(quads)
+    df = engine.query(
+        """
+        PREFIX exg: <http://example.org/graph/>
+        SELECT (COUNT(DISTINCT ?s) AS ?default_subjects) ?named_quads
+        FROM exg:click
+        FROM exg:view
+        FROM NAMED exg:purchase
+        WHERE {
+          ?s ?p ?o .
+          { SELECT (COUNT(*) AS ?named_quads) WHERE { GRAPH ?g { ?a ?b ?c } } }
+        } GROUP BY ?named_quads
+        """
+    )
+    return df.select(
+        F.col("default_subjects")["value"].cast("long").alias("default_subjects"),
+        F.col("named_quads")["value"].cast("long").alias("named_quads"),
+    )

@@ -114,13 +114,22 @@ class SparqlHttpServer:
             return f"http-{kind}-{self._txn_counter}"
 
     # ------------------------------------------------------------ operations
-    def run_query(self, store: QuadStore, text: str, accept: str | None = None):
+    def run_query(
+        self,
+        store: QuadStore,
+        text: str,
+        accept: str | None = None,
+        dataset: tuple | None = None,
+    ):
         """Returns (content_type, chunk_iterator).  Results stream off the
         executors via ``toLocalIterator`` — driver memory is bounded by one
         partition, and the HTTP layer writes chunked, so a store-sized
-        CONSTRUCT or SELECT never materializes on the driver."""
+        CONSTRUCT or SELECT never materializes on the driver.
+
+        ``dataset`` carries the SPARQL 1.1 Protocol ``default-graph-uri`` /
+        ``named-graph-uri`` parameters, which override FROM clauses."""
         engine = SparqlEngine.from_store(self.spark, store)
-        ast, result = engine.query_typed(text)
+        ast, result = engine.query_typed(text, dataset=dataset)
         # branch on the parsed query form, NOT result column names: a
         # SELECT projecting variables named like the quad columns must
         # still serialize as SPARQL results
@@ -291,7 +300,7 @@ def _make_handler(server: SparqlHttpServer):
                 q = qs.get("query", [None])[0]
                 if not q:
                     return self._error(400, "missing query parameter")
-                return self._run_query(store, q)
+                return self._run_query(store, q, self._dataset_params(qs))
             if op == "data":
                 try:
                     ct, chunks = server.gsp_read(
@@ -314,11 +323,13 @@ def _make_handler(server: SparqlHttpServer):
                 if ct == "application/x-www-form-urlencoded":
                     form = parse_qs(body.decode("utf-8"))
                     q = form.get("query", [None])[0]
+                    ds = self._dataset_params(form) or self._dataset_params(qs)
                 else:
                     q = body.decode("utf-8")
+                    ds = self._dataset_params(qs)
                 if not q:
                     return self._error(400, "missing query")
-                return self._run_query(store, q)
+                return self._run_query(store, q, ds)
             if op == "update":
                 if ct == "application/x-www-form-urlencoded":
                     form = parse_qs(body.decode("utf-8"))
@@ -364,10 +375,19 @@ def _make_handler(server: SparqlHttpServer):
             return self._patch(store, self._body(), ct)
 
         # ---------------------------------------------------- helpers
-        def _run_query(self, store, q: str):
+        @staticmethod
+        def _dataset_params(qs) -> tuple | None:
+            """SPARQL 1.1 Protocol §2.1.4: repeatable default-graph-uri /
+            named-graph-uri parameters; when present they OVERRIDE the
+            query's FROM / FROM NAMED clauses."""
+            d = qs.get("default-graph-uri", [])
+            n = qs.get("named-graph-uri", [])
+            return (d, n) if (d or n) else None
+
+        def _run_query(self, store, q: str, dataset: tuple | None = None):
             try:
                 content_type, chunks = server.run_query(
-                    store, q, self.headers.get("Accept")
+                    store, q, self.headers.get("Accept"), dataset=dataset
                 )
                 return self._send_stream(200, content_type, chunks)
             except RdfParseError as e:

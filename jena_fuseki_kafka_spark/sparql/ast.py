@@ -109,6 +109,9 @@ class ExistsExpr:
 
 
 # ---------------------------------------------------------------- query forms
+# `dataset` on every form: None = the store's dataset; else (default_iris,
+# named_iris) from FROM / FROM NAMED clauses (SPARQL 1.1 §13.2) — default
+# graph := merge of default_iris, named graphs := exactly named_iris.
 @dataclass
 class SelectQuery:
     projection: list  # [(var_name, expr|None)] — expr None = plain var; [] = *
@@ -119,18 +122,22 @@ class SelectQuery:
     order_by: list = field(default_factory=list)  # [(expr, ascending)]
     limit: int | None = None
     offset: int | None = None
+    dataset: tuple | None = None
 
 @dataclass
 class AskQuery:
     pattern: Any = None
+    dataset: tuple | None = None
 
 @dataclass
 class ConstructQuery:
     template: list = field(default_factory=list)  # [(s,p,o,g)]
     pattern: Any = None
     limit: int | None = None
+    dataset: tuple | None = None
 
 @dataclass
 class DescribeQuery:
     terms: list = field(default_factory=list)  # [("iri", v) | ("var", name)]
     pattern: Any = None
+    dataset: tuple | None = None

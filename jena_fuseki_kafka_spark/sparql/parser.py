@@ -192,6 +192,24 @@ class SparqlParser:
         raise RdfParseError(f"sparql: unsupported query form {t!r}")
 
     # ------------------------------------------------------------ forms
+    def _dataset_clause(self) -> tuple | None:
+        """FROM <iri> / FROM NAMED <iri> clauses (SPARQL 1.1 §13.2) ->
+        (default_iris, named_iris), or None when absent (store dataset)."""
+        def iri() -> str:
+            t = self.next()
+            return self._iri_value(t) if t.startswith("<") else self._resolve_pname(t)
+
+        default: list[str] = []
+        named: list[str] = []
+        while self.peek_kw("from"):
+            self.next()
+            if self.peek_kw("named"):
+                self.next()
+                named.append(iri())
+            else:
+                default.append(iri())
+        return (default, named) if (default or named) else None
+
     def _select(self) -> SelectQuery:
         self.expect("select")
         q = SelectQuery(projection=[])
@@ -205,7 +223,7 @@ class SparqlParser:
         else:
             while True:
                 t = self.peek()
-                if t is None or t.lower() == "where" or t == "{":
+                if t is None or t.lower() in ("where", "from") or t == "{":
                     break
                 if t.startswith(("?", "$")):
                     q.projection.append((self.next()[1:], None))
@@ -220,6 +238,7 @@ class SparqlParser:
                     q.projection.append((var[1:], expr))
                 else:
                     raise RdfParseError(f"sparql: bad projection token {t!r}")
+        q.dataset = self._dataset_clause()
         if self.peek_kw("where"):
             self.next()
         q.pattern = self._group_graph_pattern()
@@ -228,12 +247,14 @@ class SparqlParser:
 
     def _ask(self) -> AskQuery:
         self.expect("ask")
+        ds = self._dataset_clause()
         if self.peek_kw("where"):
             self.next()
-        return AskQuery(pattern=self._group_graph_pattern())
+        return AskQuery(pattern=self._group_graph_pattern(), dataset=ds)
 
     def _construct(self) -> ConstructQuery:
         self.expect("construct")
+        ds = self._dataset_clause()  # shorthand form: clauses before WHERE
         if self.peek_kw("where"):
             # CONSTRUCT WHERE { bgp } shorthand (SPARQL 1.1 §10.2.2): the
             # pattern doubles as the template; restricted to triples
@@ -245,7 +266,7 @@ class SparqlParser:
                 if self.peek() == ".":
                     self.next()
             self.expect("}")
-            q = ConstructQuery(template=list(triples), pattern=BGP(triples))
+            q = ConstructQuery(template=list(triples), pattern=BGP(triples), dataset=ds)
             if self.peek_kw("limit"):
                 self.next()
                 q.limit = int(self.next())
@@ -257,9 +278,12 @@ class SparqlParser:
             if self.peek() == ".":
                 self.next()
         self.expect("}")
+        ds = self._dataset_clause()  # full form: clauses after the template
         if self.peek_kw("where"):
             self.next()
-        q = ConstructQuery(template=template, pattern=self._group_graph_pattern())
+        q = ConstructQuery(
+            template=template, pattern=self._group_graph_pattern(), dataset=ds
+        )
         if self.peek_kw("limit"):
             self.next()
             q.limit = int(self.next())
@@ -270,7 +294,7 @@ class SparqlParser:
         terms: list = []
         while True:
             t = self.peek()
-            if t is None or t.lower() == "where" or t == "{":
+            if t is None or t.lower() in ("where", "from") or t == "{":
                 break
             if t.startswith(("?", "$")):
                 terms.append(("var", self.next()[1:]))
@@ -278,7 +302,7 @@ class SparqlParser:
                 terms.append(("iri", self._iri_value(self.next())))
         if not terms:
             raise RdfParseError("sparql: DESCRIBE needs at least one term")
-        q = DescribeQuery(terms=terms)
+        q = DescribeQuery(terms=terms, dataset=self._dataset_clause())
         if self.peek_kw("where"):
             self.next()
         if self.peek() == "{":

@@ -193,6 +193,38 @@ class TestQueryEndpoint:
         assert code == 200 and ct.startswith("application/n-quads")
         assert "<http://example.org/made>" in body
 
+    def test_protocol_dataset_params(self, server):
+        # SPARQL 1.1 Protocol §2.1.4: default-graph-uri scopes the query
+        # dataset (and overrides any FROM clause in the query text)
+        g = EX + "proto-g"
+        nt = b'<http://example.org/pd> <http://example.org/p> "in-g" .'
+        code, _, _ = req(
+            f"{server}/data?graph={quote(g, safe='')}", "PUT", nt,
+            "application/n-triples",
+        )
+        assert code == 200
+        q = "SELECT ?o WHERE { <http://example.org/pd> <http://example.org/p> ?o }"
+        # without the param the triple lives in a named graph -> no match
+        code, _, body = req(f"{server}/query?query={quote(q, safe='')}")
+        assert code == 200 and json.loads(body)["results"]["bindings"] == []
+        # with it, that named graph IS the query's default graph
+        code, _, body = req(
+            f"{server}/query?query={quote(q, safe='')}"
+            f"&default-graph-uri={quote(g, safe='')}"
+        )
+        assert code == 200
+        vals = [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
+        assert vals == ["in-g"]
+        # FROM clause in the query text works over HTTP too
+        q_from = (
+            f"SELECT ?o FROM <{g}> WHERE "
+            "{ <http://example.org/pd> <http://example.org/p> ?o }"
+        )
+        code, _, body = req(f"{server}/query?query={quote(q_from, safe='')}")
+        assert code == 200
+        vals = [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
+        assert vals == ["in-g"]
+
     def test_bad_query_is_400(self, server):
         code, _, _ = req(f"{server}/query", "POST", b"SELECT WHERE garbage", "application/sparql-query")
         assert code == 400

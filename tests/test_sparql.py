@@ -303,6 +303,80 @@ class TestCompatibleMappings:
         assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+class TestDatasetClause:
+    """FROM / FROM NAMED (SPARQL 1.1 §13.2): the query-scoped dataset —
+    default graph := merge of FROM graphs, named graphs := exactly the
+    FROM NAMED set.  Fixture: g1 holds emails, g2 holds labels, default
+    graph holds names."""
+
+    @pytest.fixture(scope="class")
+    def dengine(self, spark):
+        rows = [
+            q("a", "name", "A", kind="literal"),
+            q("a", "email", "a@e", kind="literal", g=EX + "g1"),
+            q("b", "email", "b@e", kind="literal", g=EX + "g1"),
+            q("a", "label", "la", kind="literal", g=EX + "g2"),
+            # same quad in both graphs: FROM g1 FROM g2 must merge to ONE
+            q("c", "dup", "x", kind="literal", g=EX + "g1"),
+            q("c", "dup", "x", kind="literal", g=EX + "g2"),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_from_single_graph_becomes_default(self, dengine):
+        df = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s FROM ex:g1 WHERE { ?s ex:email ?e }"
+        )
+        assert sorted(r.s.rsplit("/", 1)[1] for r in df.collect()) == ["a", "b"]
+        # and the store's real default graph is NOT part of the dataset
+        df2 = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s FROM ex:g1 WHERE { ?s ex:name ?n }"
+        )
+        assert df2.count() == 0
+
+    def test_from_merge_is_set_union(self, dengine):
+        df = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s FROM ex:g1 FROM ex:g2 WHERE { ?s ex:dup ?x }"
+        )
+        assert df.count() == 1  # identical quads merge, not multiply
+
+    def test_from_named_scopes_graph_patterns(self, dengine):
+        df = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?g ?s FROM NAMED ex:g2 WHERE { GRAPH ?g { ?s ?p ?o } }"
+        )
+        got = {(r.g, r.s.rsplit("/", 1)[1]) for r in df.collect()}
+        assert got == {(EX + "g2", "a"), (EX + "g2", "c")}
+
+    def test_from_only_means_no_named_graphs(self, dengine):
+        df = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?g FROM ex:g1 WHERE { GRAPH ?g { ?s ?p ?o } }"
+        )
+        assert df.count() == 0
+
+    def test_protocol_dataset_overrides_from(self, dengine):
+        # SPARQL Protocol: default-graph-uri replaces the FROM clause
+        df = dengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s FROM ex:g2 WHERE { ?s ex:email ?e }",
+            dataset=([EX + "g1"], []),
+        )
+        assert sorted(r.s.rsplit("/", 1)[1] for r in df.collect()) == ["a", "b"]
+
+    def test_construct_and_ask_honor_from(self, dengine):
+        got = dengine.query(
+            "PREFIX ex: <http://example.org/> "
+            "CONSTRUCT { ?s ex:c ?e } FROM ex:g1 WHERE { ?s ex:email ?e }"
+        )
+        assert got.count() == 2
+        assert dengine.query(
+            "PREFIX ex: <http://example.org/> ASK FROM ex:g2 { ?s ex:email ?e }"
+        ) is False
+
+
 class TestAggregatesAndModifiers:
     def test_count_group_by(self, engine):
         df = engine.query(
