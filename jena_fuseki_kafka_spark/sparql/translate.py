@@ -218,9 +218,17 @@ class Translator:
         if isinstance(node, Join):
             # VALUES with UNDEF cells needs compatibility-join semantics
             if isinstance(node.right, ValuesPattern):
-                return self._values_join(self._pattern(node.left, graph), node.right)
+                return self._values_join(
+                    self._pattern(node.left, graph),
+                    node.right,
+                    cb_left=_certainly_bound(node.left),
+                )
             if isinstance(node.left, ValuesPattern):
-                return self._values_join(self._pattern(node.right, graph), node.left)
+                return self._values_join(
+                    self._pattern(node.right, graph),
+                    node.left,
+                    cb_left=_certainly_bound(node.right),
+                )
             return self._join(
                 self._pattern(node.left, graph),
                 self._pattern(node.right, graph),
@@ -253,15 +261,19 @@ class Translator:
             return self._service(node)
         raise TypeError(f"unsupported pattern node {type(node)}")
 
-    def _values_join(self, left: DataFrame, values: ValuesPattern) -> DataFrame:
+    def _values_join(
+        self, left: DataFrame, values: ValuesPattern, cb_left: set | None = None
+    ) -> DataFrame:
         """Join a pattern with an inline VALUES table under SPARQL
-        compatibility semantics: an UNDEF (null) cell is compatible with
-        any binding, and the merged row takes the bound side's value.
+        compatibility semantics: an unbound cell on EITHER side — a VALUES
+        UNDEF, or a pattern variable an earlier OPTIONAL left null — is
+        compatible with any binding, and the merged row takes the bound
+        side's value.
 
-        Columns where the (tiny, driver-known) table has no UNDEF join as
-        plain equi-keys — broadcast hash join; only mixed columns fall
-        back to an OR-condition over the broadcast table, so the big side
-        still never shuffles."""
+        Columns bound on both sides (no UNDEF in the table, certainly
+        bound in the pattern) join as plain equi-keys — broadcast hash
+        join; only mixed columns fall back to an OR-condition over the
+        broadcast table, so the big side still never shuffles."""
         vdf = self._values(values)
         common = [c for c in left.columns if c in vdf.columns]
         if not common:
@@ -270,8 +282,11 @@ class Translator:
             c: any(row[values.variables.index(c)] is None for row in values.rows)
             for c in common
         }
-        eq_cols = [c for c in common if not has_undef[c]]
-        mixed = [c for c in common if has_undef[c]]
+        left_maybe_null = {
+            c: cb_left is not None and c not in cb_left for c in common
+        }
+        eq_cols = [c for c in common if not has_undef[c] and not left_maybe_null[c]]
+        mixed = [c for c in common if has_undef[c] or left_maybe_null[c]]
         r = F.broadcast(vdf)
         if not mixed:
             return left.join(r, on=eq_cols, how="inner")
@@ -283,7 +298,11 @@ class Translator:
             e = left[c] == renamed[c]
             cond = e if cond is None else cond & e
         for c in mixed:
-            e = renamed[f"__val_{c}"].isNull() | (left[c] == renamed[f"__val_{c}"])
+            e = (
+                renamed[f"__val_{c}"].isNull()
+                | left[c].isNull()
+                | (left[c] == renamed[f"__val_{c}"])
+            )
             cond = e if cond is None else cond & e
         joined = left.join(renamed, cond, "inner")
         out_cols = []

@@ -270,6 +270,28 @@ class TestCompatibleMappings:
         # b: left x unbound, right (b,"z") compatible with overlap {s} -> removed
         assert got == {("a", "a@e")}
 
+    def test_values_joins_unbound_left_var(self, cengine):
+        # VALUES after an OPTIONAL: a left row whose ?x is unbound is
+        # compatible with BOTH a bound VALUES row (taking its value) and
+        # an UNDEF row (staying unbound) — each produces a solution
+        df = cengine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?x WHERE { ?s ex:name ?n OPTIONAL { ?s ex:email ?x } "
+            'VALUES ?x { UNDEF "a@e" } }'
+        )
+        got = sorted(
+            ((r.s.rsplit("/", 1)[1], r.x) for r in df.collect()),
+            key=lambda t: (t[0], t[1] or ""),
+        )
+        assert got == [
+            ("a", "a@e"),  # bound x matches UNDEF row
+            ("a", "a@e"),  # and the equal bound row
+            ("b", None),   # unbound x + UNDEF row stays unbound
+            ("b", "a@e"),  # unbound x + bound row takes the value
+            ("c", None),
+            ("c", "a@e"),
+        ]
+
     def test_exists_with_unbound_var_matches_any(self, cengine):
         # ARQ substitution: an unbound outer ?x is NOT substituted into
         # EXISTS, so the inner pattern matches any web triple; a's bound
