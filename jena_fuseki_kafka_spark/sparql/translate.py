@@ -1169,17 +1169,26 @@ class Translator:
             df = self._aggregate_select(q, df)
             defer_project = False
         elif q.projection:
+            # a projected var the pattern never binds is a legal SPARQL
+            # query: it projects as unbound (null term), not an error
+            null_term = F.lit(None).cast(
+                "struct<kind:string,value:string,datatype:string,lang:string>"
+            )
             if defer_project:
                 proj_names = []
                 for name, expr in q.projection:
                     proj_names.append(name)
                     if expr is not None:
                         df = df.withColumn(name, self._expr_term(expr, df, None))
+                    elif name not in df.columns:
+                        df = df.withColumn(name, null_term)
             else:
                 cols = []
                 for name, expr in q.projection:
                     if expr is None:
-                        cols.append(F.col(name))
+                        cols.append(
+                            F.col(name) if name in df.columns else null_term.alias(name)
+                        )
                     else:
                         cols.append(self._expr_term(expr, df, None).alias(name))
                 df = df.select(*cols)

@@ -558,6 +558,24 @@ class TestPropertyPaths:
         assert any("iteration cap" in str(w.message) for w in caught)
 
 
+class TestProjection:
+    def test_never_bound_var_projects_as_unbound(self, engine):
+        # legal SPARQL: a projected var the pattern never binds is simply
+        # unbound in every solution (ARQ behavior), not an analysis error
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> SELECT ?s ?zzz WHERE { ?s ex:name ?n }"
+        )
+        rows = df.collect()
+        assert len(rows) == 4 and all(r["zzz"] is None for r in rows)
+
+    def test_never_bound_var_with_order_by(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?s ?zzz WHERE { ?s ex:name ?n } ORDER BY ?n"
+        )
+        assert all(r["zzz"] is None for r in df.collect())
+
+
 class TestParserErrors:
     def test_unknown_prefix(self, engine):
         from jena_fuseki_kafka_spark.model import RdfParseError
