@@ -29,12 +29,15 @@ def test_s03b_non_empty_and_matches_oracle(spark, sf_dir):
     assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)
 
 
-def test_s03b_is_in_the_driver_check_window():
-    # the driver checks the first 50 registered queries; s03b exists to be
-    # standing driver evidence, so it must sit inside that window
-    window = list(QUERIES)[:50]
-    assert "s03b_embedding_near_dup_lowt" in window
-    assert _CHECK_PRIORITY[0] == "s03b_embedding_near_dup_lowt"
+def test_s03b_stays_oracle_gated():
+    # the driver checks the first 50 registered queries and the window
+    # ROTATES round to round (new/changed queries first, freshest-verdict
+    # queries to the tail), so s03b's position varies; the durable
+    # contract is that it stays registered with its DuckDB oracle and is
+    # listed in the rotation (never silently dropped)
+    assert "s03b_embedding_near_dup_lowt" in QUERIES
+    assert "s03b_embedding_near_dup_lowt" in ORACLES
+    assert "s03b_embedding_near_dup_lowt" in _CHECK_PRIORITY
 
 
 def test_s03_production_threshold_still_registered():
