@@ -145,9 +145,11 @@ class SparqlHttpServer:
             return content_type, iter((ask_fn(result),))
         return content_type, select_stream(result)
 
-    def run_update(self, store: QuadStore, text: str) -> dict:
+    def run_update(
+        self, store: QuadStore, text: str, dataset: tuple | None = None
+    ) -> dict:
         return UpdateEngine(self.spark, store).update(
-            text, txn_id=self._next_txn("update")
+            text, txn_id=self._next_txn("update"), protocol_dataset=dataset
         )
 
     def gsp_read(self, store: QuadStore, graph: str | None, accept: str | None = None):
@@ -334,12 +336,14 @@ def _make_handler(server: SparqlHttpServer):
                 if ct == "application/x-www-form-urlencoded":
                     form = parse_qs(body.decode("utf-8"))
                     u = form.get("update", [None])[0]
+                    ds = self._update_dataset_params(form) or self._update_dataset_params(qs)
                 else:
                     u = body.decode("utf-8")
+                    ds = self._update_dataset_params(qs)
                 if not u:
                     return self._error(400, "missing update")
                 try:
-                    res = server.run_update(store, u)
+                    res = server.run_update(store, u, dataset=ds)
                     return self._send(200, "application/json", json.dumps(res))
                 except RdfParseError as e:
                     return self._error(400, str(e))
@@ -382,6 +386,15 @@ def _make_handler(server: SparqlHttpServer):
             query's FROM / FROM NAMED clauses."""
             d = qs.get("default-graph-uri", [])
             n = qs.get("named-graph-uri", [])
+            return (d, n) if (d or n) else None
+
+        @staticmethod
+        def _update_dataset_params(qs) -> tuple | None:
+            """SPARQL 1.1 Protocol §2.2.3: using-graph-uri /
+            using-named-graph-uri scope an update's WHERE dataset; illegal
+            alongside USING/WITH in the update text (engine rejects)."""
+            d = qs.get("using-graph-uri", [])
+            n = qs.get("using-named-graph-uri", [])
             return (d, n) if (d or n) else None
 
         def _run_query(self, store, q: str, dataset: tuple | None = None):

@@ -315,14 +315,32 @@ class UpdateEngine:
         self.last_commit_broadcast: dict[str, bool] = {"adds": True, "deletes": True}
 
     # ------------------------------------------------------------ update
-    def update(self, text: str, txn_id: str | None = None) -> dict:
+    def update(
+        self,
+        text: str,
+        txn_id: str | None = None,
+        protocol_dataset: tuple | None = None,
+    ) -> dict:
         """Apply a SPARQL Update request atomically (one store commit),
         sequentially within the request: every operation evaluates against
         ``base MINUS pending_deletes UNION pending_adds``.  The pending
         sets are net-effect maintained (inserting a quad removes it from
         pending deletes and vice versa), so no quad ever lands in both and
-        the final commit's delete-then-add application is order-safe."""
+        the final commit's delete-then-add application is order-safe.
+
+        ``protocol_dataset`` = (using_iris, using_named_iris) carries the
+        SPARQL 1.1 Protocol ``using-graph-uri``/``using-named-graph-uri``
+        parameters; per Protocol §2.2.3 it is an ERROR to combine them
+        with an operation that has its own USING/WITH clause."""
         ops = _UpdateParser(text).parse_update()
+        if protocol_dataset is not None:
+            for op in ops:
+                if op[0] == "modify" and (op[4] is not None or op[5] or op[6]):
+                    raise RdfParseError(
+                        "using-graph-uri parameters cannot be combined with "
+                        "an update containing USING or WITH (SPARQL 1.1 "
+                        "Protocol §2.2.3)"
+                    )
         base = self.store.read(self.spark)
         pending_adds: DataFrame | None = None
         pending_dels: DataFrame | None = None
@@ -419,6 +437,8 @@ class UpdateEngine:
             elif kind == "modify":
                 del_tmpl, ins_tmpl, pattern = op[1], op[2], op[3]
                 with_graph, using, using_named = op[4], op[5], op[6]
+                if protocol_dataset is not None:
+                    using, using_named = protocol_dataset
                 # WITH scopes unqualified template quads and (absent USING)
                 # the WHERE pattern's default graph (SPARQL 1.1 Update §3.1.3)
                 if with_graph is not None:

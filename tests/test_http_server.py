@@ -225,6 +225,39 @@ class TestQueryEndpoint:
         vals = [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
         assert vals == ["in-g"]
 
+    def test_update_using_graph_param(self, server):
+        # §2.2.3: using-graph-uri scopes the update's WHERE dataset
+        g = EX + "using-g"
+        nt = b'<http://example.org/us> <http://example.org/p> "scoped" .'
+        code, _, _ = req(
+            f"{server}/data?graph={quote(g, safe='')}", "POST", nt,
+            "application/n-triples",
+        )
+        assert code == 200
+        u = (
+            "PREFIX ex: <http://example.org/> "
+            "INSERT { ?s ex:fromg ?o } WHERE { ?s ex:p ?o }"
+        )
+        code, _, _ = req(
+            f"{server}/update?using-graph-uri={quote(g, safe='')}",
+            "POST", u.encode(), "application/sparql-update",
+        )
+        assert code == 200
+        q = "SELECT ?o WHERE { <http://example.org/us> <http://example.org/fromg> ?o }"
+        code, _, body = req(f"{server}/query?query={quote(q, safe='')}")
+        vals = [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
+        assert vals == ["scoped"]
+        # combined with USING in the text -> 400 per the protocol
+        bad = (
+            "PREFIX ex: <http://example.org/> DELETE { ?s ?p ?o } "
+            f"USING <{g}> WHERE {{ ?s ?p ?o }}"
+        )
+        code, _, _ = req(
+            f"{server}/update?using-graph-uri={quote(g, safe='')}",
+            "POST", bad.encode(), "application/sparql-update",
+        )
+        assert code == 400
+
     def test_bad_query_is_400(self, server):
         code, _, _ = req(f"{server}/query", "POST", b"SELECT WHERE garbage", "application/sparql-query")
         assert code == 400

@@ -338,6 +338,46 @@ class TestGraphManagement:
         assert store.read(spark).count() == 4
 
 
+class TestProtocolUsingParams:
+    """SPARQL 1.1 Protocol §2.2.3: using-graph-uri / using-named-graph-uri
+    scope a modify operation's WHERE dataset like USING clauses would."""
+
+    def seed(self, upd):
+        upd.update(
+            'PREFIX ex: <http://e/> INSERT DATA { ex:s1 ex:p "default" .'
+            ' GRAPH ex:g { ex:s2 ex:p "in-g" } }'
+        )
+
+    def test_using_graph_param_scopes_where(self, spark, store, upd):
+        self.seed(upd)
+        # WHERE sees ex:g as the default graph -> matches only "in-g"
+        upd.update(
+            "PREFIX ex: <http://e/> INSERT { ?s ex:copied ?o } WHERE { ?s ex:p ?o }",
+            protocol_dataset=(["http://e/g"], []),
+        )
+        got = all_quads(spark, store)
+        assert (DEFAULT_GRAPH, EX + "s2", EX + "copied", "in-g") in got
+        assert not any(q[2] == EX + "copied" and q[1] == EX + "s1" for q in got)
+
+    def test_param_with_using_in_text_is_an_error(self, spark, store, upd):
+        self.seed(upd)
+        with pytest.raises(RdfParseError, match="USING"):
+            upd.update(
+                "PREFIX ex: <http://e/> DELETE { ?s ex:p ?o } USING ex:g "
+                "WHERE { ?s ex:p ?o }",
+                protocol_dataset=(["http://e/g"], []),
+            )
+
+    def test_param_with_with_in_text_is_an_error(self, spark, store, upd):
+        self.seed(upd)
+        with pytest.raises(RdfParseError, match="USING"):
+            upd.update(
+                "PREFIX ex: <http://e/> WITH ex:g DELETE { ?s ex:p ?o } "
+                "WHERE { ?s ex:p ?o }",
+                protocol_dataset=(["http://e/g"], []),
+            )
+
+
 class TestLoadOverHttp:
     def test_load_from_gsp_endpoint(self, spark, tmp_path):
         """LOAD <http://...> pulls another dataset's GSP export (N-Quads
