@@ -186,9 +186,15 @@ class Translator:
         raise TypeError(f"unsupported query type {type(query)}")
 
     def _describe(self, q: DescribeQuery) -> DataFrame:
-        """DESCRIBE: all quads (any graph) whose subject is a described
-        node — the simple subject-CBD reading, distributed as a broadcast
-        semi-join of the (small) node set against the quad table."""
+        """DESCRIBE: Concise Bounded Description — all quads (any graph)
+        whose subject is a described node, PLUS the closure over blank-node
+        objects (a bnode object's own triples are part of its parent's
+        description, recursively), matching Jena's default DESCRIBE
+        handler.  Distributed as broadcast semi-joins of the (request-
+        sized) node set against the quad table; the bnode frontier is
+        collected per level — it is bounded by the description's own size
+        (CBD of a request-sized node set), not the store, the same
+        driver-boundedness argument as SERVICE."""
         iris = [t[1] for t in q.terms if t[0] == "iri"]
         variables = [t[1] for t in q.terms if t[0] == "var"]
         spark = self.quads.sparkSession
@@ -204,9 +210,30 @@ class Translator:
                 nodes = vals if nodes is None else nodes.unionByName(vals).distinct()
         if nodes is None:
             return self.quads.limit(0)
-        return self.quads.join(
+        result = self.quads.join(
             F.broadcast(nodes), self.quads["subject"] == nodes["node"], "left_semi"
         )
+        seen: set[str] = set()
+        frontier_src = result
+        for _ in range(self.max_path_iterations):
+            fresh = [
+                r["node"]
+                for r in frontier_src.filter(F.col("object_kind") == "bnode")
+                .select(F.col("object_value").alias("node"))
+                .distinct()
+                .collect()
+                if r["node"] not in seen
+            ]
+            if not fresh:
+                break
+            seen.update(fresh)
+            fdf = spark.createDataFrame([(n,) for n in fresh], "node string")
+            add = self.quads.join(
+                F.broadcast(fdf), self.quads["subject"] == fdf["node"], "left_semi"
+            )
+            result = result.unionByName(add)
+            frontier_src = add
+        return result
 
     # ------------------------------------------------------------ patterns
     def _pattern(self, node, graph) -> DataFrame:

@@ -616,6 +616,25 @@ class TestDescribe:
         with _p.raises(RdfParseError):
             engine.query("DESCRIBE ?x")
 
+    def test_describe_includes_bnode_closure(self, spark):
+        # Jena's default DESCRIBE is a Concise Bounded Description: a
+        # blank-node object's own triples belong to the parent's
+        # description, recursively — two levels deep here
+        rows = [
+            (DEFAULT_GRAPH, EX + "z", EX + "p", "bnode", "_:b1", None, None),
+            (DEFAULT_GRAPH, "_:b1", EX + "q", "bnode", "_:b2", None, None),
+            (DEFAULT_GRAPH, "_:b2", EX + "r", "literal", "1", None, None),
+            (DEFAULT_GRAPH, EX + "other", EX + "p", "literal", "x", None, None),
+        ]
+        eng = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = eng.query(f"DESCRIBE <{EX}z>")
+        got = {(r.subject, r.object_value) for r in df.collect()}
+        assert got == {
+            (EX + "z", "_:b1"),
+            ("_:b1", "_:b2"),
+            ("_:b2", "1"),
+        }
+
 
 class TestSubSelect:
     def test_subselect_join(self, engine):
