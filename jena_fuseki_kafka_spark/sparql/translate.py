@@ -1335,7 +1335,18 @@ class Translator:
             if expr is None:
                 post_select.append(F.col(name))
                 continue
-            agg_exprs.append(self._agg_expr(expr, df).alias(f"__agg_{name}"))
+            agg = self._agg_expr(expr, df)
+            # spec §18.5.1.6/.7: Sum/Avg over the EMPTY solution set are 0
+            # (ARQ returns 0); only possible without GROUP BY, since
+            # grouped groups are never empty.  Grouped all-error sums stay
+            # unbound, which the coalesce must not mask.
+            if (
+                not group_cols
+                and isinstance(expr, Call)
+                and expr.name in ("sum", "avg")
+            ):
+                agg = F.coalesce(agg, F.lit(0.0))
+            agg_exprs.append(agg.alias(f"__agg_{name}"))
             post_select.append(self._wrap_agg_result(F.col(f"__agg_{name}")).alias(name))
 
         having_agg = None

@@ -441,6 +441,19 @@ class TestAggregatesAndModifiers:
         )
         assert df2.collect()[0]["names"]["value"] == "Alice Bob Carol Dave"
 
+    def test_sum_avg_over_empty_is_zero(self, engine):
+        # spec §18.5.1.6/.7 (and ARQ): Sum/Avg of the empty solution
+        # sequence are 0, not unbound; Min/Max stay unbound (error)
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) (MIN(?v) AS ?m) "
+            "(COUNT(*) AS ?n) WHERE { ?x ex:no_such_predicate ?v }"
+        )
+        r = df.collect()[0]
+        assert r["s"]["value"] == "0.0" and r["a"]["value"] == "0.0"
+        assert r["m"]["value"] is None
+        assert r["n"]["value"] == "0"
+
     def test_having(self, engine):
         df = engine.query(
             "PREFIX ex: <http://example.org/> "
