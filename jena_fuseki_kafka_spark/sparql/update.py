@@ -385,11 +385,33 @@ class UpdateEngine:
                 else pending_dels.unionByName(df).dropDuplicates(QUAD_COLS)
             )
 
-        for op in ops:
+        import hashlib
+        import uuid as _uuid
+
+        # per-operation bnode-freshness seed: deterministic under txn_id
+        # (crash-replay re-derives the same labels; idempotent commit
+        # no-ops), random otherwise (plain per-execution freshness)
+        req_seed = txn_id if txn_id is not None else _uuid.uuid4().hex
+
+        def _op_suffix(op_index: int) -> str:
+            return hashlib.md5(f"{req_seed}|op{op_index}".encode()).hexdigest()[:12]
+
+        def _has_bnode(tmpl) -> bool:
+            return any(
+                t is not None and t[0] == "bnode"
+                for quad in tmpl
+                for t in quad
+            )
+
+        for op_index, op in enumerate(ops):
             kind = op[0]
             if kind == "insert_data":
-                do_insert(self._const_quads(op[1]))
+                do_insert(self._const_quads(op[1], bnode_suffix=_op_suffix(op_index)))
             elif kind == "delete_data":
+                if _has_bnode(op[1]):
+                    # SPARQL 1.1 Update §3.1.2: bnodes are disallowed in
+                    # DELETE DATA (they could never denote a stored node)
+                    raise RdfParseError("DELETE DATA must not contain blank nodes")
                 do_delete(self._const_quads(op[1]))
             elif kind == "clear":
                 target = op[1]
@@ -477,9 +499,19 @@ class UpdateEngine:
                     df = df.localCheckpoint(eager=True)
                 bounded = _pattern_is_constrained(pattern)
                 if del_tmpl:
+                    if _has_bnode(del_tmpl):
+                        # §3.1.3: DELETE templates must not contain bnodes
+                        raise RdfParseError(
+                            "DELETE template must not contain blank nodes"
+                        )
                     do_delete(self._instantiate(df, del_tmpl), bounded=bounded)
                 if ins_tmpl:
-                    do_insert(self._instantiate(df, ins_tmpl), bounded=bounded)
+                    do_insert(
+                        self._instantiate(
+                            df, ins_tmpl, bnode_suffix=_op_suffix(op_index)
+                        ),
+                        bounded=bounded,
+                    )
         self.last_commit_broadcast = {"adds": adds_bounded, "deletes": dels_bounded}
         version = self.store.commit(
             self.spark,
@@ -557,26 +589,64 @@ class UpdateEngine:
         ]
         return self.spark.createDataFrame(rows, QUAD_SCHEMA)
 
-    def _const_quads(self, quads: list) -> DataFrame:
+    def _const_quads(self, quads: list, bnode_suffix: str | None = None) -> DataFrame:
+        """Constant quads from INSERT DATA / DELETE DATA templates.
+
+        ``bnode_suffix`` (INSERT DATA only) makes bnode labels fresh per
+        operation execution — SPARQL 1.1 Update §3.1.1: re-running
+        ``INSERT DATA { ex:a ex:p [] }`` adds a NEW bnode each time, so a
+        shared label must not collapse under set semantics.  Like LOAD,
+        the suffix derives from (txn_id, op index): crash-replay of the
+        same request re-derives the same labels and the idempotent commit
+        drops the re-apply."""
+
+        def fresh(term):
+            if bnode_suffix is not None and term[0] == "bnode":
+                return f"{term[1]}-{bnode_suffix}"
+            return term[1]
+
         rows = []
         for s, p, o, g in quads:
             graph = g[1] if g is not None else DEFAULT_GRAPH
             if o[0] == "literal":
-                rows.append((graph, s[1], p[1], "literal", o[1], o[2], o[3]))
+                rows.append((graph, fresh(s), p[1], "literal", o[1], o[2], o[3]))
             else:
-                rows.append((graph, s[1], p[1], o[0], o[1], None, None))
+                rows.append((graph, fresh(s), p[1], o[0], fresh(o), None, None))
         return self.spark.createDataFrame(rows, QUAD_SCHEMA)
 
-    def _instantiate(self, bindings: DataFrame, template: list) -> DataFrame:
-        """Project pattern bindings through a quad template (CONSTRUCT-style)."""
+    def _instantiate(
+        self, bindings: DataFrame, template: list, bnode_suffix: str | None = None
+    ) -> DataFrame:
+        """Project pattern bindings through a quad template (CONSTRUCT-style).
+
+        A bnode label in an INSERT template mints a fresh bnode PER
+        SOLUTION (SPARQL 1.1 Update §3.1.3): the label is salted with the
+        operation's ``bnode_suffix`` and a hash of the solution's bindings,
+        so the same solution keeps ONE bnode across all template quads
+        while different solutions get distinct ones.  (Two identical
+        solution rows collapse to one bnode — a documented simplification
+        that keeps labels deterministic for crash-replay.)"""
         from functools import reduce
 
+        sol_hash = F.lower(F.hex(F.xxhash64(*[bindings[c] for c in bindings.columns])))
         parts = []
         for s, p, o, g in template:
             def tcol(t, role):
                 if t[0] == "var":
                     c = bindings[t[1]]
                     return c["value"] if role != "object" else c
+                if t[0] == "bnode" and bnode_suffix is not None:
+                    label = F.concat(
+                        F.lit(f"{t[1]}-{bnode_suffix}-"), sol_hash
+                    )
+                    if role == "object":
+                        return F.struct(
+                            F.lit("bnode").alias("kind"),
+                            label.alias("value"),
+                            F.lit("").alias("datatype"),
+                            F.lit("").alias("lang"),
+                        )
+                    return label
                 if role == "object" and t[0] == "literal":
                     return F.struct(
                         F.lit("literal").alias("kind"),

@@ -319,6 +319,37 @@ class TestGraphManagement:
         upd.update(f"LOAD <file://{doc}>", txn_id="req-1")  # replayed request
         assert store.read(spark).count() == 2
 
+    def test_insert_data_mints_fresh_bnodes_per_execution(self, spark, store, upd):
+        # §3.1.1: re-running INSERT DATA with a bnode adds a NEW bnode —
+        # the label must not collapse under set semantics
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p [ ex:q "1" ] }')
+        assert store.read(spark).count() == 2
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p [ ex:q "1" ] }')
+        assert store.read(spark).count() == 4
+        # crash-replay of the SAME request (same txn_id) stays a no-op
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p [ ex:q "2" ] }', txn_id="t1")
+        n = store.read(spark).count()
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p [ ex:q "2" ] }', txn_id="t1")
+        assert store.read(spark).count() == n
+
+    def test_insert_template_bnode_fresh_per_solution(self, spark, store, upd):
+        # §3.1.3: a template bnode mints one fresh node PER SOLUTION, kept
+        # consistent across the template's quads within each solution
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:s1 ex:t "x" . ex:s2 ex:t "y" }')
+        upd.update('PREFIX ex: <http://e/> INSERT { ?s ex:has [ ex:v ?o ] } WHERE { ?s ex:t ?o }')
+        quads = [(r.subject, r.predicate, r.object_value) for r in store.read(spark).collect()]
+        has = {s: v for s, p, v in quads if p == EX + "has"}
+        vals = {s: v for s, p, v in quads if p == EX + "v"}
+        assert has[EX + "s1"] != has[EX + "s2"]
+        assert vals[has[EX + "s1"]] == "x" and vals[has[EX + "s2"]] == "y"
+
+    def test_delete_bnodes_rejected(self, spark, store, upd):
+        # §3.1.2/.3: bnodes are disallowed in DELETE DATA and DELETE templates
+        with pytest.raises(RdfParseError, match="blank node"):
+            upd.update("DELETE DATA { <http://e/a> <http://e/p> _:b }")
+        with pytest.raises(RdfParseError, match="blank node"):
+            upd.update("DELETE { ?s <http://e/p> [] } WHERE { ?s <http://e/p> ?o }")
+
     def test_repeated_load_in_one_request_mints_fresh_bnodes(
         self, spark, store, upd, tmp_path
     ):
