@@ -1425,6 +1425,16 @@ class Translator:
     # ------------------------------------------------------------ construct
     def _construct(self, q: ConstructQuery) -> DataFrame:
         df = self._pattern(self._rewrite_exists(q.pattern), graph=None)
+        # spec §10.2.1: a template bnode is instantiated fresh PER
+        # SOLUTION — salt the label with a hash of the solution's bindings
+        # so each solution gets its own node, consistent across the
+        # template's triples (identical duplicate solutions collapse to
+        # one node; deterministic, same simplification as the update path)
+        sol_hash = (
+            F.lower(F.hex(F.xxhash64(*[df[c] for c in df.columns])))
+            if df.columns
+            else F.lit("0")
+        )
         parts = []
         for s, p, o, g in q.template:
             def term_col(t, role):
@@ -1433,6 +1443,11 @@ class Translator:
                     if role in ("subject", "predicate", "graph"):
                         return c["value"]
                     return c
+                if t[0] == "bnode":
+                    label = F.concat(F.lit(t[1] + "-c"), sol_hash)
+                    if role in ("subject", "predicate", "graph"):
+                        return label
+                    return _term_struct(F.lit("bnode"), label)
                 if role in ("subject", "predicate", "graph"):
                     return F.lit(t[1])
                 return _const_struct(t)

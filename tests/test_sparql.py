@@ -492,6 +492,27 @@ class TestQueryForms:
         assert df.filter(F.col("predicate") == "http://xmlns.com/foaf/0.1/name").count() == 4
 
 
+class TestConstructBnodes:
+    def test_template_bnode_fresh_per_solution(self, spark):
+        # spec §10.2.1: a CONSTRUCT template bnode instantiates fresh per
+        # solution, consistent across the template's triples
+        rows = [
+            (DEFAULT_GRAPH, EX + "s1", EX + "t", "literal", "x", None, None),
+            (DEFAULT_GRAPH, EX + "s2", EX + "t", "literal", "y", None, None),
+        ]
+        eng = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = eng.query(
+            "PREFIX ex: <http://example.org/> "
+            "CONSTRUCT { ?s ex:has _:b . _:b ex:v ?o } WHERE { ?s ex:t ?o }"
+        )
+        out = [(r.subject, r.predicate, r.object_value) for r in df.collect()]
+        has = {s: v for s, p, v in out if p == EX + "has"}
+        vals = {s: v for s, p, v in out if p == EX + "v"}
+        assert len(out) == 4
+        assert has[EX + "s1"] != has[EX + "s2"]
+        assert vals[has[EX + "s1"]] == "x" and vals[has[EX + "s2"]] == "y"
+
+
 class TestPropertyPaths:
     def test_sequence_path(self, engine):
         df = engine.select_values(
