@@ -1044,17 +1044,18 @@ class Translator:
         if name == "bound":
             s = args_struct(0)
             return s.isNotNull() if s is not None else F.lit(True)
-        if name in ("isiri", "isuri"):
+        if name in ("isiri", "isuri", "isblank", "isliteral", "isnumeric"):
+            # term tests work on any term expression, not just variables —
+            # fall back to building the term struct (e.g. isBlank(BNODE()))
             s = args_struct(0)
-            return s["kind"] == "iri"
-        if name == "isblank":
-            s = args_struct(0)
-            return s["kind"] == "bnode"
-        if name == "isliteral":
-            s = args_struct(0)
-            return s["kind"] == "literal"
-        if name == "isnumeric":
-            s = args_struct(0)
+            if s is None:
+                s = self._expr_term(call.args[0], df, graph)
+            if name in ("isiri", "isuri"):
+                return s["kind"] == "iri"
+            if name == "isblank":
+                return s["kind"] == "bnode"
+            if name == "isliteral":
+                return s["kind"] == "literal"
             return (s["kind"] == "literal") & s["datatype"].isin(*NUMERIC_TYPES)
         if name == "sameterm":
             return self._expr_term(call.args[0], df, graph) == self._expr_term(call.args[1], df, graph)
@@ -1104,7 +1105,12 @@ class Translator:
             # url_encode is form-encoding: fix the space -> '+' difference
             return F.regexp_replace(F.url_encode(argv(0).cast("string")), r"\+", "%20")
         if name == "strbefore":
-            return F.substring_index(argv(0).cast("string"), argv(1).cast("string"), 1)
+            # substring_index needs a Python-string delimiter, so build
+            # from instr/substr (spec: no match -> "", empty delim -> "")
+            a, b = argv(0).cast("string"), argv(1).cast("string")
+            return F.when(
+                F.instr(a, b) > 0, a.substr(F.lit(1), F.instr(a, b) - 1)
+            ).otherwise(F.lit(""))
         if name == "strafter":
             a, b = argv(0).cast("string"), argv(1).cast("string")
             return F.when(

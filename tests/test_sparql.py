@@ -754,6 +754,28 @@ class TestLangFunctions:
         assert row["x"]["value"] == "hi" and row["x"]["lang"] == "en"
         assert row["y"]["datatype"].endswith("#token")
 
+    def test_strbefore_column_delimiter(self, engine):
+        # STRBEFORE with any expression delimiter (substring_index would
+        # only take a Python-string one); no match -> ""
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT (STRBEFORE(?n, "li") AS ?x) (STRBEFORE(?n, "zz") AS ?y) '
+            'WHERE { ?s ex:name ?n FILTER(?n = "Alice") }'
+        )
+        r = df.collect()[0]
+        assert r["x"]["value"] == "A" and r["y"]["value"] == ""
+
+    def test_bnode_function_fresh_and_blank(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (BNODE() AS ?b) (isBlank(BNODE()) AS ?t) WHERE { ?s ex:name ?n }"
+        )
+        rows = df.collect()
+        assert all(r["t"]["value"] == "true" for r in rows)
+        labels = [r["b"]["value"] for r in rows]
+        assert len(set(labels)) == len(labels)  # fresh per solution
+        assert all(l.startswith("_:") for l in labels)
+
     def test_encode_for_uri(self, engine):
         df = engine.select_values(
             'SELECT ?e WHERE { VALUES ?v { "a b/c" } BIND(ENCODE_FOR_URI(?v) AS ?e) }'
