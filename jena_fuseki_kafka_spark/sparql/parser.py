@@ -859,6 +859,17 @@ class SparqlParser:
             return Call(name, args)
         term = self._term()
         if term[0] == "iri":
+            # XPath constructor call (SPARQL 1.1 §17.5): <iri>(expr) /
+            # xsd:integer(?v) — an IRI followed by an argument list casts
+            if self.peek() == "(":
+                self.next()
+                args = []
+                while self.peek() != ")":
+                    args.append(self._expression())
+                    if self.peek() == ",":
+                        self.next()
+                self.expect(")")
+                return Call(term[1], args)  # name = the datatype IRI
             return Iri(term[1])
         if term[0] == "literal":
             return Lit(term[1], term[2], term[3])

@@ -902,6 +902,13 @@ class Translator:
                 F.lit(""),
                 self._expr_value(expr.args[1], df, graph).cast("string"),
             )
+        if isinstance(expr, Call) and expr.name.startswith(XSD):
+            # XPath constructor (§17.5): cast + retag with the target type
+            return _term_struct(
+                F.lit("literal"),
+                self._cast_value(expr, df, graph).cast("string"),
+                F.lit(expr.name),
+            )
         if isinstance(expr, Call) and expr.name == "strdt":
             return _term_struct(
                 F.lit("literal"),
@@ -1024,8 +1031,37 @@ class Translator:
 
         return F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn)).otherwise(apply(a, b))
 
+    def _cast_value(self, call: Call, df: DataFrame, graph) -> Column:
+        """XPath constructor functions (SPARQL 1.1 §17.5): cast the value
+        to the XSD type's value space (try_cast: uncastable -> unbound,
+        the spec's type error)."""
+        v = self._expr_value(call.args[0], df, graph)
+        local = call.name[len(XSD):]
+        if local in ("integer", "int", "long", "short", "byte",
+                     "nonNegativeInteger", "positiveInteger"):
+            # via double first so "5.7" truncates like XPath xs:integer
+            return v.cast("string").try_cast("double").try_cast("long")
+        if local in ("decimal", "double", "float"):
+            return v.cast("string").try_cast("double")
+        if local == "boolean":
+            s = v.cast("string")
+            return (
+                F.when(s.isin("true", "1"), F.lit(True))
+                .when(s.isin("false", "0"), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
+        if local == "dateTime":
+            return F.date_format(
+                v.cast("string").try_cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"
+            )
+        if local == "date":
+            return v.cast("string").try_cast("date")
+        return v.cast("string")  # xsd:string and anything else: lexical form
+
     def _call_value(self, call: Call, df: DataFrame, graph) -> Column:
         name = call.name
+        if name.startswith(XSD):
+            return self._cast_value(call, df, graph)
         argv = lambda i: self._expr_value(call.args[i], df, graph)  # noqa: E731
         args_struct = lambda i: self._var_struct(call.args[i], df)  # noqa: E731
         if name == "str":

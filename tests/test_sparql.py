@@ -754,6 +754,34 @@ class TestLangFunctions:
         assert row["x"]["value"] == "hi" and row["x"]["lang"] == "en"
         assert row["y"]["datatype"].endswith("#token")
 
+    def test_xsd_constructor_casts(self, engine):
+        # XPath constructor functions (§17.5): xsd:integer / xsd:string /
+        # xsd:boolean as cast calls, retagged with the target datatype
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT (xsd:integer("42") AS ?i) (xsd:integer(?a) AS ?ia) '
+            '(xsd:string(?a) AS ?s) (xsd:boolean("true") AS ?b) '
+            '(xsd:double(?a) AS ?d) '
+            "WHERE { ex:alice ex:age ?a }"
+        )
+        r = df.collect()[0]
+        assert r["i"]["value"] == "42"
+        assert r["ia"]["value"] == "30"
+        assert r["ia"]["datatype"].endswith("integer")
+        assert r["s"]["value"] == "30" and r["s"]["datatype"].endswith("#string")
+        assert r["b"]["value"] == "true"
+        assert r["d"]["value"] == "30.0"
+
+    def test_xsd_cast_failure_is_unbound(self, engine):
+        # uncastable lexical form -> type error -> unbound (not a crash)
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT (xsd:integer(?n) AS ?i) WHERE { ex:alice ex:name ?n }"
+        )
+        assert df.collect()[0]["i"]["value"] is None
+
     def test_strbefore_column_delimiter(self, engine):
         # STRBEFORE with any expression delimiter (substring_index would
         # only take a Python-string one); no match -> ""
