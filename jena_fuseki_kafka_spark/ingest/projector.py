@@ -146,25 +146,34 @@ def apply_event_batch(
         n_deletes = counts.get("D", 0)
         adds = last.filter(F.col("last_op") == "A").drop("last_op")
         deletes = last.filter(F.col("last_op") == "D").drop("last_op")
+        # materialize the DLQ branch BEFORE the commit: it is independent of
+        # the store state, and doing every Spark action up front means the
+        # only work after the commit becomes visible is assembling the
+        # return dict — a stop() that drains the in-flight batch can no
+        # longer observe committed-but-unaccounted state
+        dlq = dlq_rows(bad).persist()
+        n_dlq = dlq.count()
+        txn = txn_id or uuid.uuid4().hex
+        # applied-delta accounting: a crash-replayed batch (same txn_id) is
+        # a store no-op, so its delta is 0 — single writer per connector
+        # makes this pre-check race-free (FKRegistry.java:45-99 invariant)
+        replayed = store.seen_txn(txn)
         version = store.commit(
             spark,
             adds=adds if n_adds else None,
             deletes=deletes if n_deletes else None,
-            txn_id=txn_id or uuid.uuid4().hex,
+            txn_id=txn,
             # net-effect already reduced to unique quads — skip the
             # within-batch dropDuplicates shuffle in the store
             assume_unique=True,
         )
-        # materialize the DLQ branch before dropping the parse cache so the
-        # caller's DLQ write doesn't re-parse the batch
-        dlq = dlq_rows(bad).persist()
-        n_dlq = dlq.count()
         return {
             "version": version,
             "dlq": dlq,
-            "n_adds": n_adds,
-            "n_deletes": n_deletes,
+            "n_adds": 0 if replayed else n_adds,
+            "n_deletes": 0 if replayed else n_deletes,
             "n_dlq": n_dlq,
+            "replayed": replayed,
         }
     finally:
         parsed.unpersist()

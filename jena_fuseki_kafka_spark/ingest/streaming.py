@@ -23,6 +23,7 @@ dead-letter table.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -93,6 +94,14 @@ class IngestStream:
         self._source = source
         self.query = None
         self._paused = False
+        # commit-then-park machinery (A14, FusekiProjector.java:619-671):
+        # _process_batch holds _batch_lock for its whole body; stop() sets
+        # _stop_requested then acquires the lock, so it returns only after
+        # the in-flight batch has committed AND been accounted in metrics.
+        # A batch that starts after stop() was requested bails out under the
+        # lock before doing any work, so no commit can be interrupted.
+        self._batch_lock = threading.Lock()
+        self._stop_requested = False
         self.metrics = {"batches": 0, "adds": 0, "deletes": 0, "dlq": 0}
 
     def _resolve_source(self) -> DataFrame:
@@ -105,29 +114,35 @@ class IngestStream:
         )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self._paused:
-            # pause safe-point: skip processing; checkpoint does not advance
-            # past unprocessed data because foreachBatch must succeed first
-            raise RuntimeError("paused")  # forces the query to stop cleanly
-        res = apply_event_batch(
-            self.spark,
-            self.store,
-            batch_df,
-            # idempotent replay key: same query + same batch -> same txn
-            txn_id=f"{self.conn.name}-{batch_id}",
-        )
-        self.metrics["batches"] += 1
-        self.metrics["adds"] += res["n_adds"]
-        self.metrics["deletes"] += res["n_deletes"]
-        self.metrics["dlq"] += res["n_dlq"]
-        if res["n_dlq"]:
-            self._write_dlq(res["dlq"])
-        res["dlq"].unpersist()
-        if (
-            self.compact_every_batches
-            and self.metrics["batches"] % self.compact_every_batches == 0
-        ):
-            self.store.compact(self.spark)
+        with self._batch_lock:
+            if self._paused or self._stop_requested:
+                # safe-point: bail BEFORE any store work; the checkpoint
+                # does not advance past unprocessed data because
+                # foreachBatch must succeed first, so the batch replays
+                # intact on the next start
+                raise RuntimeError("paused" if self._paused else "stopping")
+            res = apply_event_batch(
+                self.spark,
+                self.store,
+                batch_df,
+                # idempotent replay key: same query + same batch -> same txn
+                txn_id=f"{self.conn.name}-{batch_id}",
+            )
+            # account immediately post-commit (apply_event_batch runs every
+            # other Spark action pre-commit); a replayed batch reports a
+            # zero applied-delta so metrics never double-count
+            self.metrics["batches"] += 1
+            self.metrics["adds"] += res["n_adds"]
+            self.metrics["deletes"] += res["n_deletes"]
+            self.metrics["dlq"] += res["n_dlq"]
+            if res["n_dlq"]:
+                self._write_dlq(res["dlq"])
+            res["dlq"].unpersist()
+            if (
+                self.compact_every_batches
+                and self.metrics["batches"] % self.compact_every_batches == 0
+            ):
+                self.store.compact(self.spark)
 
     def _write_dlq(self, dlq: DataFrame) -> None:
         if self.conn.dlq_topic and self.conn.bootstrap_servers:
@@ -171,9 +186,21 @@ class IngestStream:
 
     # -- lifecycle (A13/A14) ---------------------------------------------
     def stop(self) -> None:
-        if self.query is not None:
+        """Drain-then-stop: waits for the in-flight micro-batch to commit
+        AND be accounted (commit-then-park, FusekiProjector.java:619-671)
+        before tearing the query down.  A batch that starts while we wait
+        bails out under the lock pre-commit and replays on the next start."""
+        if self.query is None:
+            return
+        self._stop_requested = True
+        try:
+            # barrier: returns only once no batch is mid-flight
+            with self._batch_lock:
+                pass
             self.query.stop()
+        finally:
             self.query = None
+            self._stop_requested = False
 
     def pause(self) -> None:
         """Safe-point pause: stop between micro-batches (the Spark analog of

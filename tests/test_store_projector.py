@@ -110,6 +110,17 @@ class TestProjector:
         assert res["n_adds"] == 6
         assert store.count(spark) == 6
 
+    def test_replayed_txn_reports_zero_applied_delta(self, spark, tmp_path):
+        # crash-replay accounting (VERDICT r5 item 8): same txn_id twice ->
+        # store no-op AND a zero delta, so stream metrics never double-count
+        store = QuadStore(str(tmp_path / "q"))
+        df = events_df(spark, [ev('<http://e/s> <http://e/p> "v" .', 0)])
+        res1 = apply_event_batch(spark, store, df, txn_id="t-0")
+        res2 = apply_event_batch(spark, store, df, txn_id="t-0")
+        assert res1["n_adds"] == 1 and not res1["replayed"]
+        assert res2["n_adds"] == 0 and res2["n_deletes"] == 0 and res2["replayed"]
+        assert store.count(spark) == 1
+
     def test_good_prefix_guarantee(self, spark, tmp_path):
         # valid, malformed, valid => 2 quads + 1 DLQ row
         # (mirrors DockerTestConfigFK.java:267-310)

@@ -168,6 +168,37 @@ class TestStalledSource:
         assert stream.metrics["adds"] == 4
         assert stream.metrics["dlq"] == 0
 
+    def test_stop_mid_batch_drains_commit_and_accounting(self, spark, tmp_path, events_dir):
+        """Commit-then-park: stop() issued in the window between the store
+        commit becoming visible and the metrics accounting must wait for the
+        in-flight batch, so metrics == store delta afterwards.  The window
+        is widened deterministically by wrapping store.commit."""
+        import threading
+        import time
+
+        conn = make_conn(tmp_path)
+        store = QuadStore(conn.dataset)
+        committed = threading.Event()
+        orig_commit = store.commit
+
+        def slow_commit(*a, **k):
+            v = orig_commit(*a, **k)
+            committed.set()
+            time.sleep(1.0)  # stop() lands inside this post-commit window
+            return v
+
+        store.commit = slow_commit
+        stream = IngestStream(spark, conn, store=store, source=file_stream(spark, events_dir))
+        write_events(
+            spark, events_dir, [ev(f'<http://e/s{i}> <http://e/p> "a" .', i) for i in range(5)]
+        )
+        stream.start(processing_time="100 milliseconds")
+        assert committed.wait(timeout=60), "batch never committed"
+        stream.stop()  # must drain: block until the batch is accounted
+        assert store.count(spark) == 5
+        assert stream.metrics["adds"] == 5, "stop() lost the in-flight batch's accounting"
+        assert stream.metrics["batches"] == 1
+
     def test_source_silent_from_start_loads_nothing_and_stays_up(
         self, spark, tmp_path, events_dir
     ):
