@@ -903,11 +903,14 @@ class Translator:
                 self._expr_value(expr.args[1], df, graph).cast("string"),
             )
         if isinstance(expr, Call) and expr.name.startswith(XSD):
-            # XPath constructor (§17.5): cast + retag with the target type
-            return _term_struct(
-                F.lit("literal"),
-                self._cast_value(expr, df, graph).cast("string"),
-                F.lit(expr.name),
+            # XPath constructor (§17.5): cast + retag with the target type.
+            # A failed cast is a TYPE ERROR -> the whole term is unbound
+            # (null struct), never a literal with a null value: BOUND()
+            # must see the failure.
+            cast = self._cast_value(expr, df, graph).cast("string")
+            return F.when(
+                cast.isNotNull(),
+                _term_struct(F.lit("literal"), cast, F.lit(expr.name)),
             )
         if isinstance(expr, Call) and expr.name == "strdt":
             return _term_struct(
@@ -1039,8 +1042,44 @@ class Translator:
         local = call.name[len(XSD):]
         if local in ("integer", "int", "long", "short", "byte",
                      "nonNegativeInteger", "positiveInteger"):
-            # via double first so "5.7" truncates like XPath xs:integer
-            return v.cast("string").try_cast("double").try_cast("long")
+            # XPath xs:integer: a STRING source must carry an integer
+            # lexical form ("5.7" is a cast error), while a NUMERIC-typed
+            # source truncates toward zero.  Casting the lexical directly
+            # to long keeps integers above 2^53 exact (no double round-trip)
+            # and rejects non-integer lexicals; the double->long truncation
+            # applies only when the source is known numeric-non-integer.
+            s = v.cast("string")
+            strict = s.try_cast("long")
+            trunc = s.try_cast("double").try_cast("long")
+            arg = call.args[0]
+            if isinstance(arg, Var):
+                # decide row-wise from the term's datatype tag
+                floaty = (XSD_DECIMAL, XSD_DOUBLE, XSD + "float")
+                out = F.when(df[arg.name]["datatype"].isin(*floaty), trunc).otherwise(
+                    strict
+                )
+            elif isinstance(arg, Op) or (
+                isinstance(arg, Lit)
+                and arg.datatype in NUMERIC_TYPES
+                and arg.datatype != XSD_INTEGER
+            ):
+                out = trunc  # arithmetic results / float literals truncate
+            else:
+                out = strict
+            # derived-type value ranges (§17.5 casts into derived types)
+            if local == "nonNegativeInteger":
+                out = F.when(out >= 0, out)
+            elif local == "positiveInteger":
+                out = F.when(out > 0, out)
+            elif local == "byte":
+                out = F.when((out >= -128) & (out <= 127), out)
+            elif local == "short":
+                out = F.when((out >= -32768) & (out <= 32767), out)
+            elif local == "int":
+                out = F.when(
+                    (out >= -2147483648) & (out <= 2147483647), out
+                )
+            return out
         if local in ("decimal", "double", "float"):
             return v.cast("string").try_cast("double")
         if local == "boolean":
@@ -1373,23 +1412,37 @@ class Translator:
 
         agg_exprs = []
         post_select = []
+        need_row_count = False
         for name, expr in q.projection:
             if expr is None:
                 post_select.append(F.col(name))
                 continue
             agg = self._agg_expr(expr, df)
             # spec §18.5.1.6/.7: Sum/Avg over the EMPTY solution set are 0
-            # (ARQ returns 0); only possible without GROUP BY, since
-            # grouped groups are never empty.  Grouped all-error sums stay
-            # unbound, which the coalesce must not mask.
+            # (ARQ returns "0"^^xsd:integer); only possible without GROUP
+            # BY, since grouped groups are never empty.  Gate strictly on
+            # row count == 0: a NON-empty set whose values all fail numeric
+            # coercion is a type error and must stay unbound, not become 0.
             if (
                 not group_cols
                 and isinstance(expr, Call)
                 and expr.name in ("sum", "avg")
             ):
-                agg = F.coalesce(agg, F.lit(0.0))
+                need_row_count = True
+                agg_exprs.append(agg.alias(f"__agg_{name}"))
+                post_select.append(
+                    F.when(
+                        F.col("__nrows__") == 0,
+                        _term_struct(F.lit("literal"), F.lit("0"), F.lit(XSD_INTEGER)),
+                    )
+                    .otherwise(self._wrap_agg_result(F.col(f"__agg_{name}")))
+                    .alias(name)
+                )
+                continue
             agg_exprs.append(agg.alias(f"__agg_{name}"))
             post_select.append(self._wrap_agg_result(F.col(f"__agg_{name}")).alias(name))
+        if need_row_count:
+            agg_exprs.append(F.count(F.lit(1)).alias("__nrows__"))
 
         having_agg = None
         if q.having is not None:
@@ -1412,8 +1465,11 @@ class Translator:
 
     def _wrap_agg_result(self, col: Column) -> Column:
         # aggregates produce plain values; wrap as literal struct for
-        # uniform result columns
-        return _term_struct(F.lit("literal"), col.cast("string"), F.lit(""))
+        # uniform result columns.  A null aggregate (type error — e.g. SUM
+        # over non-numeric values) must stay UNBOUND: null struct, not a
+        # literal struct with a null value (BOUND() would lie).
+        s = col.cast("string")
+        return F.when(s.isNotNull(), _term_struct(F.lit("literal"), s, F.lit("")))
 
     def _agg_expr(self, expr, df: DataFrame, boolean: bool = False) -> Column:
         if isinstance(expr, Call) and expr.name in AGG_NAMES:

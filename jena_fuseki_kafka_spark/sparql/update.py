@@ -628,7 +628,14 @@ class UpdateEngine:
         that keeps labels deterministic for crash-replay.)"""
         from functools import reduce
 
-        sol_hash = F.lower(F.hex(F.xxhash64(*[bindings[c] for c in bindings.columns])))
+        # variable-free WHERE yields a zero-column bindings frame; xxhash64
+        # with no args is an analysis error — every solution is then the
+        # same (empty) solution, so a constant hash is exactly right
+        sol_hash = (
+            F.lower(F.hex(F.xxhash64(*[bindings[c] for c in bindings.columns])))
+            if bindings.columns
+            else F.lit("0")
+        )
         parts = []
         for s, p, o, g in template:
             def tcol(t, role):

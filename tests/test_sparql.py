@@ -450,8 +450,10 @@ class TestAggregatesAndModifiers:
             "(COUNT(*) AS ?n) WHERE { ?x ex:no_such_predicate ?v }"
         )
         r = df.collect()[0]
-        assert r["s"]["value"] == "0.0" and r["a"]["value"] == "0.0"
-        assert r["m"]["value"] is None
+        # ARQ types the empty-set Sum/Avg as "0"^^xsd:integer
+        assert r["s"]["value"] == "0" and r["s"]["datatype"].endswith("#integer")
+        assert r["a"]["value"] == "0" and r["a"]["datatype"].endswith("#integer")
+        assert r["m"] is None  # Min of empty stays a type error -> unbound
         assert r["n"]["value"] == "0"
 
     def test_having(self, engine):
@@ -774,13 +776,61 @@ class TestLangFunctions:
         assert r["d"]["value"] == "30.0"
 
     def test_xsd_cast_failure_is_unbound(self, engine):
-        # uncastable lexical form -> type error -> unbound (not a crash)
+        # uncastable lexical form -> type error -> the term is UNBOUND
+        # (null struct: BOUND() must be false, ADVICE r5)
         df = engine.query(
             "PREFIX ex: <http://example.org/> "
             "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
-            "SELECT (xsd:integer(?n) AS ?i) WHERE { ex:alice ex:name ?n }"
+            "SELECT ?i (BOUND(?i) AS ?b) "
+            "WHERE { ex:alice ex:name ?n BIND(xsd:integer(?n) AS ?i) }"
         )
-        assert df.collect()[0]["i"]["value"] is None
+        r = df.collect()[0]
+        assert r["i"] is None
+        assert r["b"]["value"] == "false"
+
+    def test_xsd_integer_lexical_vs_numeric_source(self, engine):
+        # XPath xs:integer: string "5.7" is a cast ERROR; a double-typed
+        # source truncates; integers above 2^53 stay exact (no double hop)
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT (xsd:integer("5.7") AS ?bad) (xsd:integer(2.5 * 2) AS ?tr) '
+            '(xsd:integer("9007199254740993") AS ?big) '
+            "WHERE { ex:alice ex:age ?a }"
+        )
+        r = df.collect()[0]
+        assert r["bad"] is None
+        assert r["tr"]["value"] == "5"
+        assert r["big"]["value"] == "9007199254740993"
+
+    def test_xsd_derived_integer_ranges(self, engine):
+        # nonNegativeInteger / positiveInteger enforce their value ranges
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT (xsd:nonNegativeInteger("-4") AS ?nn) '
+            '(xsd:nonNegativeInteger("0") AS ?z) '
+            '(xsd:positiveInteger("0") AS ?p) (xsd:byte("200") AS ?by) '
+            "WHERE { ex:alice ex:age ?a }"
+        )
+        r = df.collect()[0]
+        assert r["nn"] is None and r["p"] is None and r["by"] is None
+        assert r["z"]["value"] == "0"
+
+    def test_sum_avg_type_error_and_typed_empty_zero(self, engine):
+        # ADVICE r5: SUM over an empty set is "0"^^xsd:integer; SUM over a
+        # NON-empty set of non-numeric values is a type error -> unbound
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (SUM(?x) AS ?s) WHERE { ex:nobody ex:nothing ?x }"
+        )
+        r = df.collect()[0]
+        assert r["s"]["value"] == "0" and r["s"]["datatype"].endswith("#integer")
+        df2 = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (SUM(?n) AS ?s) WHERE { ?p ex:name ?n }"
+        )
+        assert df2.collect()[0]["s"] is None
 
     def test_strbefore_column_delimiter(self, engine):
         # STRBEFORE with any expression delimiter (substring_index would

@@ -343,6 +343,18 @@ class TestGraphManagement:
         assert has[EX + "s1"] != has[EX + "s2"]
         assert vals[has[EX + "s1"]] == "x" and vals[has[EX + "s2"]] == "y"
 
+    def test_insert_bnode_template_with_variable_free_where(self, spark, store, upd):
+        # ADVICE r5: zero-column bindings (variable-free WHERE) + bnode in
+        # the INSERT template must not crash the solution-hash build
+        upd.update('PREFIX ex: <http://e/> INSERT DATA { ex:s ex:p "abc" }')
+        upd.update(
+            'PREFIX ex: <http://e/> INSERT { ex:a ex:q [] } WHERE { ex:s ex:p "abc" }'
+        )
+        got = all_quads(spark, store)
+        assert any(s == EX + "a" and p == EX + "q" for _, s, p, _ in got)
+        # WHERE matched once -> exactly one fresh bnode quad
+        assert sum(1 for _, s, p, _ in got if p == EX + "q") == 1
+
     def test_delete_bnodes_rejected(self, spark, store, upd):
         # §3.1.2/.3: bnodes are disallowed in DELETE DATA and DELETE templates
         with pytest.raises(RdfParseError, match="blank node"):
