@@ -190,14 +190,23 @@ class Translator:
         whose subject is a described node, PLUS the closure over blank-node
         objects (a bnode object's own triples are part of its parent's
         description, recursively), matching Jena's default DESCRIBE
-        handler.  Distributed as broadcast semi-joins of the (request-
-        sized) node set against the quad table; the bnode frontier is
-        collected per level — it is bounded by the description's own size
-        (CBD of a request-sized node set), not the store, the same
-        driver-boundedness argument as SERVICE."""
+        handler.
+
+        The bnode frontier stays DISTRIBUTED (the ``_closure_pattern``
+        shape: localCheckpoint + anti-join per level) — no driver collect,
+        so a hub resource with a huge bnode tree scales with the cluster,
+        not the driver.  ``seen`` is seeded with the described nodes
+        themselves, so a bnode that is both described directly and reachable
+        from the frontier is expanded exactly once (no duplicate quads)."""
         iris = [t[1] for t in q.terms if t[0] == "iri"]
         variables = [t[1] for t in q.terms if t[0] == "var"]
         spark = self.quads.sparkSession
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            # lineage truncation + fresh attribute ids (see _closure_pattern)
+            df = df.localCheckpoint(eager=True)
+            return df.select(*[F.col(c).alias(c) for c in df.columns])
+
         nodes = None
         if iris:
             nodes = spark.createDataFrame([(i,) for i in iris], "node string")
@@ -210,26 +219,24 @@ class Translator:
                 nodes = vals if nodes is None else nodes.unionByName(vals).distinct()
         if nodes is None:
             return self.quads.limit(0)
+        nodes = ckpt(nodes)
         result = self.quads.join(
             F.broadcast(nodes), self.quads["subject"] == nodes["node"], "left_semi"
         )
-        seen: set[str] = set()
+        seen = nodes  # described nodes are already expanded by `result`
         frontier_src = result
         for _ in range(self.max_path_iterations):
-            fresh = [
-                r["node"]
-                for r in frontier_src.filter(F.col("object_kind") == "bnode")
+            fresh = ckpt(
+                frontier_src.filter(F.col("object_kind") == "bnode")
                 .select(F.col("object_value").alias("node"))
                 .distinct()
-                .collect()
-                if r["node"] not in seen
-            ]
-            if not fresh:
+                .join(seen, on="node", how="left_anti")
+            )
+            if not fresh.take(1):
                 break
-            seen.update(fresh)
-            fdf = spark.createDataFrame([(n,) for n in fresh], "node string")
+            seen = ckpt(seen.unionByName(fresh))
             add = self.quads.join(
-                F.broadcast(fdf), self.quads["subject"] == fdf["node"], "left_semi"
+                F.broadcast(fresh), self.quads["subject"] == fresh["node"], "left_semi"
             )
             result = result.unionByName(add)
             frontier_src = add
