@@ -141,29 +141,43 @@ def main():
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["http_four_ops_roundtrip"] = []
+
+    def run_one(name: str, rep: int) -> None:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
+        took = round(time.time() - t0, 3)
+        samples[name].append(took)
+        if rep == 0:
+            print(f"# {name}: {took:.2f}s ({n} rows)", file=sys.stderr)
+
     # interleave repeats (full suite per round) rather than back-to-back
     # per query, so one query's page-cache warmth doesn't flatter its own
     # 2nd/3rd sample more than a real re-run would see
     for rep in range(repeats):
         for name in HEADLINE:
-            fn = QUERIES[name]
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count() if name.startswith(("d0", "s0")) else len(df.collect())
-            took = round(time.time() - t0, 3)
-            samples[name].append(took)
-            if rep == 0:
-                print(f"# {name}: {took:.2f}s ({n} rows)", file=sys.stderr)
+            run_one(name, rep)
         samples["http_four_ops_roundtrip"].append(bench_http_four_ops(spark))
+
+    # sub-second queries swing ±30% on 3 samples (VERDICT r5: four
+    # "regressions" all inside the spread) — take 2 extra samples so a
+    # ±20% median move on a <1s query is decidable signal, not noise
+    for name in HEADLINE:
+        if statistics.median(samples[name]) < 1.0:
+            for rep in range(repeats, repeats + 2):
+                run_one(name, rep)
 
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
+    spreads = {
+        name: round(max(vals) - min(vals), 3) for name, vals in samples.items()
+    }
     for name, vals in samples.items():
-        spread = max(vals) - min(vals)
         print(
             f"# median {name}: {timings[name]:.2f}s "
-            f"(samples {', '.join(f'{v:.2f}' for v in vals)}; spread {spread:.2f}s)",
+            f"(samples {', '.join(f'{v:.2f}' for v in vals)}; spread {spreads[name]:.2f}s)",
             file=sys.stderr,
         )
 
@@ -175,6 +189,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
                 "sf": sf,
             }
         )

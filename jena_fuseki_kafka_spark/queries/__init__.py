@@ -74,6 +74,7 @@ from . import sampling  # noqa: E402,F401
 from . import streaming_gate  # noqa: E402,F401
 from . import skew  # noqa: E402,F401
 from . import multimodal_surface  # noqa: E402,F401
+from . import update_gate  # noqa: E402,F401
 
 # Explicit registration order.  The correctness driver checks the first 50
 # registered queries per round, so ordering is part of the verification
@@ -83,70 +84,29 @@ from . import multimodal_surface  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # NEW this round (r5): the SPARQL §18.3 compatible-mapping gate
-    # (VERDICT r4 item 1) and the FROM/FROM NAMED dataset-clause gate
+    # ---- r6 window (first 50) ----
+    # r01 missed the r5 window at position 51 (VERDICT r5 item 2): first.
+    "r01_sparql_acceptance_count",
+    # NEW this round: the §18.5 MINUS gate and the Update-sequence gate
+    "r17_minus_compat",
+    "u01_update_sequence",
+    # implementation changed this round -> re-verify: DESCRIBE closure was
+    # rewritten (distributed frontier), and the aggregate/cast semantics
+    # changed (_wrap_agg_result, empty-SUM typing, XSD constructor casts) —
+    # every engine query that aggregates or binds rides those paths
+    "r11_describe_subject",
+    "r04_sparql_engine_group_by",
+    "r12_group_concat",
+    "r14_degree_histogram",
     "r15_optional_unbound_compat",
     "r16_from_named_dataset",
-    # implementation changed this round -> re-verify:
-    # s02: packed single-pass LSH bucket hash (VERDICT r4 item 7)
-    "s02_ann_lsh_bucketed",
-    # r04-r14 ride the SPARQL engine, whose join semantics changed to
-    # compatible mappings this round (translate.py) -> all re-verify
-    "r04_sparql_engine_group_by",
+    "r13_subselect",
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",
     "r07_not_exists_antijoin",
     "r08_construct_quads",
     "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r13_subselect",
-    "r14_degree_histogram",
-    # m01/m02 ride multimodal.py, which gained the stdlib PNG decoder and
-    # wider decode-error handling this round
-    "m01_image_features",
-    "m02_audio_features",
-    # ---- last driver verdict r03: rotate into the r5 window so every
-    # verdict stays <=1 round old; d02 first (missed the r4 window at
-    # position 51 — VERDICT r4 item 4) ----
-    "d02_minhash_lsh",
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q18_multi_join_part_supplier_stats",
-    "q19_disjunctive_predicate_join",
-    "q20_tumbling_window_hourly",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q24_exact_percentiles",
-    "q25_cube_aggregation",
-    "q26_cohort_retention",
-    "q27_sliding_window",
-    "q28_set_operations",
-    "q31_grouping_sets",
-    "q32_approx_distinct",
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q36_per_group_outlier_filter",
-    "q37_running_frames",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    # ingest-acceptance core keep (declarative quad surface, position 50)
-    "r01_sparql_acceptance_count",
-    # ---- driver-green in r04 and unchanged this round -> tail ----
+    # ---- last driver verdict r04 (2 rounds stale) -> all in-window ----
     "q01_pricing_summary",
     "r02_bgp_join_filter",
     "r03_graph_quantification",
@@ -182,6 +142,45 @@ _CHECK_PRIORITY = [
     "t08_pii_scrub",
     "t09_url_domain_stats",
     "t10_char_entropy",
+    # ---- driver-green in r05 (1 round old) -> tail; r7 window next ----
+    "r10_ask",
+    "s02_ann_lsh_bucketed",
+    "m01_image_features",
+    "m02_audio_features",
+    "d02_minhash_lsh",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q24_exact_percentiles",
+    "q25_cube_aggregation",
+    "q26_cohort_retention",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q31_grouping_sets",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q36_per_group_outlier_filter",
+    "q37_running_frames",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
 ]
 
 

@@ -627,6 +627,53 @@ def r15(spark, sf_dir):
 
 
 @query(
+    "r17_minus_compat",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 350000) AS c_overlap,
+           (SELECT COUNT(*) FROM orders) AS c_disjoint,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 350000) AS c_unbound
+    """,
+)
+def r17(spark, sf_dir):
+    """MINUS per SPARQL 1.1 §18.5: remove a left solution only when some
+    right solution is COMPATIBLE **and** the domains OVERLAP.  Three facets
+    in one row:
+
+    - c_overlap: shared ?o -> jumbo orders removed (plain anti-join case);
+    - c_disjoint: the MINUS pattern shares NO variable with the left, so
+      despite being non-empty it removes NOTHING (the spec's surprising
+      dom-disjoint rule; a bare anti-join implementation drops everything);
+    - c_unbound: ?x is bound on the left only for jumbo orders (OPTIONAL);
+      the right binds ?x for every jumbo order.  Bound-?x rows overlap and
+      are removed; unbound-?x rows have NO domain overlap and must stay —
+      treating unbound-as-matching would empty the result.
+    """
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c_overlap ?c_disjoint ?c_unbound WHERE {
+          { SELECT (COUNT(*) AS ?c_overlap) WHERE {
+              ?o ex:total ?t MINUS { ?o ex:jumbototal ?j } } }
+          { SELECT (COUNT(*) AS ?c_disjoint) WHERE {
+              ?o ex:total ?t MINUS { ?y ex:bigtotal ?z } } }
+          { SELECT (COUNT(*) AS ?c_unbound) WHERE {
+              ?o ex:total ?t
+              OPTIONAL { ?o ex:jumbototal ?x }
+              MINUS { ?y ex:jumbototal ?x } } }
+        }
+        """
+    )
+    return df.select(
+        F.col("c_overlap")["value"].cast("long").alias("c_overlap"),
+        F.col("c_disjoint")["value"].cast("long").alias("c_disjoint"),
+        F.col("c_unbound")["value"].cast("long").alias("c_unbound"),
+    )
+
+
+@query(
     "r16_from_named_dataset",
     oracle="""
     WITH merged AS (
