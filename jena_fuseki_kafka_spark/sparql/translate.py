@@ -928,9 +928,12 @@ class Translator:
         if isinstance(expr, Call) and expr.name == "coalesce":
             return F.coalesce(*[self._expr_term(a, df, graph) for a in expr.args])
         if isinstance(expr, Call) and expr.name == "if":
-            return F.when(
-                self._expr_bool(expr.args[0], df, graph), self._expr_term(expr.args[1], df, graph)
-            ).otherwise(self._expr_term(expr.args[2], df, graph))
+            # IF(error, a, b) is an ERROR (§17.4.1.2), not the else branch:
+            # a null condition must yield null, so chain two when()s
+            cond = self._expr_bool(expr.args[0], df, graph)
+            return F.when(cond, self._expr_term(expr.args[1], df, graph)).when(
+                ~cond, self._expr_term(expr.args[2], df, graph)
+            )
         # generic: compute a plain value and wrap it as a literal
         val = self._expr_value(expr, df, graph)
         from pyspark.sql import types as T
@@ -1020,8 +1023,11 @@ class Translator:
 
     def _cmp_operands(self, a_raw, b_raw, df, graph, op) -> Column:
         """Comparison with SPARQL-ish type promotion, decided row-wise:
-        when both sides parse as numbers compare numerically, else compare
-        lexically (try_cast keeps ANSI mode happy on non-numeric strings)."""
+        both sides numeric -> numeric comparison; both sides non-numeric ->
+        lexical (fn:compare over strings); MIXED -> type error (null), so
+        a FILTER drops the row — ``"abc" > 0`` must not fall back to a
+        lexical comparison against the number's string form (§17.3 operand
+        type rules; try_cast keeps ANSI mode happy on non-numeric strings)."""
         a = self._expr_value(a_raw, df, graph).cast("string")
         b = self._expr_value(b_raw, df, graph).cast("string")
         an, bn = a.try_cast("double"), b.try_cast("double")
@@ -1039,7 +1045,11 @@ class Translator:
                 return x >= y
             raise ValueError(op)
 
-        return F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn)).otherwise(apply(a, b))
+        return (
+            F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
+            .when(an.isNull() & bn.isNull(), apply(a, b))
+            # one numeric, one not: type error -> null
+        )
 
     def _cast_value(self, call: Call, df: DataFrame, graph) -> Column:
         """XPath constructor functions (SPARQL 1.1 §17.5): cast the value
@@ -1231,7 +1241,9 @@ class Translator:
         if name == "coalesce":
             return F.coalesce(*[self._expr_value(a, df, graph) for a in call.args])
         if name == "if":
-            return F.when(self._expr_bool(call.args[0], df, graph), argv(1)).otherwise(argv(2))
+            # error condition -> error (null), not the else branch (§17.4.1.2)
+            cond = self._expr_bool(call.args[0], df, graph)
+            return F.when(cond, argv(1)).when(~cond, argv(2))
         if name == "rand":
             return F.rand()
         if name == "bnode":
@@ -1558,17 +1570,26 @@ class Translator:
                 return _const_struct(t)
 
             obj = term_col(o, "object")
+            part = df.select(
+                (term_col(g, "graph") if g is not None else F.lit(DEFAULT_GRAPH)).alias("graph"),
+                term_col(s, "subject").alias("subject"),
+                term_col(p, "predicate").alias("predicate"),
+                obj["kind"].alias("object_kind"),
+                obj["value"].alias("object_value"),
+                F.when(obj["datatype"] == "", None).otherwise(obj["datatype"]).alias(
+                    "object_datatype"
+                ),
+                F.when(obj["lang"] == "", None).otherwise(obj["lang"]).alias("object_lang"),
+            )
+            # spec §10.2: a template triple instantiated with any UNBOUND
+            # variable is not included (other template triples of the same
+            # solution still are)
             parts.append(
-                df.select(
-                    (term_col(g, "graph") if g is not None else F.lit(DEFAULT_GRAPH)).alias("graph"),
-                    term_col(s, "subject").alias("subject"),
-                    term_col(p, "predicate").alias("predicate"),
-                    obj["kind"].alias("object_kind"),
-                    obj["value"].alias("object_value"),
-                    F.when(obj["datatype"] == "", None).otherwise(obj["datatype"]).alias(
-                        "object_datatype"
-                    ),
-                    F.when(obj["lang"] == "", None).otherwise(obj["lang"]).alias("object_lang"),
+                part.filter(
+                    F.col("graph").isNotNull()
+                    & F.col("subject").isNotNull()
+                    & F.col("predicate").isNotNull()
+                    & F.col("object_kind").isNotNull()
                 )
             )
         out = reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()

@@ -671,6 +671,47 @@ class TestDescribe:
             ("_:b2", "1"),
         }
 
+    def test_construct_skips_unbound_template_triples(self, engine):
+        # §10.2: a template triple with an unbound variable is dropped;
+        # bob has no age>40 optional match but his name triple survives
+        df = engine.query(
+            """
+            PREFIX ex: <http://example.org/>
+            CONSTRUCT { ?s ex:out ?n . ?s ex:big ?a }
+            WHERE { ?s ex:name ?n OPTIONAL { ?s ex:age ?a FILTER(?a > 31) } }
+            """
+        )
+        rows = df.collect()
+        assert all(r.object_value is not None for r in rows)
+        preds = {r.predicate for r in rows}
+        assert EX + "out" in preds
+        # only carol (35) matches the optional; alice/bob/dave emit no ex:big
+        bigs = [r for r in rows if r.predicate == EX + "big"]
+        assert len(bigs) == 1
+
+    def test_mixed_type_comparison_is_type_error(self, engine):
+        # §17.3: "Alice" > 0 is a TYPE ERROR (row dropped), not a lexical
+        # comparison against "0"
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n FILTER(?n > 0) }"
+        )
+        assert df.count() == 0
+        # both-string comparison stays lexical (fn:compare)
+        df2 = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?n WHERE { ?s ex:name ?n FILTER(?n > "Bob") }'
+        )
+        assert set(vals(df2, "n")) == {"Carol", "Dave"}
+
+    def test_if_error_condition_is_unbound(self, engine):
+        # §17.4.1.2: IF(error, a, b) is an error, NOT the else branch
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            'SELECT ?y WHERE { ?s ex:name ?n BIND(IF(?n > 0, "pos", "neg") AS ?y) }'
+        )
+        assert all(r["y"] is None for r in df.collect())
+
     def test_describe_no_driver_collect(self):
         # the bnode-closure frontier must stay distributed (VERDICT r5
         # item 5): no .collect( anywhere in the _describe implementation
