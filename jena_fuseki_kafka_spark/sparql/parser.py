@@ -803,12 +803,36 @@ class SparqlParser:
         self.expect(")")
         return items
 
+    _SIGNED_NUM = re.compile(r"[+-](?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?")
+
     def _add_expr(self):
         left = self._mul_expr()
-        while self.peek() in ("+", "-"):
-            op = self.next()
-            left = Op(op, [left, self._mul_expr()])
-        return left
+        while True:
+            t = self.peek()
+            if t in ("+", "-"):
+                op = self.next()
+                left = Op(op, [left, self._mul_expr()])
+                continue
+            # SPARQL 1.1 grammar [116] AdditiveExpression: a signed numeric
+            # literal continues the sum ("1+1" tokenizes as "1","+1"), and
+            # any following *|/ binds to that literal, not the whole sum
+            if t is not None and self._SIGNED_NUM.fullmatch(t):
+                self.next()
+                term = self._num_lit(t[1:])
+                while self.peek() in ("*", "/"):
+                    op = self.next()
+                    term = Op(op, [term, self._unary_expr()])
+                left = Op("+" if t[0] == "+" else "-", [left, term])
+                continue
+            return left
+
+    @staticmethod
+    def _num_lit(text: str) -> Lit:
+        if re.fullmatch(r"\d+", text):
+            return Lit(text, XSD_INTEGER, None)
+        if re.fullmatch(r"\d+\.\d*|\.\d+", text):
+            return Lit(text, XSD_DECIMAL, None)
+        return Lit(text, XSD_DOUBLE, None)
 
     def _mul_expr(self):
         left = self._unary_expr()

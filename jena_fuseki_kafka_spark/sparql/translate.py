@@ -68,6 +68,8 @@ from .ast import (
 )
 
 NUMERIC_TYPES = {XSD_INTEGER, XSD_DECIMAL, XSD_DOUBLE, XSD + "float", XSD + "int", XSD + "long"}
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATE = XSD + "date"
 
 AGG_NAMES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
 
@@ -934,6 +936,49 @@ class Translator:
             return F.when(cond, self._expr_term(expr.args[1], df, graph)).when(
                 ~cond, self._expr_term(expr.args[2], df, graph)
             )
+        if isinstance(expr, Op) and expr.op in ("+", "-", "*", "/", "neg"):
+            # numeric promotion (§17.3): keep the integer lane integer —
+            # BIND(1+1) is "2"^^xsd:integer, ints divide into decimals
+            iv, dv = self._arith_pair(expr, df, graph)
+            if expr.op == "/":
+                # xsd:integer / xsd:integer lands in xsd:decimal (§17.3)
+                ia = self._arith_pair(expr.args[0], df, graph)[0]
+                ib = self._arith_pair(expr.args[1], df, graph)[0]
+                div_dt = F.when(
+                    ia.isNotNull() & ib.isNotNull(), F.lit(XSD_DECIMAL)
+                ).otherwise(F.lit(XSD_DOUBLE))
+            else:
+                div_dt = F.lit(XSD_DOUBLE)
+            return (
+                F.when(
+                    iv.isNotNull(),
+                    _term_struct(F.lit("literal"), iv.cast("string"), F.lit(XSD_INTEGER)),
+                ).when(
+                    dv.isNotNull(),
+                    _term_struct(F.lit("literal"), dv.cast("string"), div_dt),
+                )
+            )
+        if isinstance(expr, Call) and expr.name in ("abs", "ceil", "floor", "round"):
+            # XPath fn:abs &c. return the argument's type: integer in,
+            # integer out ("2", not "2.0"); fn:round ties go toward +INF
+            v = self._expr_value(expr.args[0], df, graph).cast("string")
+            ai, ad = v.try_cast("long"), v.try_cast("double")
+            fns = {
+                "abs": (F.abs, F.abs),
+                "ceil": (lambda c: c, lambda c: F.ceil(c).cast("double")),
+                "floor": (lambda c: c, lambda c: F.floor(c).cast("double")),
+                "round": (lambda c: c, lambda c: F.floor(c + 0.5).cast("double")),
+            }
+            fi, fd = fns[expr.name]
+            return (
+                F.when(
+                    ai.isNotNull(),
+                    _term_struct(F.lit("literal"), fi(ai).cast("string"), F.lit(XSD_INTEGER)),
+                ).when(
+                    ad.isNotNull(),
+                    _term_struct(F.lit("literal"), fd(ad).cast("string"), F.lit(XSD_DECIMAL)),
+                )
+            )
         # generic: compute a plain value and wrap it as a literal
         val = self._expr_value(expr, df, graph)
         from pyspark.sql import types as T
@@ -999,27 +1044,53 @@ class Translator:
             return ~c if op == "notin" else c
         a_raw, b_raw = expr.args
         if op in ("=", "!="):
-            # term equality when both sides are vars (struct compare),
-            # value equality otherwise
+            # value equality with numeric/temporal promotion when both
+            # sides are vars; plain value equality otherwise
             sa, sb = self._var_struct(a_raw, df), self._var_struct(b_raw, df)
             if sa is not None and sb is not None:
-                c = sa == sb
+                # "1"^^xsd:integer = "1.0"^^xsd:decimal is TRUE (§17.3
+                # operator mapping: numeric = numeric), and dateTimes with
+                # different timezone lexicals compare on the timeline —
+                # struct identity only decides the non-promotable kinds
+                an = F.when(sa["datatype"].isin(*NUMERIC_TYPES), sa["value"]).try_cast("double")
+                bn = F.when(sb["datatype"].isin(*NUMERIC_TYPES), sb["value"]).try_cast("double")
+                at = F.when(sa["datatype"].isin(XSD_DATETIME, XSD_DATE), sa["value"]).try_cast("timestamp")
+                bt = F.when(sb["datatype"].isin(XSD_DATETIME, XSD_DATE), sb["value"]).try_cast("timestamp")
+                c = (
+                    F.when(an.isNotNull() & bn.isNotNull(), an == bn)
+                    .when(at.isNotNull() & bt.isNotNull(), at == bt)
+                    .otherwise(sa == sb)
+                )
             else:
                 c = self._cmp_operands(a_raw, b_raw, df, graph, "==")
             return ~c if op == "!=" else c
         if op in ("<", "<=", ">", ">="):
             return self._cmp_operands(a_raw, b_raw, df, graph, op)
-        a = self._expr_value(a_raw, df, graph).try_cast("double")
-        b = self._expr_value(b_raw, df, graph).try_cast("double")
-        if op == "+":
-            return a + b
-        if op == "-":
-            return a - b
-        if op == "*":
-            return a * b
-        if op == "/":
-            return a / b
-        raise ValueError(f"unknown operator {op}")
+        iv, dv = self._arith_pair(expr, df, graph)
+        return F.when(iv.isNotNull(), iv.cast("string")).otherwise(dv.cast("string"))
+
+    def _arith_pair(self, expr, df: DataFrame, graph) -> tuple[Column, Column]:
+        """(integer-result-or-null, double-result) pair for an arithmetic
+        expression, decided row-wise.  SPARQL numeric promotion (§17.3 via
+        XPath op:numeric-*): integer op integer stays integer ("1+1" is
+        "2"^^xsd:integer, not "2.0"), division always leaves the integer
+        space, and overflow falls back to the double lane (try_add &c.
+        null-propagate instead of raising under ANSI)."""
+        if isinstance(expr, Op) and expr.op == "neg":
+            ia, da = self._arith_pair(expr.args[0], df, graph)
+            return -ia, -da
+        if isinstance(expr, Op) and expr.op in ("+", "-", "*", "/"):
+            ia, da = self._arith_pair(expr.args[0], df, graph)
+            ib, db = self._arith_pair(expr.args[1], df, graph)
+            if expr.op == "+":
+                return F.try_add(ia, ib), da + db
+            if expr.op == "-":
+                return F.try_subtract(ia, ib), da - db
+            if expr.op == "*":
+                return F.try_multiply(ia, ib), da * db
+            return F.lit(None).cast("long"), F.try_divide(da, db)
+        v = self._expr_value(expr, df, graph).cast("string")
+        return v.try_cast("long"), v.try_cast("double")
 
     def _cmp_operands(self, a_raw, b_raw, df, graph, op) -> Column:
         """Comparison with SPARQL-ish type promotion, decided row-wise:
@@ -1031,6 +1102,10 @@ class Translator:
         a = self._expr_value(a_raw, df, graph).cast("string")
         b = self._expr_value(b_raw, df, graph).cast("string")
         an, bn = a.try_cast("double"), b.try_cast("double")
+        # dateTime/date comparison is on the timeline, not the lexical —
+        # "…T12:00:00+02:00" equals "…T11:00:00Z" (§17.3 op:dateTime-*);
+        # non-numeric strings that cast to timestamps take this lane
+        at, bt = a.try_cast("timestamp"), b.try_cast("timestamp")
 
         def apply(x, y):
             if op == "==":
@@ -1047,6 +1122,7 @@ class Translator:
 
         return (
             F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
+            .when(at.isNotNull() & bt.isNotNull(), apply(at, bt))
             .when(an.isNull() & bn.isNull(), apply(a, b))
             # one numeric, one not: type error -> null
         )
@@ -1209,7 +1285,19 @@ class Translator:
                 F.instr(a, b) > 0, a.substr(F.instr(a, b) + F.length(b), F.length(a))
             ).otherwise(F.lit(""))
         if name == "replace":
-            return F.regexp_replace(argv(0).cast("string"), call.args[1].value, call.args[2].value)
+            pat = call.args[1].value
+            if len(call.args) > 3 and isinstance(call.args[3], Lit):
+                # REPLACE 4-arg form: XPath flags map onto Java embedded
+                # flags ((?i) &c.); 'q' quotes the pattern literally
+                flags = call.args[3].value
+                if "q" in flags:
+                    import re as _re
+
+                    pat = _re.escape(pat)
+                inline = "".join(f for f in flags if f in "imsx")
+                if inline:
+                    pat = f"(?{inline})" + pat
+            return F.regexp_replace(argv(0).cast("string"), pat, call.args[2].value)
         if name == "abs":
             return F.abs(argv(0).cast("double"))
         if name == "ceil":
@@ -1217,7 +1305,9 @@ class Translator:
         if name == "floor":
             return F.floor(argv(0).cast("double")).cast("double")
         if name == "round":
-            return F.round(argv(0).cast("double"), 0)
+            # XPath fn:round: ties round toward +INF (round(-2.5) = -2),
+            # unlike Spark's half-away-from-zero
+            return F.floor(argv(0).cast("double") + 0.5).cast("double")
         if name in ("md5", "sha1", "sha256", "sha384", "sha512"):
             v = argv(0).cast("string").cast("binary")
             if name == "md5":
@@ -1333,10 +1423,20 @@ class Translator:
                     c = F.col(f"__ord_{i}")
                     sort_cols.append(c.asc() if asc else c.desc())
                 elif isinstance(expr, Var) and expr.name in df.columns:
-                    # numeric-aware ordering: numeric key first (nulls for
-                    # non-numerics group together), lexical key second
-                    cnum = F.col(expr.name)["value"].try_cast("double")
-                    cstr = F.col(expr.name)["value"]
+                    # §15.1 total order across kinds: unbound < blank nodes
+                    # < IRIs < literals; then numeric-aware within literals
+                    # (numeric key first, nulls group non-numerics), lexical
+                    # key last
+                    c = F.col(expr.name)
+                    krank = (
+                        F.when(c.isNull(), 0)
+                        .when(c["kind"] == "bnode", 1)
+                        .when(c["kind"] == "iri", 2)
+                        .otherwise(3)
+                    )
+                    cnum = c["value"].try_cast("double")
+                    cstr = c["value"]
+                    sort_cols.append(krank.asc() if asc else krank.desc())
                     sort_cols.append(cnum.asc_nulls_first() if asc else cnum.desc_nulls_last())
                     sort_cols.append(cstr.asc() if asc else cstr.desc())
                 else:

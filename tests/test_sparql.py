@@ -1077,3 +1077,92 @@ class TestBucketPruning:
         a = [r["o"]["value"] for r in pruned.query(q).collect()]
         b = [r["o"]["value"] for r in flat.query(q).collect()]
         assert a == b == ["http://e/o33"]
+
+
+class TestValueSemantics:
+    """SPARQL §17.3 operator-mapping semantics: numeric/temporal value
+    promotion in comparisons, XPath numeric typing of expression results.
+    ARQ is the behavioral reference (SURVEY.md §2B builtins row)."""
+
+    @pytest.fixture(scope="class")
+    def veng(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            (DEFAULT_GRAPH, "http://e/a", "http://e/v", "literal", "1", XSD + "integer", None),
+            (DEFAULT_GRAPH, "http://e/b", "http://e/v", "literal", "1.0", XSD + "decimal", None),
+            (DEFAULT_GRAPH, "http://e/c", "http://e/v", "literal", "01", XSD + "integer", None),
+            (DEFAULT_GRAPH, "http://e/d", "http://e/v", "iri", "http://e/x", None, None),
+            (DEFAULT_GRAPH, "http://e/e", "http://e/v", "bnode", "_:b1", None, None),
+            (DEFAULT_GRAPH, "http://e/f", "http://e/v", "literal", "zzz", None, None),
+            (DEFAULT_GRAPH, "http://e/t1", "http://e/ts", "literal",
+             "2024-01-01T12:00:00+02:00", XSD + "dateTime", None),
+            (DEFAULT_GRAPH, "http://e/t2", "http://e/ts", "literal",
+             "2024-01-01T11:00:00Z", XSD + "dateTime", None),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_var_var_numeric_value_equality(self, veng):
+        # "1"^^xsd:integer = "1.0"^^xsd:decimal = "01"^^xsd:integer (§17.3:
+        # numeric = numeric compares values, not terms)
+        df = veng.query(
+            "SELECT ?x ?y WHERE { ?x <http://e/v> ?vx . ?y <http://e/v> ?vy . "
+            "FILTER(?vx = ?vy && STR(?x) < STR(?y)) }"
+        )
+        pairs = sorted((r["x"]["value"], r["y"]["value"]) for r in df.collect())
+        assert pairs == [
+            ("http://e/a", "http://e/b"),
+            ("http://e/a", "http://e/c"),
+            ("http://e/b", "http://e/c"),
+        ]
+
+    def test_datetime_compares_on_timeline(self, veng):
+        # 12:00+02:00 is 10:00Z < 11:00Z — a lexical compare would invert
+        df = veng.query(
+            "SELECT ?a ?b WHERE { ?a <http://e/ts> ?x . ?b <http://e/ts> ?y . "
+            "FILTER(?x < ?y) }"
+        )
+        pairs = [(r["a"]["value"], r["b"]["value"]) for r in df.collect()]
+        assert pairs == [("http://e/t1", "http://e/t2")]
+
+    def test_unspaced_additive_tokenization(self, veng):
+        # "1+1" tokenizes as "1","+1" — grammar rule [116] folds the signed
+        # literal back into the sum; a silent swallow returned 1 before
+        df = veng.query("SELECT (STR(1+1) AS ?s) (1+2*3 AS ?r) WHERE { }")
+        r = df.collect()[0]
+        assert r["s"]["value"] == "2"
+        assert r["r"]["value"] == "7"
+
+    def test_integer_arithmetic_stays_integer(self, veng):
+        df = veng.query(
+            "SELECT (1 + 1 AS ?add) (2 * 3 AS ?mul) (7 / 2 AS ?div) "
+            "(4 / 2 AS ?divw) (1 + 0.5 AS ?mix) WHERE { }"
+        )
+        r = df.collect()[0]
+        assert r["add"]["value"] == "2" and r["add"]["datatype"].endswith("#integer")
+        assert r["mul"]["value"] == "6" and r["mul"]["datatype"].endswith("#integer")
+        assert r["div"]["value"] == "3.5" and r["div"]["datatype"].endswith("#decimal")
+        assert r["divw"]["value"] == "2.0"
+        assert r["mix"]["value"] == "1.5"
+
+    def test_round_ties_toward_positive_infinity(self, veng):
+        # XPath fn:round(-2.5) = -2; Spark's default half-away rounds to -3
+        df = veng.query(
+            "SELECT (ROUND(-2.5) AS ?n) (ROUND(2.5) AS ?p) (ABS(-2) AS ?a) WHERE { }"
+        )
+        r = df.collect()[0]
+        assert float(r["n"]["value"]) == -2.0
+        assert float(r["p"]["value"]) == 3.0
+        assert r["a"]["value"] == "2" and r["a"]["datatype"].endswith("#integer")
+
+    def test_replace_flags(self, veng):
+        df = veng.query('SELECT (REPLACE("a-A", "a", "X", "i") AS ?r) WHERE { }')
+        assert df.collect()[0]["r"]["value"] == "X-X"
+
+    def test_order_by_kind_rank(self, veng):
+        # §15.1: blank nodes < IRIs < literals in ascending order
+        df = veng.query("SELECT ?o WHERE { ?s <http://e/v> ?o } ORDER BY ?o")
+        kinds = [r["o"]["kind"] for r in df.collect()]
+        assert kinds[0] == "bnode" and kinds[1] == "iri"
+        assert all(k == "literal" for k in kinds[2:])
