@@ -674,6 +674,59 @@ def r17(spark, sf_dir):
 
 
 @query(
+    "r18_negated_property_set",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS c_fwd,
+           (SELECT COUNT(*) FROM orders)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_inv,
+           2 * (SELECT COUNT(*) FROM orders)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_mixed
+    """,
+)
+def r18(spark, sf_dir):
+    """Negated property sets (SPARQL 1.1 §9.1) over the order quads —
+    previously unit-tested only (VERDICT r5 §2B property-path row).  The
+    quad relation has exactly four predicates (ex:customer, ex:total,
+    ex:bigtotal, ex:jumbototal), so each facet has a closed-form count:
+
+    - c_fwd: ``!(ex:customer|ex:bigtotal|ex:jumbototal)`` leaves only the
+      ex:total edges — one per order;
+    - c_inv: pure-inverse ``!(^ex:customer)`` matches every REVERSED edge
+      whose predicate isn't ex:customer: total + bigtotal + jumbototal;
+    - c_mixed: ``!(ex:customer|ex:total|^ex:bigtotal|^ex:jumbototal)`` is
+      the bag union of forward edges outside {customer,total} (bigtotal +
+      jumbototal) and reversed edges outside {bigtotal,jumbototal}
+      (customer + total reversed = 2n), so big + jumbo + 2n in total.
+
+    The translator evaluates each direction as a scan-level NOT-IN filter
+    (translate.py:_negated_set_pattern) — no join, so the plan stays a
+    single pass over the quad table per direction at any scale."""
+    from ..sparql import SparqlEngine
+
+    engine = SparqlEngine(_order_quads(spark, sf_dir))
+    df = engine.query(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c_fwd ?c_inv ?c_mixed WHERE {
+          { SELECT (COUNT(*) AS ?c_fwd) WHERE {
+              ?s !(ex:customer|ex:bigtotal|ex:jumbototal) ?o } }
+          { SELECT (COUNT(*) AS ?c_inv) WHERE {
+              ?s !(^ex:customer) ?o } }
+          { SELECT (COUNT(*) AS ?c_mixed) WHERE {
+              ?s !(ex:customer|ex:total|^ex:bigtotal|^ex:jumbototal) ?o } }
+        }
+        """
+    )
+    return df.select(
+        F.col("c_fwd")["value"].cast("long").alias("c_fwd"),
+        F.col("c_inv")["value"].cast("long").alias("c_inv"),
+        F.col("c_mixed")["value"].cast("long").alias("c_mixed"),
+    )
+
+
+@query(
     "r16_from_named_dataset",
     oracle="""
     WITH merged AS (
