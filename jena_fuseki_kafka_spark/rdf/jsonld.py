@@ -191,7 +191,7 @@ class _JsonLdParser:
                 self._emit_literal(
                     graph, subj, pred, value["@value"],
                     dt=ctx.expand_iri(value["@type"]) if "@type" in value else None,
-                    lang=value.get("@language"),
+                    lang=(value.get("@language") or "").lower() or None,
                 )
                 return
             o_kind, o_id = self._node(value, ctx, graph)

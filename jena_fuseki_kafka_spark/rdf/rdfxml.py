@@ -68,7 +68,7 @@ class _RdfXmlParser:
             root = ET.fromstring(text)
         except ET.ParseError as e:
             raise RdfParseError(f"rdfxml: invalid XML: {e}") from None
-        lang = root.get(f"{{{XML_NS}}}lang")
+        lang = (root.get(f"{{{XML_NS}}}lang") or "").lower() or None
         if root.tag == _RDF("RDF"):
             for child in root:
                 self._node_element(child, lang)
@@ -90,7 +90,8 @@ class _RdfXmlParser:
         return self._fresh_bnode()
 
     def _node_element(self, elem: ET.Element, lang: str | None) -> str:
-        lang = elem.get(f"{{{XML_NS}}}lang", lang)
+        _l = elem.get(f"{{{XML_NS}}}lang")
+        lang = _l.lower() if _l is not None else lang
         subj = self._subject_of(elem)
         tag_iri = _split_tag(elem.tag)
         if tag_iri != RDF_NS + "Description":
@@ -113,7 +114,8 @@ class _RdfXmlParser:
     def _property_element(
         self, subj: str, prop: ET.Element, lang: str | None, li_counter: int
     ) -> int:
-        lang = prop.get(f"{{{XML_NS}}}lang", lang)
+        _l = prop.get(f"{{{XML_NS}}}lang")
+        lang = _l.lower() if _l is not None else lang
         pred = _split_tag(prop.tag)
         if pred == RDF_NS + "li":
             li_counter += 1

@@ -119,6 +119,7 @@ class TermScanner:
                 self.pos = start
                 while self.pos < self.n and (self.line[self.pos].isalnum() or self.line[self.pos] == "-"):
                     self.pos += 1
-                return (KIND_LITERAL, lex, None, self.line[start : self.pos])
+                # RDF 1.1 §3.3: language tags are case-insensitive; store lowercase
+                return (KIND_LITERAL, lex, None, self.line[start : self.pos].lower())
             return (KIND_LITERAL, lex, None, None)
         raise RdfParseError(f"unrecognized term at col {self.pos}: {self.line!r}")

@@ -256,7 +256,8 @@ class _TurtleParser:
                 return (KIND_LITERAL, lex, dt, None)
             if nxt is not None and nxt.startswith("@") and len(nxt) > 1:
                 self._next()
-                return (KIND_LITERAL, lex, None, nxt[1:])
+                # RDF 1.1 §3.3: language tags are case-insensitive; store lowercase
+                return (KIND_LITERAL, lex, None, nxt[1:].lower())
             return (KIND_LITERAL, lex, None, None)
         if tok in ("true", "false"):
             return (KIND_LITERAL, tok, XSD_BOOLEAN, None)

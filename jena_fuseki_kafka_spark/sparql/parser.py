@@ -733,7 +733,8 @@ class SparqlParser:
                 return ("literal", lex, dt, None)
             if nxt is not None and nxt.startswith("@") and len(nxt) > 1:
                 self.next()
-                return ("literal", lex, None, nxt[1:])
+                # RDF 1.1 §3.3: language tags compare case-insensitively
+                return ("literal", lex, None, nxt[1:].lower())
             return ("literal", lex, None, None)
         tl = t.lower()
         if tl == "true" or tl == "false":

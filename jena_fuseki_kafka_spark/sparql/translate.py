@@ -91,6 +91,22 @@ def _term_struct(kind, value, dt=None, lang=None) -> Column:
     )
 
 
+def _term_eq(sa: Column, sb: Column) -> Column:
+    """RDF term identity with the two lexical-variant rules: language tags
+    compare case-insensitively ("chat"@EN is "chat"@en, RDF 1.1 §3.3) and
+    a simple literal is the same term as its xsd:string-typed form."""
+    ndt = lambda s: F.when(  # noqa: E731
+        F.coalesce(s["datatype"], F.lit("")) == XSD_STRING, F.lit("")
+    ).otherwise(F.coalesce(s["datatype"], F.lit("")))
+    nlang = lambda s: F.lower(F.coalesce(s["lang"], F.lit("")))  # noqa: E731
+    return (
+        (sa["kind"] == sb["kind"])
+        & (sa["value"] == sb["value"])
+        & (ndt(sa) == ndt(sb))
+        & (nlang(sa) == nlang(sb))
+    )
+
+
 def _const_struct(term) -> Column:
     k = term[0]
     if k == "literal":
@@ -927,6 +943,40 @@ class Translator:
                 self._expr_value(expr.args[0], df, graph).cast("string"),
                 self._expr_value(expr.args[1], df, graph).cast("string"),
             )
+        if isinstance(expr, Call) and expr.name in (
+            "ucase", "lcase", "substr", "replace",
+        ):
+            # §17.4.3 string functions return "a string literal of the same
+            # kind" as their first argument: UCASE("foo"@en) is "FOO"@en,
+            # SUBSTR of an xsd:string stays xsd:string
+            val = self._call_value(expr, df, graph).cast("string")
+            src = self._expr_term(expr.args[0], df, graph)
+            return _term_struct(F.lit("literal"), val, src["datatype"], src["lang"])
+        if isinstance(expr, Call) and expr.name in ("strbefore", "strafter"):
+            # same-kind result on a match; a no-match returns the EMPTY
+            # SIMPLE literal regardless of the first argument's kind
+            val = self._call_value(expr, df, graph).cast("string")
+            src = self._expr_term(expr.args[0], df, graph)
+            a = self._expr_value(expr.args[0], df, graph).cast("string")
+            b = self._expr_value(expr.args[1], df, graph).cast("string")
+            matched = F.instr(a, b) > 0
+            return F.when(
+                matched, _term_struct(F.lit("literal"), val, src["datatype"], src["lang"])
+            ).otherwise(_term_struct(F.lit("literal"), F.lit("")))
+        if isinstance(expr, Call) and expr.name == "concat":
+            # CONCAT keeps the language tag (or xsd:string typing) only if
+            # ALL arguments carry the same one; otherwise a simple literal
+            val = self._call_value(expr, df, graph).cast("string")
+            parts = [self._expr_term(a, df, graph) for a in expr.args]
+            if parts:
+                langs = [F.coalesce(p["lang"], F.lit("")) for p in parts]
+                dts = [F.coalesce(p["datatype"], F.lit("")) for p in parts]
+                same_lang = reduce(lambda a_, b_: a_ & b_, [l == langs[0] for l in langs[1:]], F.lit(True))
+                same_dt = reduce(lambda a_, b_: a_ & b_, [d == dts[0] for d in dts[1:]], F.lit(True))
+                lang = F.when(same_lang, langs[0]).otherwise(F.lit(""))
+                dt = F.when(same_dt & (dts[0] == XSD_STRING), F.lit(XSD_STRING)).otherwise(F.lit(""))
+                return _term_struct(F.lit("literal"), val, dt, lang)
+            return _term_struct(F.lit("literal"), val)
         if isinstance(expr, Call) and expr.name == "coalesce":
             return F.coalesce(*[self._expr_term(a, df, graph) for a in expr.args])
         if isinstance(expr, Call) and expr.name == "if":
@@ -1059,7 +1109,7 @@ class Translator:
                 c = (
                     F.when(an.isNotNull() & bn.isNotNull(), an == bn)
                     .when(at.isNotNull() & bt.isNotNull(), at == bt)
-                    .otherwise(sa == sb)
+                    .otherwise(_term_eq(sa, sb))
                 )
             else:
                 c = self._cmp_operands(a_raw, b_raw, df, graph, "==")
@@ -1226,7 +1276,10 @@ class Translator:
                 return s["kind"] == "literal"
             return (s["kind"] == "literal") & s["datatype"].isin(*NUMERIC_TYPES)
         if name == "sameterm":
-            return self._expr_term(call.args[0], df, graph) == self._expr_term(call.args[1], df, graph)
+            return _term_eq(
+                self._expr_term(call.args[0], df, graph),
+                self._expr_term(call.args[1], df, graph),
+            )
         if name == "regex":
             flags = None
             if len(call.args) > 2:
@@ -1241,10 +1294,16 @@ class Translator:
         if name == "strlen":
             return F.length(argv(0).cast("string"))
         if name == "substr":
+            # XPath fn:substring: keep chars at 1-based positions p with
+            # start <= p < start+len, so a start below 1 consumes length
+            # before the string begins (SUBSTR("12345", 0, 3) is "12")
+            src = argv(0).cast("string")
             start = argv(1).cast("int")
+            eff_start = F.greatest(start, F.lit(1))
             if len(call.args) > 2:
-                return argv(0).cast("string").substr(start, argv(2).cast("int"))
-            return argv(0).cast("string").substr(start, F.lit(1 << 30))
+                end = start + argv(2).cast("int")
+                return src.substr(eff_start, F.greatest(end - eff_start, F.lit(0)))
+            return src.substr(eff_start, F.lit(1 << 30))
         if name == "ucase":
             return F.upper(argv(0).cast("string"))
         if name == "lcase":
@@ -1359,6 +1418,27 @@ class Translator:
         if isinstance(expr, ExistsExpr):
             # handled by rewriting the filter into semi/anti join
             raise NotImplementedError("EXISTS handled in _pattern Filter")
+        if isinstance(expr, Var):
+            # effective boolean value (§17.2.2) is datatype-driven:
+            # xsd:boolean by its lexical (invalid lexical -> false),
+            # numerics by value != 0 (invalid/NaN -> false), strings by
+            # non-emptiness; IRIs, bnodes, other datatypes, and unbound
+            # are a type error (null -> the FILTER drops the row)
+            s = df[expr.name]
+            val = s["value"]
+            num = val.try_cast("double")
+            return (
+                F.when(s["datatype"] == XSD_BOOLEAN, val.isin("true", "1"))
+                .when(
+                    s["datatype"].isin(*NUMERIC_TYPES),
+                    F.coalesce((num != 0) & ~F.isnan(num), F.lit(False)),
+                )
+                .when(
+                    (s["kind"] == "literal")
+                    & (s["datatype"].isin("", XSD_STRING) | s["datatype"].isNull()),
+                    F.length(val) > 0,
+                )
+            )
         v = self._expr_value(expr, df, graph)
         schema_type = df.select(v.alias("__b__")).schema[0].dataType
         from pyspark.sql import types as T
@@ -1595,6 +1675,12 @@ class Translator:
             if expr.name == "count":
                 if not expr.args:
                     return F.count("*")
+                # COUNT/COUNT DISTINCT are over TERMS, not values: three
+                # "chat" literals with different language tags are three
+                # distinct terms — count the struct when the arg is a var
+                term = self._var_struct(expr.args[0], df)
+                if term is not None:
+                    return F.countDistinct(term) if expr.distinct else F.count(term)
                 inner = self._expr_value(expr.args[0], df, None)
                 return F.countDistinct(inner) if expr.distinct else F.count(inner)
             inner = self._expr_value(expr.args[0], df, None)

@@ -1166,3 +1166,71 @@ class TestValueSemantics:
         kinds = [r["o"]["kind"] for r in df.collect()]
         assert kinds[0] == "bnode" and kinds[1] == "iri"
         assert all(k == "literal" for k in kinds[2:])
+
+
+class TestEbvAndLangSemantics:
+    """§17.2.2 effective boolean value and RDF 1.1 language-tag rules."""
+
+    @pytest.fixture(scope="class")
+    def leng(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            (DEFAULT_GRAPH, "http://e/a", "http://e/v", "literal", "0", XSD + "integer", None),
+            (DEFAULT_GRAPH, "http://e/b", "http://e/v", "literal", "", None, None),
+            (DEFAULT_GRAPH, "http://e/c", "http://e/v", "literal", "x", None, None),
+            (DEFAULT_GRAPH, "http://e/d", "http://e/v", "literal", "false", XSD + "boolean", None),
+            (DEFAULT_GRAPH, "http://e/l1", "http://e/lab", "literal", "chat", None, "en"),
+            (DEFAULT_GRAPH, "http://e/l2", "http://e/lab", "literal", "chat", None, "EN"),
+            (DEFAULT_GRAPH, "http://e/l3", "http://e/lab", "literal", "chat", None, "fr"),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_ebv_is_datatype_driven(self, leng):
+        # "0"^^xsd:integer and "false"^^xsd:boolean are FALSE, "" is FALSE,
+        # a non-empty plain string is TRUE — not string-emptiness across
+        # the board
+        pos = leng.query("SELECT ?s WHERE { ?s <http://e/v> ?v . FILTER(?v) }")
+        assert [r["s"]["value"] for r in pos.collect()] == ["http://e/c"]
+        neg = leng.query("SELECT ?s WHERE { ?s <http://e/v> ?v . FILTER(!?v) }")
+        assert sorted(r["s"]["value"] for r in neg.collect()) == [
+            "http://e/a", "http://e/b", "http://e/d",
+        ]
+
+    def test_string_functions_keep_lang(self, leng):
+        df = leng.query(
+            "SELECT (UCASE(?l) AS ?u) (CONCAT(?l, ?l) AS ?c) (SUBSTR(?l, 2) AS ?m) "
+            "WHERE { <http://e/l1> <http://e/lab> ?l }"
+        )
+        r = df.collect()[0]
+        assert (r["u"]["value"], r["u"]["lang"]) == ("CHAT", "en")
+        assert (r["c"]["value"], r["c"]["lang"]) == ("chatchat", "en")
+        assert (r["m"]["value"], r["m"]["lang"]) == ("hat", "en")
+
+    def test_lang_tags_compare_case_insensitively(self, leng):
+        # "chat"@EN = "chat"@en (RDF 1.1 §3.3); data injected with mixed
+        # case, so the comparison itself must normalize
+        df = leng.query(
+            "SELECT ?x ?y WHERE { ?x <http://e/lab> ?lx . ?y <http://e/lab> ?ly . "
+            "FILTER(?lx = ?ly && STR(?x) < STR(?y)) }"
+        )
+        pairs = [(r["x"]["value"], r["y"]["value"]) for r in df.collect()]
+        assert pairs == [("http://e/l1", "http://e/l2")]
+
+    def test_count_distinct_is_term_level(self, leng):
+        # three "chat" literals with tags en/EN/fr: same VALUE, distinct
+        # TERMS (raw injected structs keep the case) -> 3, not 1
+        df = leng.query("SELECT (COUNT(DISTINCT ?l) AS ?n) WHERE { ?s <http://e/lab> ?l }")
+        assert df.collect()[0]["n"]["value"] == "3"
+
+    def test_substr_xpath_low_start(self, leng):
+        # fn:substring("12345", 0, 3): positions p with 0 <= p < 3 -> "12"
+        df = leng.query('SELECT (SUBSTR("12345", 0, 3) AS ?r) WHERE { }')
+        assert df.collect()[0]["r"]["value"] == "12"
+
+    def test_parser_lowercases_lang_tags(self):
+        from jena_fuseki_kafka_spark.rdf.turtle import parse_turtle
+
+        ops = parse_turtle('<http://e/s> <http://e/p> "hi"@EN-GB .')
+        assert ops[0][7] == "en-gb"
