@@ -1616,27 +1616,61 @@ class Translator:
             if expr is None:
                 post_select.append(F.col(name))
                 continue
+            term_agg = self._term_agg(expr, df)
+            if term_agg is not None:
+                # term-preserving aggregate: MIN/MAX/SAMPLE return the
+                # winning solution's ORIGINAL term (datatype/lang intact),
+                # and COUNT/SUM/AVG come back typed like ARQ returns them
+                agg_exprs.append(term_agg.alias(f"__agg_{name}"))
+                post_select.append(F.col(f"__agg_{name}").alias(name))
+                continue
             agg = self._agg_expr(expr, df)
-            # spec §18.5.1.6/.7: Sum/Avg over the EMPTY solution set are 0
-            # (ARQ returns "0"^^xsd:integer); only possible without GROUP
-            # BY, since grouped groups are never empty.  Gate strictly on
-            # row count == 0: a NON-empty set whose values all fail numeric
-            # coercion is a type error and must stay unbound, not become 0.
             if (
-                not group_cols
-                and isinstance(expr, Call)
+                isinstance(expr, Call)
                 and expr.name in ("sum", "avg")
+                and expr.args
+                and not expr.distinct
             ):
-                need_row_count = True
+                # typed numeric aggregation: SUM over an all-integer group
+                # is "n"^^xsd:integer (ARQ), AVG lands in xsd:decimal; a
+                # group with any non-integer lexical stays the double lane.
+                # The integer lane also keeps >2^53 sums exact.
+                v = self._expr_value(expr.args[0], df, None).cast("string")
+                lng = v.try_cast("long")
+                int_ok = F.bool_and(lng.isNotNull() | v.isNull())
+                sum_l = F.sum(lng)
                 agg_exprs.append(agg.alias(f"__agg_{name}"))
-                post_select.append(
-                    F.when(
+                agg_exprs.append(int_ok.alias(f"__agg_{name}_int"))
+                agg_exprs.append(sum_l.alias(f"__agg_{name}_l"))
+                if expr.name == "sum":
+                    typed = F.when(
+                        F.col(f"__agg_{name}_int") & F.col(f"__agg_{name}_l").isNotNull(),
+                        _term_struct(
+                            F.lit("literal"),
+                            F.col(f"__agg_{name}_l").cast("string"),
+                            F.lit(XSD_INTEGER),
+                        ),
+                    ).otherwise(
+                        self._wrap_agg_result(F.col(f"__agg_{name}"), F.lit(XSD_DOUBLE))
+                    )
+                else:
+                    typed = self._wrap_agg_result(
+                        F.col(f"__agg_{name}"),
+                        F.when(F.col(f"__agg_{name}_int"), F.lit(XSD_DECIMAL)).otherwise(
+                            F.lit(XSD_DOUBLE)
+                        ),
+                    )
+                # spec §18.5.1.6/.7: Sum/Avg over the EMPTY solution set
+                # are "0"^^xsd:integer (only possible ungrouped).  Gate
+                # strictly on row count == 0: a NON-empty set whose values
+                # all fail numeric coercion is a type error -> unbound.
+                if not group_cols:
+                    need_row_count = True
+                    typed = F.when(
                         F.col("__nrows__") == 0,
                         _term_struct(F.lit("literal"), F.lit("0"), F.lit(XSD_INTEGER)),
-                    )
-                    .otherwise(self._wrap_agg_result(F.col(f"__agg_{name}")))
-                    .alias(name)
-                )
+                    ).otherwise(typed)
+                post_select.append(typed.alias(name))
                 continue
             agg_exprs.append(agg.alias(f"__agg_{name}"))
             post_select.append(self._wrap_agg_result(F.col(f"__agg_{name}")).alias(name))
@@ -1662,13 +1696,46 @@ class Translator:
             out = out.filter(F.col("__having__")).drop("__having__")
         return out.select(*post_select)
 
-    def _wrap_agg_result(self, col: Column) -> Column:
+    def _term_agg(self, expr, df: DataFrame) -> Column | None:
+        """Term-struct aggregate for the projection position, or None to
+        fall back to the plain-value path.
+
+        - MIN/MAX of a variable order by VALUE (numeric when numeric, so
+          "9" < "10") but return the winning solution's original TERM —
+          datatype and language tag intact, like ARQ.
+        - SAMPLE of a variable returns some bound term.
+        - COUNT is "n"^^xsd:integer, not a plain literal.
+        """
+        if not (isinstance(expr, Call) and expr.name in AGG_NAMES):
+            return None
+        if expr.name == "count":
+            c = self._agg_expr(expr, df)
+            return _term_struct(F.lit("literal"), c.cast("string"), F.lit(XSD_INTEGER))
+        if expr.distinct or not expr.args or not isinstance(expr.args[0], Var):
+            return None
+        term = self._var_struct(expr.args[0], df)
+        if expr.name == "sample":
+            return F.any_value(term, True)
+        if expr.name in ("min", "max"):
+            v = term["value"]
+            num = v.try_cast("double")
+            pad = float("inf") if expr.name == "min" else float("-inf")
+            key = F.struct(F.coalesce(num, F.lit(pad)).alias("n"), v.alias("s"))
+            # aggregate over bound terms only: an all-unbound group stays
+            # unbound, and unbound rows must not win min_by via null keys
+            keyed = F.when(term.isNotNull(), key)
+            return F.min_by(term, keyed) if expr.name == "min" else F.max_by(term, keyed)
+        return None
+
+    def _wrap_agg_result(self, col: Column, dt: Column | None = None) -> Column:
         # aggregates produce plain values; wrap as literal struct for
         # uniform result columns.  A null aggregate (type error — e.g. SUM
         # over non-numeric values) must stay UNBOUND: null struct, not a
         # literal struct with a null value (BOUND() would lie).
         s = col.cast("string")
-        return F.when(s.isNotNull(), _term_struct(F.lit("literal"), s, F.lit("")))
+        return F.when(
+            s.isNotNull(), _term_struct(F.lit("literal"), s, dt if dt is not None else F.lit(""))
+        )
 
     def _agg_expr(self, expr, df: DataFrame, boolean: bool = False) -> Column:
         if isinstance(expr, Call) and expr.name in AGG_NAMES:
@@ -1689,10 +1756,22 @@ class Translator:
                 return F.sum_distinct(c) if expr.distinct else F.sum(c)
             if expr.name == "avg":
                 return F.avg(inner.try_cast("double"))
-            if expr.name == "min":
-                return F.min(inner)
-            if expr.name == "max":
-                return F.max(inner)
+            if expr.name in ("min", "max"):
+                # MIN/MAX order by VALUE (numeric when numeric — "9" < "10"),
+                # not by lexical form; min_by/max_by carries the winning
+                # term's original lexical through.  Non-numerics sort after
+                # numerics for MIN (before, for MAX), then lexically.
+                v = inner.cast("string")
+                num = v.try_cast("double")
+                if expr.name == "min":
+                    key = F.struct(
+                        F.coalesce(num, F.lit(float("inf"))).alias("n"), v.alias("s")
+                    )
+                    return F.min_by(v, key)
+                key = F.struct(
+                    F.coalesce(num, F.lit(float("-inf"))).alias("n"), v.alias("s")
+                )
+                return F.max_by(v, key)
             if expr.name == "group_concat":
                 sep = expr.separator if expr.separator is not None else " "
                 coll = F.collect_set(inner.cast("string")) if expr.distinct else F.collect_list(

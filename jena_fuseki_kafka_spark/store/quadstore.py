@@ -240,6 +240,8 @@ class QuadStore:
         assume_unique: bool = False,
         broadcast_deletes: bool = True,
         broadcast_adds: bool = True,
+        n_adds_hint: int | None = None,
+        n_deletes_hint: int | None = None,
     ) -> int:
         """Atomically apply net adds and deletes; returns new version.
 
@@ -256,6 +258,14 @@ class QuadStore:
         COPY) must pass False so the join shuffles instead of broadcasting
         a store-sized side into every executor (and the driver).
 
+        ``n_adds_hint``/``n_deletes_hint`` are row counts the caller
+        already knows (e.g. an HTTP handler that parsed the payload on the
+        driver).  When the hint is request-sized AND the store itself is
+        small, commit skips the per-side bucket-stats Spark action and
+        scans every bucket instead — one Spark job per commit instead of
+        two or three.  Pruning matters exactly when the store is large, so
+        the fast path is gated on store size and changes nothing at scale.
+
         Thread-safe: holds the per-store write lock for the whole
         read-manifest -> write-files -> swap-manifest sequence, so HTTP
         handlers, the ingest stream, and compaction serialize instead of
@@ -264,8 +274,19 @@ class QuadStore:
         with self._write_lock:
             return self._commit_locked(
                 spark, adds, deletes, txn_id, assume_unique,
-                broadcast_deletes, broadcast_adds,
+                broadcast_deletes, broadcast_adds, n_adds_hint, n_deletes_hint,
             )
+
+    def _small_store(self, files: list[str]) -> bool:
+        """True when the whole store is small enough that bucket pruning
+        cannot pay for its stats collection (parquet-footer row counts —
+        no Spark job)."""
+        if len(files) > 64:
+            return False
+        try:
+            return sum(self._entry_row_count(f) for f in files) <= self.SMALL_COMMIT_ROWS
+        except OSError:
+            return False
 
     def _commit_locked(
         self,
@@ -276,6 +297,8 @@ class QuadStore:
         assume_unique: bool,
         broadcast_deletes: bool = True,
         broadcast_adds: bool = True,
+        n_adds_hint: int | None = None,
+        n_deletes_hint: int | None = None,
     ) -> int:
         manifest = self._read_manifest()
         if txn_id is not None and txn_id in manifest["txns"]:
@@ -285,16 +308,34 @@ class QuadStore:
         new_files: list[str] = []
         drop_files: list[str] = []
 
+        # fast path only when EVERY present side comes with a hint: a
+        # hintless side must keep its stats action, not inherit the skip
+        hinted_small = (
+            (n_adds_hint is not None or n_deletes_hint is not None)
+            and (adds is None or n_adds_hint is not None)
+            and (deletes is None or n_deletes_hint is not None)
+            and (n_adds_hint or 0) <= self.SMALL_COMMIT_ROWS
+            and (n_deletes_hint or 0) <= self.SMALL_COMMIT_ROWS
+            and self._small_store(current_files)
+        )
+
         del_buckets: set[int] = set()
         if deletes is not None:
             # no dropDuplicates: the anti-join is duplicate-insensitive, so
             # deduping the delete side is pure wasted shuffle.  One
             # aggregation answers both "any deletes?" and "which buckets?"
             deletes = deletes.select(*QUAD_COLS)
-            del_buckets = {
-                r["b"]
-                for r in deletes.groupBy(self._bucket_col().alias("b")).count().collect()
-            }
+            if hinted_small:
+                # hinted fast path: treat every bucket as affected — the
+                # rewrite reads the (small) whole store, no stats action
+                del_buckets = (
+                    {self._bucket_of(f) for f in current_files} if n_deletes_hint else set()
+                )
+            else:
+                del_buckets = {
+                    r["b"]
+                    for r in deletes.groupBy(self._bucket_col().alias("b")).count().collect()
+                }
 
         if del_buckets and current_files:
             # Rewrite-on-delete, restricted to the buckets the delete keys
@@ -325,16 +366,23 @@ class QuadStore:
             adds = adds.select(*QUAD_COLS)
             if not assume_unique:
                 adds = adds.dropDuplicates(QUAD_COLS)
-            # one aggregation answers "which buckets?" (snapshot dedup only
-            # needs those) AND "how many rows?" (sizes the write)
-            add_stats = adds.groupBy(self._bucket_col().alias("b")).count().collect()
-            add_buckets = {r["b"] for r in add_stats}
-            n_adds = sum(r["count"] for r in add_stats)
-            scan_files = [
-                f
-                for f in current_files
-                if self._bucket_of(f) is None or self._bucket_of(f) in add_buckets
-            ]
+            if hinted_small and n_adds_hint is not None:
+                # hinted fast path: the caller counted the rows on the
+                # driver; scan every (small) bucket for the set-semantics
+                # dedup instead of collecting per-bucket stats first
+                n_adds = n_adds_hint
+                scan_files = list(current_files)
+            else:
+                # one aggregation answers "which buckets?" (snapshot dedup
+                # only needs those) AND "how many rows?" (sizes the write)
+                add_stats = adds.groupBy(self._bucket_col().alias("b")).count().collect()
+                add_buckets = {r["b"] for r in add_stats}
+                n_adds = sum(r["count"] for r in add_stats)
+                scan_files = [
+                    f
+                    for f in current_files
+                    if self._bucket_of(f) is None or self._bucket_of(f) in add_buckets
+                ]
             if scan_files:
                 paths = [os.path.join(self.files_dir, f) for f in scan_files]
                 current = spark.read.schema(QUAD_SCHEMA).parquet(*paths)

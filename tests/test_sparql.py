@@ -1234,3 +1234,39 @@ class TestEbvAndLangSemantics:
 
         ops = parse_turtle('<http://e/s> <http://e/p> "hi"@EN-GB .')
         assert ops[0][7] == "en-gb"
+
+
+class TestAggregateTyping:
+    """MIN/MAX order by value and return the original term; COUNT/SUM/AVG
+    results are typed like ARQ returns them."""
+
+    @pytest.fixture(scope="class")
+    def aeng(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            (DEFAULT_GRAPH, "http://e/a", "http://e/n", "literal", "9", XSD + "integer", None),
+            (DEFAULT_GRAPH, "http://e/b", "http://e/n", "literal", "10", XSD + "integer", None),
+            (DEFAULT_GRAPH, "http://e/c", "http://e/n", "literal", "2", XSD + "integer", None),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_min_max_numeric_not_lexicographic(self, aeng):
+        # lexicographically "10" < "2" < "9" — MIN/MAX must use VALUE order
+        df = aeng.query("SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?s <http://e/n> ?n }")
+        r = df.collect()[0]
+        assert r["lo"]["value"] == "2"
+        assert r["hi"]["value"] == "10"
+        # and the winning TERM keeps its datatype
+        assert r["lo"]["datatype"].endswith("#integer")
+
+    def test_count_sum_avg_typing(self, aeng):
+        df = aeng.query(
+            "SELECT (COUNT(*) AS ?c) (SUM(?n) AS ?s) (AVG(?n) AS ?a) "
+            "WHERE { ?x <http://e/n> ?n }"
+        )
+        r = df.collect()[0]
+        assert r["c"]["value"] == "3" and r["c"]["datatype"].endswith("#integer")
+        assert r["s"]["value"] == "21" and r["s"]["datatype"].endswith("#integer")
+        assert r["a"]["value"] == "7.0" and r["a"]["datatype"].endswith("#decimal")
