@@ -169,12 +169,9 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("d02_minhash_lsh", oracle=_minhash_oracle())
-def d02(spark, sf_dir):
-    """MinHash + LSH near-dup detection: shingle -> 16 minhashes -> 4 bands
-    of 4 -> bucket equi-join for candidates -> exact-Jaccard verification of
-    candidates only.  The banding keeps the join linear in docs; the oracle
-    runs the same deterministic hashes, so candidate sets match exactly."""
+def _minhash_pairs(spark, sf_dir):
+    """Verified MinHash near-dup pairs — the shared core of d02 (pair
+    listing) and d06 (cluster assignment)."""
     d = load(spark, sf_dir, "documents")
     # hash every distinct shingle ONCE to a 60-bit long and persist only
     # (doc_id, sh): the string shingles never shuffle or cache — at 100 TB
@@ -252,6 +249,99 @@ def d02(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+@query("d02_minhash_lsh", oracle=_minhash_oracle())
+def d02(spark, sf_dir):
+    """MinHash + LSH near-dup detection: shingle -> 16 minhashes -> 4 bands
+    of 4 -> bucket equi-join for candidates -> exact-Jaccard verification of
+    candidates only.  The banding keeps the join linear in docs; the oracle
+    runs the same deterministic hashes, so candidate sets match exactly."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- d06 dedup clusters
+def _clusters_oracle() -> str:
+    """Connected components over the verified near-dup pairs via a
+    recursive reachability CTE: min reaching node = cluster id."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) p
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster
+    FROM reach GROUP BY v ORDER BY doc_id
+    """
+
+
+@query("d06_dedup_clusters", oracle=_clusters_oracle())
+def d06(spark, sf_dir):
+    """Near-dup CLUSTER assignment — the dedup pipeline step after pair
+    generation: connected components over the d02 pair graph, cluster id =
+    min doc_id in the component (the canonical document a curator keeps).
+
+    Spark-first shape: HashMin label propagation — every node starts as
+    its own label; each round takes the min label over in-neighbors; stop
+    when no label changes.  Rounds are bounded by component DIAMETER, and
+    LSH duplicate clusters are near-cliques (diameter 1-2), so this
+    converges in 2-3 rounds at any corpus size; each round is one
+    shuffle bounded by |edges|, and localCheckpoint truncates the
+    iteration lineage exactly like the property-path fixpoint
+    (translate.py:_closure_pattern).  Docs in no pair are singletons and
+    are excluded (their cluster is trivially themselves)."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("cluster")
+    ).orderBy("doc_id")
+
+
+def connected_components(pairs, max_rounds: int = 50):
+    """HashMin label propagation over an undirected pair list
+    (columns doc_a, doc_b) -> (v, comp) with comp = min node id in the
+    component.  O(diameter) rounds, each one |edges|-bounded shuffle;
+    localCheckpoint truncates the per-round lineage."""
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("comp", F.col("v"))
+    for _round in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "v")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------- d03 simhash

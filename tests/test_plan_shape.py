@@ -110,6 +110,7 @@ class TestNoPythonInHotPath:
             "d02_minhash_lsh",
             "d03_simhash",
             "d05_decontamination",
+            "d06_dedup_clusters",
             "t01_language_id",
             "t03_token_count",
             "t07_repetition_ratio",

@@ -45,3 +45,30 @@ def test_s03_production_threshold_still_registered():
     # operator contract); s03b supplements rather than replaces it
     assert "s03_embedding_near_dup" in QUERIES
     assert "s03_embedding_near_dup" in ORACLES
+
+
+class TestConnectedComponents:
+    """d06's HashMin label propagation must converge past diameter 1 —
+    LSH clusters are near-cliques, but transitive near-dup CHAINS
+    (a~b~c~d with a!~d) are exactly the case clustering exists for."""
+
+    def test_chain_converges_to_one_component(self, spark):
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        # path graph 0-1-2-...-9 (diameter 9) plus a separate pair
+        pairs = spark.createDataFrame(
+            [(f"d{i}", f"d{i+1}") for i in range(9)] + [("x1", "x2")],
+            ["doc_a", "doc_b"],
+        )
+        got = {r.v: r.comp for r in connected_components(pairs).collect()}
+        assert all(got[f"d{i}"] == "d0" for i in range(10))
+        assert got["x1"] == got["x2"] == "x1"
+
+    def test_clique_one_round(self, spark):
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], ["doc_a", "doc_b"]
+        )
+        got = {r.v: r.comp for r in connected_components(pairs).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a"}
