@@ -329,6 +329,43 @@ def s03b(spark, sf_dir):
 
 
 @query(
+    "s06_embedding_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT vec_a, vec_b FROM ({_near_dup_oracle(LOW_T_COSINE)}) p
+    ),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION
+      SELECT vec_b AS a, vec_a AS b FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    )
+    SELECT v AS vec_id, MIN(r) AS cluster
+    FROM reach GROUP BY v ORDER BY vec_id
+    """,
+)
+def s06(spark, sf_dir):
+    """Semantic dedup CLUSTER assignment: connected components over the
+    embedding-cosine near-dup pair graph (s03's IVF-blocked pipeline),
+    cluster id = min vec_id — the curator keeps one representative per
+    semantic duplicate group.  Same HashMin label propagation as d06
+    (queries/dedup.py:connected_components): O(diameter) rounds, each an
+    |edges|-bounded shuffle, no all-pairs path anywhere."""
+    from .dedup import connected_components
+
+    pairs = _near_dup(spark, sf_dir, LOW_T_COSINE).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("v").alias("vec_id"), F.col("comp").alias("cluster")
+    ).orderBy("vec_id")
+
+
+@query(
     "s04_ann_ivf",
     oracle=f"""
     WITH c AS (
