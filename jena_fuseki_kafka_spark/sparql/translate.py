@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..model import (
     DEFAULT_GRAPH,
+    RdfParseError,
     XSD,
     XSD_BOOLEAN,
     XSD_DECIMAL,
@@ -300,6 +301,12 @@ class Translator:
             return df.filter(self._expr_bool(node.expr, df, graph))
         if isinstance(node, Extend):
             df = self._pattern(node.pattern, graph)
+            if node.var in df.columns:
+                # §10.1 / grammar note 12: the BIND target must not already
+                # be in scope — a silent overwrite would corrupt bindings
+                raise RdfParseError(
+                    f"BIND target ?{node.var} is already bound in this group"
+                )
             return df.withColumn(node.var, self._expr_term(node.expr, df, graph))
         if isinstance(node, GraphPattern):
             return self._graph_pattern(node)
@@ -1471,6 +1478,15 @@ class Translator:
             null_term = F.lit(None).cast(
                 "struct<kind:string,value:string,datatype:string,lang:string>"
             )
+            # §18.2.4.4: (expr AS ?v) must introduce a FRESH variable —
+            # not a pattern var, not an earlier AS target
+            seen = set(df.columns)
+            for name, expr in q.projection:
+                if expr is not None and name in seen:
+                    raise RdfParseError(
+                        f"SELECT expression reuses in-scope variable ?{name}"
+                    )
+                seen.add(name)
             if defer_project:
                 proj_names = []
                 for name, expr in q.projection:
@@ -1611,10 +1627,27 @@ class Translator:
 
         agg_exprs = []
         post_select = []
+        post_exprs: list[tuple[int, str, object]] = []  # slot, name, expr
         need_row_count = False
         for name, expr in q.projection:
             if expr is None:
+                # §18.2.4: a plain projected variable must be a group key
+                if name not in group_cols:
+                    raise RdfParseError(
+                        f"variable ?{name} is projected but not grouped"
+                    )
                 post_select.append(F.col(name))
+                continue
+            if not self._has_aggregate(expr):
+                # §18.2.4: expression over GROUP KEYS only (no aggregate):
+                # evaluate after aggregation against the group columns
+                for v in self._expr_vars(expr):
+                    if v not in group_cols:
+                        raise RdfParseError(
+                            f"?{v} used in a projection expression is not grouped"
+                        )
+                post_exprs.append((len(post_select), name, expr))
+                post_select.append(None)  # placeholder, filled post-agg
                 continue
             term_agg = self._term_agg(expr, df)
             if term_agg is not None:
@@ -1691,10 +1724,31 @@ class Translator:
                 post_select.append(F.col(f"__ord_{i}"))
 
         grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        if not agg_exprs:
+            # all projections are group-key expressions — aggregate still
+            # needs one function to produce a row per group
+            agg_exprs.append(F.count(F.lit(1)).alias("__gcnt__"))
         out = grouped.agg(*agg_exprs)
+        out = out.drop("__gcnt__")
         if q.having is not None:
             out = out.filter(F.col("__having__")).drop("__having__")
+        for slot, name, expr in post_exprs:
+            post_select[slot] = self._expr_term(expr, out, None).alias(name)
         return out.select(*post_select)
+
+    def _expr_vars(self, expr) -> set[str]:
+        """Free variables of an expression (for §18.2.4 group validation)."""
+        if isinstance(expr, Var):
+            return {expr.name}
+        out: set[str] = set()
+        if isinstance(expr, Op):
+            for a in expr.args:
+                for item in a if isinstance(a, list) else (a,):
+                    out |= self._expr_vars(item)
+        elif isinstance(expr, Call):
+            for a in expr.args:
+                out |= self._expr_vars(a)
+        return out
 
     def _term_agg(self, expr, df: DataFrame) -> Column | None:
         """Term-struct aggregate for the projection position, or None to

@@ -1270,3 +1270,42 @@ class TestAggregateTyping:
         assert r["c"]["value"] == "3" and r["c"]["datatype"].endswith("#integer")
         assert r["s"]["value"] == "21" and r["s"]["datatype"].endswith("#integer")
         assert r["a"]["value"] == "7.0" and r["a"]["datatype"].endswith("#decimal")
+
+
+class TestProjectionValidation:
+    """§18.2.4 projection rules: AS/BIND targets must be fresh; plain
+    projected vars must be group keys; group-key expressions project."""
+
+    def test_bind_shadow_rejected(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError, match="already bound"):
+            engine.query(
+                "PREFIX ex: <http://example.org/> "
+                "SELECT ?n WHERE { ?s ex:name ?n BIND(1 AS ?n) }"
+            ).collect()
+
+    def test_select_as_shadow_rejected(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError, match="reuses in-scope"):
+            engine.query(
+                "PREFIX ex: <http://example.org/> "
+                "SELECT (1 AS ?n) WHERE { ?s ex:name ?n }"
+            ).collect()
+
+    def test_ungrouped_projection_rejected(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError, match="not grouped"):
+            engine.query("SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }").collect()
+
+    def test_group_key_expression_projects(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (STRLEN(?n) AS ?L) (COUNT(*) AS ?c) "
+            "WHERE { ?s ex:name ?n } GROUP BY ?n"
+        )
+        rows = {(r["L"]["value"], r["c"]["value"]) for r in df.collect()}
+        # Alice=5, Carol=5 (two groups of len 5), Bob=3, Dave=4
+        assert rows == {("5", "1"), ("3", "1"), ("4", "1")}
