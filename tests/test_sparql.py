@@ -1309,3 +1309,66 @@ class TestProjectionValidation:
         rows = {(r["L"]["value"], r["c"]["value"]) for r in df.collect()}
         # Alice=5, Carol=5 (two groups of len 5), Bob=3, Dave=4
         assert rows == {("5", "1"), ("3", "1"), ("4", "1")}
+
+
+class TestArithmeticDifferential:
+    """Differential fuzz: random (unspaced) integer arithmetic expressions
+    evaluated by the engine vs Python Fraction ground truth.  This is the
+    class of bug where "1+1" tokenized as "1","+1" and silently returned
+    1 — the whole additive grammar gets exercised, including the signed-
+    numeric-literal continuation rule [116]."""
+
+    def test_random_integer_arithmetic(self, engine):
+        import random
+        from fractions import Fraction
+
+        rng = random.Random(42)
+
+        PREC = {"+": 1, "-": 1, "*": 2, "/": 2}
+
+        def gen(depth=0):
+            # returns (text, Fraction value, precedence) or None on div0;
+            # NEVER inserts spaces — the tokenizer must handle "7-2*3" and
+            # "(1+2)/4" raw.  Parens added only where precedence demands,
+            # plus random redundant ones, so flat chains get exercised.
+            if depth >= 3 or rng.random() < 0.4:
+                n = rng.randint(0, 50)
+                return str(n), Fraction(n), 3
+            op = rng.choice("+-*/")
+            a = gen(depth + 1)
+            b = gen(depth + 1)
+            if a is None or b is None:
+                return None
+            at, av, ap = a
+            bt, bv, bp = b
+            if op == "/" and bv == 0:
+                return None
+            if op == "+":
+                val = av + bv
+            elif op == "-":
+                val = av - bv
+            elif op == "*":
+                val = av * bv
+            else:
+                val = av / bv
+            # left-assoc: lhs needs parens below op's level; rhs also at
+            # the same level when op is non-commutative-assoc (- /)
+            fa = f"({at})" if ap < PREC[op] or rng.random() < 0.3 else at
+            need_b = bp < PREC[op] or (bp == PREC[op] and op in "-/")
+            fb = f"({bt})" if need_b or rng.random() < 0.3 else bt
+            return f"{fa}{op}{fb}", val, PREC[op]
+
+        checked = 0
+        for _ in range(60):
+            g = gen()
+            if g is None:
+                continue
+            text, expected, _prec = g
+            df = engine.query(f"SELECT ({text} AS ?r) WHERE {{ }}")
+            got = df.collect()[0]["r"]
+            assert got is not None, text
+            assert abs(float(got["value"]) - float(expected)) <= 1e-9 * max(
+                1.0, abs(float(expected))
+            ), (text, expected, got)
+            checked += 1
+        assert checked >= 40
