@@ -126,15 +126,16 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: run every headline plan once at the smallest SF so the timed
-    # runs measure steady-state execution (whole-stage codegen generates the
-    # same source regardless of input path, so compilation + JIT are paid
-    # here) — the scale question is per-row throughput, not JVM startup
-    warm_dir = "/root/testdata/sf0.001"
-    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    # warmup: run every headline query once AT THE TARGET SF so the timed
+    # runs measure steady-state execution.  A smaller-SF warmup is not
+    # enough: AQE re-plans and broadcast-threshold choices differ with
+    # input size, so the generated whole-stage code differs and the first
+    # target-SF run still paid compile+JIT (measured 3.3s cold vs 0.8s
+    # steady for t10).  The scale question is per-row throughput, not
+    # one-time plan compilation.
     for name in HEADLINE:
         try:
-            QUERIES[name](spark, warm_dir).count()
+            QUERIES[name](spark, sf_dir).count()
         except Exception:
             pass
 

@@ -84,16 +84,13 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r6 window (first 50) ----
-    # r01 missed the r5 window at position 51 (VERDICT r5 item 2): first.
+    # ---- r6 window (first 50; d06/s06/r18 are new+unlisted -> sort ahead
+    # of everything here, taking 3 slots) ----
+    # TOUCHED THIS ROUND (translate.py value semantics/aggregates/ordering,
+    # update.py hints, store commit fast path, d02 refactor) -> re-verify:
     "r01_sparql_acceptance_count",
-    # NEW this round: the §18.5 MINUS gate and the Update-sequence gate
     "r17_minus_compat",
     "u01_update_sequence",
-    # implementation changed this round -> re-verify: DESCRIBE closure was
-    # rewritten (distributed frontier), and the aggregate/cast semantics
-    # changed (_wrap_agg_result, empty-SUM typing, XSD constructor casts) —
-    # every engine query that aggregates or binds rides those paths
     "r11_describe_subject",
     "r04_sparql_engine_group_by",
     "r12_group_concat",
@@ -106,10 +103,12 @@ _CHECK_PRIORITY = [
     "r07_not_exists_antijoin",
     "r08_construct_quads",
     "r09_values_inline_data",
-    # ---- last driver verdict r04 (2 rounds stale) -> all in-window ----
-    "q01_pricing_summary",
+    "r10_ask",
     "r02_bgp_join_filter",
     "r03_graph_quantification",
+    "d02_minhash_lsh",
+    # ---- last driver verdict r04 (2 rounds stale), code untouched ----
+    "q01_pricing_summary",
     "s03b_embedding_near_dup_lowt",
     "s03_embedding_near_dup",
     "st01_streaming_tumbling_window",
@@ -124,9 +123,6 @@ _CHECK_PRIORITY = [
     "p03_mixture_rebalance",
     "m03_video_frame_sample",
     "m04_frame_dedup",
-    "q16_conditional_agg_case",
-    "q23_funnel_signup_to_purchase",
-    "q38_approx_percentile",
     "d01_exact_dedup",
     "d03_simhash",
     "d04_ngram_jaccard_blocked",
@@ -139,15 +135,18 @@ _CHECK_PRIORITY = [
     "t03_token_count",
     "t04_fingerprint",
     "t07_repetition_ratio",
+    # ---- window boundary ~here (3 new + 47 listed = 50) ----
+    # r4-green, code untouched; rotate back in r7 (91 queries / 50-slot
+    # window makes some staleness structural — stalest-first next round):
     "t08_pii_scrub",
     "t09_url_domain_stats",
     "t10_char_entropy",
-    # ---- driver-green in r05 (1 round old) -> tail; r7 window next ----
-    "r10_ask",
-    "s02_ann_lsh_bucketed",
+    "q16_conditional_agg_case",
+    "q23_funnel_signup_to_purchase",
+    "q38_approx_percentile",
+    # ---- driver-green in r05 (1 round old), code untouched -> tail ----
     "m01_image_features",
     "m02_audio_features",
-    "d02_minhash_lsh",
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -181,6 +180,7 @@ _CHECK_PRIORITY = [
     "q37_running_frames",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
+    "s02_ann_lsh_bucketed",
 ]
 
 
