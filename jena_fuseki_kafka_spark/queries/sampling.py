@@ -200,3 +200,73 @@ def p03(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- p04
+# Leakage-safe train/eval split: near-duplicate documents must land on
+# the SAME side of the split, or eval examples leak into training via
+# their dups.  Unit of splitting = the d02 near-dup CLUSTER (connected
+# component), not the document: hash the cluster id, not the doc id.
+from .dedup import _minhash_oracle, _minhash_pairs, connected_components  # noqa: E402
+
+
+@query(
+    "p04_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) p
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    ),
+    comp AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v),
+    unit AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+    ),
+    tagged AS (
+      SELECT doc_id, cluster,
+             CASE WHEN {_bucket_sql("CAST(cluster AS VARCHAR)")} < 900
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM unit
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster) AS n_clusters
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def p04(spark, sf_dir):
+    """Cluster-level 90/10 train-eval split: documents -> near-dup cluster
+    (d06's connected components; singletons are their own cluster) ->
+    md5-bucket the CLUSTER id -> every member of a duplicate group falls
+    on the same side by construction.  Scale shape: the only extra work
+    over a naive per-doc hash split is the pair graph + O(diameter)
+    label-propagation rounds, all bounded by the (tiny) near-dup relation;
+    the split itself stays a stateless per-row hash — reproducible across
+    runs and cluster sizes, no RNG state."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    unit = docs.join(comps, docs.doc_id == comps.v, "left").select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster")
+    )
+    split = F.when(
+        _bucket_spark(F.col("cluster").cast("string")) < 900, F.lit("train")
+    ).otherwise(F.lit("eval"))
+    return (
+        unit.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
