@@ -795,6 +795,9 @@ class SparqlParser:
     def _expr_list(self) -> list:
         self.expect("(")
         items = []
+        if self.peek() == ")":  # grammar [128]: ExpressionList may be NIL
+            self.next()
+            return items
         while True:
             items.append(self._expression())
             if self.peek() == ",":

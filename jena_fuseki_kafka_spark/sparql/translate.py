@@ -1095,6 +1095,8 @@ class Translator:
         if op == "neg":
             return -self._expr_value(expr.args[0], df, graph)
         if op in ("in", "notin"):
+            if not expr.args[1]:  # IN () is false, NOT IN () is true (§17.4.1.9)
+                return F.lit(op == "notin")
             left = self._expr_value(expr.args[0], df, graph)
             items = [self._expr_value(a, df, graph) for a in expr.args[1]]
             c = left.isin(*items)
@@ -1177,12 +1179,21 @@ class Translator:
                 return x >= y
             raise ValueError(op)
 
-        return (
+        result = (
             F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
             .when(at.isNotNull() & bt.isNotNull(), apply(at, bt))
             .when(an.isNull() & bn.isNull(), apply(a, b))
             # one numeric, one not: type error -> null
         )
+        if op != "==":
+            # §17.3 operand types: ORDERING comparisons are defined only
+            # between literals — <iri1> < <iri2> is a type error (equality
+            # stays allowed for any term via RDFterm-equal)
+            for raw in (a_raw, b_raw):
+                s = self._var_struct(raw, df)
+                if s is not None:
+                    result = F.when(s["kind"] == "literal", result)
+        return result
 
     def _cast_value(self, call: Call, df: DataFrame, graph) -> Column:
         """XPath constructor functions (SPARQL 1.1 §17.5): cast the value

@@ -1372,3 +1372,35 @@ class TestArithmeticDifferential:
             ), (text, expected, got)
             checked += 1
         assert checked >= 40
+
+
+class TestComparisonOperandTypes:
+    """§17.3: ordering comparisons are defined only between literals;
+    ExpressionList may be empty (grammar [128])."""
+
+    def test_iri_ordering_is_type_error(self, engine):
+        # every person pair would lexically compare — all rows must drop
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> SELECT ?a WHERE { "
+            "?a ex:knows ?x . ?b ex:knows ?y . FILTER(?x < ?y) }"
+        )
+        assert df.count() == 0
+
+    def test_iri_equality_still_allowed(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?a WHERE { ?a ex:knows ?x FILTER(?x = ex:bob) }"
+        )
+        assert [r["a"]["value"] for r in df.collect()] == [EX + "alice"]
+
+    def test_empty_expression_list(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n FILTER(?n NOT IN ()) }"
+        )
+        assert df.count() == 4
+        df2 = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?n WHERE { ?s ex:name ?n FILTER(?n IN ()) }"
+        )
+        assert df2.count() == 0
