@@ -1780,7 +1780,11 @@ class Translator:
             return None
         term = self._var_struct(expr.args[0], df)
         if expr.name == "sample":
-            return F.any_value(term, True)
+            # spec allows ANY group member; pick the lexicographically
+            # smallest value's term so results are deterministic across
+            # runs, partitionings, and cluster sizes (README conformance
+            # note) — any_value would be partition-order-dependent
+            return F.min_by(term, F.when(term.isNotNull(), term["value"]))
         if expr.name in ("min", "max"):
             v = term["value"]
             num = v.try_cast("double")
