@@ -1789,7 +1789,15 @@ class Translator:
             v = term["value"]
             num = v.try_cast("double")
             pad = float("inf") if expr.name == "min" else float("-inf")
-            key = F.struct(F.coalesce(num, F.lit(pad)).alias("n"), v.alias("s"))
+            # datatype/lang tiebreak makes the key TOTAL over terms: two
+            # distinct terms with one lexical ("1"^^xsd:int vs "1"^^xsd:byte)
+            # must not leave the winner partition-order-dependent
+            key = F.struct(
+                F.coalesce(num, F.lit(pad)).alias("n"),
+                v.alias("s"),
+                F.coalesce(term["datatype"], F.lit("")).alias("dt"),
+                F.coalesce(term["lang"], F.lit("")).alias("lg"),
+            )
             # aggregate over bound terms only: an all-unbound group stays
             # unbound, and unbound rows must not win min_by via null keys
             keyed = F.when(term.isNotNull(), key)
