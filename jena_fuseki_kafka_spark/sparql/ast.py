@@ -133,7 +133,11 @@ class AskQuery:
 class ConstructQuery:
     template: list = field(default_factory=list)  # [(s,p,o,g)]
     pattern: Any = None
+    group_by: list = field(default_factory=list)
+    having: Any = None
+    order_by: list = field(default_factory=list)
     limit: int | None = None
+    offset: int = 0
     dataset: tuple | None = None
 
 @dataclass

@@ -182,14 +182,22 @@ class SparqlParser:
             raise RdfParseError("sparql: empty query")
         tl = t.lower()
         if tl == "select":
-            return self._select()
-        if tl == "ask":
-            return self._ask()
-        if tl == "construct":
-            return self._construct()
-        if tl == "describe":
-            return self._describe()
-        raise RdfParseError(f"sparql: unsupported query form {t!r}")
+            q = self._select()
+        elif tl == "ask":
+            q = self._ask()
+        elif tl == "construct":
+            q = self._construct()
+        elif tl == "describe":
+            q = self._describe()
+        else:
+            raise RdfParseError(f"sparql: unsupported query form {t!r}")
+        if self.i < len(self.toks):
+            # trailing tokens mean part of the query was silently dropped
+            # (e.g. a modifier the form-specific parser didn't consume)
+            raise RdfParseError(
+                f"sparql: unexpected trailing input {self.toks[self.i]!r}"
+            )
+        return q
 
     # ------------------------------------------------------------ forms
     def _dataset_clause(self) -> tuple | None:
@@ -267,9 +275,7 @@ class SparqlParser:
                     self.next()
             self.expect("}")
             q = ConstructQuery(template=list(triples), pattern=BGP(triples), dataset=ds)
-            if self.peek_kw("limit"):
-                self.next()
-                q.limit = int(self.next())
+            self._solution_modifiers(q)
             return q
         self.expect("{")
         template: list = []
@@ -284,9 +290,7 @@ class SparqlParser:
         q = ConstructQuery(
             template=template, pattern=self._group_graph_pattern(), dataset=ds
         )
-        if self.peek_kw("limit"):
-            self.next()
-            q.limit = int(self.next())
+        self._solution_modifiers(q)
         return q
 
     def _describe(self) -> DescribeQuery:

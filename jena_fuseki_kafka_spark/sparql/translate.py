@@ -1529,26 +1529,8 @@ class Translator:
                     # aggregate order key materialized by _aggregate_select
                     c = F.col(f"__ord_{i}")
                     sort_cols.append(c.asc() if asc else c.desc())
-                elif isinstance(expr, Var) and expr.name in df.columns:
-                    # §15.1 total order across kinds: unbound < blank nodes
-                    # < IRIs < literals; then numeric-aware within literals
-                    # (numeric key first, nulls group non-numerics), lexical
-                    # key last
-                    c = F.col(expr.name)
-                    krank = (
-                        F.when(c.isNull(), 0)
-                        .when(c["kind"] == "bnode", 1)
-                        .when(c["kind"] == "iri", 2)
-                        .otherwise(3)
-                    )
-                    cnum = c["value"].try_cast("double")
-                    cstr = c["value"]
-                    sort_cols.append(krank.asc() if asc else krank.desc())
-                    sort_cols.append(cnum.asc_nulls_first() if asc else cnum.desc_nulls_last())
-                    sort_cols.append(cstr.asc() if asc else cstr.desc())
                 else:
-                    c = self._expr_value(expr, df, None)
-                    sort_cols.append(c.asc() if asc else c.desc())
+                    sort_cols.extend(self._sort_cols_for(expr, asc, df))
             df = df.orderBy(*sort_cols)
             df = df.drop(*[c for c in df.columns if c.startswith("__ord_")])
         if defer_project and q.projection:
@@ -1558,6 +1540,29 @@ class Translator:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
+
+    def _sort_cols_for(self, expr, asc: bool, df: DataFrame) -> list:
+        """ORDER BY keys for one expression.  For a variable: §15.1 total
+        order across kinds (unbound < blank nodes < IRIs < literals), then
+        numeric-aware within literals (numeric key first, nulls group
+        non-numerics), lexical key last."""
+        if isinstance(expr, Var) and expr.name in df.columns:
+            c = F.col(expr.name)
+            krank = (
+                F.when(c.isNull(), 0)
+                .when(c["kind"] == "bnode", 1)
+                .when(c["kind"] == "iri", 2)
+                .otherwise(3)
+            )
+            cnum = c["value"].try_cast("double")
+            cstr = c["value"]
+            return [
+                krank.asc() if asc else krank.desc(),
+                cnum.asc_nulls_first() if asc else cnum.desc_nulls_last(),
+                cstr.asc() if asc else cstr.desc(),
+            ]
+        c = self._expr_value(expr, df, None)
+        return [c.asc() if asc else c.desc()]
 
     def _rewrite_exists(self, node):
         """Filter(EXISTS{P}, G) -> semi-join(G, P); NOT EXISTS -> anti."""
@@ -1884,6 +1889,20 @@ class Translator:
     # ------------------------------------------------------------ construct
     def _construct(self, q: ConstructQuery) -> DataFrame:
         df = self._pattern(self._rewrite_exists(q.pattern), graph=None)
+        # solution modifiers apply to the SOLUTION SEQUENCE before the
+        # template projects it into triples (§16.2) — previously LIMIT was
+        # parsed but ignored and ORDER BY was trailing garbage
+        if getattr(q, "group_by", None) or getattr(q, "having", None) is not None:
+            raise RdfParseError("CONSTRUCT with GROUP BY/HAVING is not supported")
+        if q.order_by:
+            sort_cols = []
+            for expr, asc in q.order_by:
+                sort_cols.extend(self._sort_cols_for(expr, asc, df))
+            df = df.orderBy(*sort_cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
         # spec §10.2.1: a template bnode is instantiated fresh PER
         # SOLUTION — salt the label with a hash of the solution's bindings
         # so each solution gets its own node, consistent across the

@@ -1404,3 +1404,30 @@ class TestComparisonOperandTypes:
             "SELECT ?n WHERE { ?s ex:name ?n FILTER(?n IN ()) }"
         )
         assert df2.count() == 0
+
+
+class TestConstructModifiers:
+    """§16.2: solution modifiers apply to the solution sequence before
+    the CONSTRUCT template projects it; trailing tokens are a parse
+    error, never silently dropped."""
+
+    def test_construct_order_limit(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> "
+            "CONSTRUCT { ?s ex:top ?a } WHERE { ?s ex:age ?a } "
+            "ORDER BY DESC(?a) LIMIT 1"
+        )
+        rows = [(r.subject, r.object_value) for r in df.collect()]
+        assert rows == [(EX + "carol", "35")]
+
+    def test_construct_shorthand_limit(self, engine):
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> CONSTRUCT WHERE { ?s ex:age ?a } LIMIT 2"
+        )
+        assert len(df.collect()) == 2
+
+    def test_trailing_tokens_rejected(self, engine):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError, match="trailing"):
+            engine.query("SELECT ?s WHERE { ?s ?p ?o } SPURIOUS")
