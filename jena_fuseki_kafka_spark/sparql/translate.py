@@ -638,11 +638,61 @@ class Translator:
         return spark.createDataFrame(rows, self._binding_schema(variables))
 
     # ------------------------------------------------------------ BGP
+    @staticmethod
+    def _order_bgp(triples: list) -> list:
+        """Greedy selectivity-first, connectivity-preserving join order
+        (the classic variable-counting heuristic, cf. ARQ's reorder
+        transformations / Stocker et al.).  Syntactic order is a scale
+        hazard twice over: a pattern sharing no variable with the
+        accumulated join prefix degenerates into a CROSS join, and an
+        unselective first pattern (?s ?p ?o) makes every later join pay
+        for the full scan's cardinality.  Joining most-constant patterns
+        first and always preferring connected ones keeps intermediate
+        results small and cross-join-free whenever the BGP is connected.
+        BGP join is commutative/associative (§18.5 join of compatible
+        mappings), so the result set is unchanged."""
+
+        def vars_of(t):
+            # blank nodes in patterns are non-distinguished VARIABLES
+            # (_bnode_as_var): they carry joins, so they count for
+            # connectivity, not selectivity
+            out = set()
+            for term in (t[0], t[1], t[2], t[3]):
+                if term is not None and term[0] in ("var", "bnode"):
+                    out.add((term[0], term[1]))
+            return out
+
+        def const_count(t):
+            n = 0
+            for term in (t[0], t[1], t[2], t[3]):
+                if term is not None and term[0] not in ("var", "bnode"):
+                    n += 1
+            return n
+
+        remaining = list(triples)
+        ordered: list = []
+        bound: set = set()
+        while remaining:
+            best, best_key, best_idx = None, None, 0
+            for idx, t in enumerate(remaining):
+                v = vars_of(t)
+                connected = bool(v & bound) or not bound
+                # selectivity proxy: constants + already-bound vars act as
+                # filters; fewer fresh vars = smaller output.  Negative idx
+                # keeps the choice stable (syntactic order breaks ties).
+                key = (connected, const_count(t) + len(v & bound), -len(v - bound), -idx)
+                if best_key is None or key > best_key:
+                    best, best_key, best_idx = t, key, idx
+            ordered.append(best)
+            remaining.pop(best_idx)
+            bound |= vars_of(best)
+        return ordered
+
     def _bgp(self, node: BGP, graph) -> DataFrame:
         if not node.triples:
             return self.quads.sparkSession.range(1).select(F.lit(1).alias("__unit__"))
         df = None
-        for s, p, o, g in node.triples:
+        for s, p, o, g in self._order_bgp(node.triples):
             tp = self._triple_pattern(s, p, o, g if g is not None else graph)
             df = tp if df is None else self._join(df, tp)
         if "__unit__" in df.columns:

@@ -1431,3 +1431,37 @@ class TestConstructModifiers:
 
         with pytest.raises(RdfParseError, match="trailing"):
             engine.query("SELECT ?s WHERE { ?s ?p ?o } SPURIOUS")
+
+
+class TestBgpJoinOrder:
+    """The greedy variable-counting reorder must avoid cross joins for
+    connected BGPs written in hostile syntactic order, without changing
+    the result set."""
+
+    def test_disconnected_middle_pattern_no_cross_join(self, engine):
+        # syntactic order: (a) ?x knows ?y — (b) ?z age ?w (disconnected
+        # from a) — (c) ?y name ?n (connects a).  Naive left-to-right
+        # joins (a) x (b) as a CROSS join; the reorder keeps connected
+        # patterns adjacent so the only cross is the final one (if any).
+        df = engine.query(
+            "PREFIX ex: <http://example.org/> SELECT ?n ?w WHERE { "
+            "?x ex:knows ?y . ?z ex:age ?w . ?y ex:name ?n }"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the knows/name pair must join BEFORE the disconnected age
+        # pattern: exactly one cartesian in the tree, at the top
+        assert plan.count("Join Cross") <= 1
+        got = {(r["n"]["value"], r["w"]["value"]) for r in df.collect()}
+        # (Bob|Carol) x (30|25|35)
+        assert len(got) == 6
+
+    def test_selective_pattern_joins_first(self, engine):
+        from jena_fuseki_kafka_spark.sparql.translate import Translator
+
+        # constant-subject+predicate pattern must sort ahead of ?s ?p ?o
+        triples = [
+            (("var", "s"), ("var", "p"), ("var", "o"), None),
+            (("iri", EX + "alice"), ("iri", EX + "age"), ("var", "a"), None),
+        ]
+        ordered = Translator._order_bgp(triples)
+        assert ordered[0][0] == ("iri", EX + "alice")
