@@ -1379,11 +1379,14 @@ class Translator:
         if name == "concat":
             return F.concat(*[self._expr_value(a, df, graph).cast("string") for a in call.args])
         if name == "contains":
-            return argv(0).cast("string").contains(argv(1).cast("string"))
+            c = argv(0).cast("string").contains(argv(1).cast("string"))
+            return F.when(self._str_args_compat(call, df, graph), c)
         if name == "strstarts":
-            return argv(0).cast("string").startswith(argv(1).cast("string"))
+            c = argv(0).cast("string").startswith(argv(1).cast("string"))
+            return F.when(self._str_args_compat(call, df, graph), c)
         if name == "strends":
-            return argv(0).cast("string").endswith(argv(1).cast("string"))
+            c = argv(0).cast("string").endswith(argv(1).cast("string"))
+            return F.when(self._str_args_compat(call, df, graph), c)
         if name in ("strlang", "strdt"):
             # value-level fallback (the term-level case builds the struct)
             return argv(0).cast("string")
@@ -1403,14 +1406,16 @@ class Translator:
             # substring_index needs a Python-string delimiter, so build
             # from instr/substr (spec: no match -> "", empty delim -> "")
             a, b = argv(0).cast("string"), argv(1).cast("string")
-            return F.when(
+            r = F.when(
                 F.instr(a, b) > 0, a.substr(F.lit(1), F.instr(a, b) - 1)
             ).otherwise(F.lit(""))
+            return F.when(self._str_args_compat(call, df, graph), r)
         if name == "strafter":
             a, b = argv(0).cast("string"), argv(1).cast("string")
-            return F.when(
+            r = F.when(
                 F.instr(a, b) > 0, a.substr(F.instr(a, b) + F.length(b), F.length(a))
             ).otherwise(F.lit(""))
+            return F.when(self._str_args_compat(call, df, graph), r)
         if name == "replace":
             pat = call.args[1].value
             if len(call.args) > 3 and isinstance(call.args[3], Lit):
@@ -1478,6 +1483,17 @@ class Translator:
         if name in AGG_NAMES:
             raise ValueError(f"aggregate {name} outside of aggregation context")
         raise ValueError(f"unsupported function {name}")
+
+    def _str_args_compat(self, call: Call, df: DataFrame, graph) -> Column:
+        """§17.4.3.1 argument compatibility for the two-string functions
+        (CONTAINS/STRSTARTS/STRENDS/STRBEFORE/STRAFTER): the pair is
+        compatible iff the second argument is a simple/xsd:string literal
+        or both carry the SAME language tag — "chatter"@fr against
+        "chat"@en (or a plain first arg against a tagged second) is a
+        TYPE ERROR, not false."""
+        la = F.coalesce(self._expr_term(call.args[0], df, graph)["lang"], F.lit(""))
+        lb = F.coalesce(self._expr_term(call.args[1], df, graph)["lang"], F.lit(""))
+        return (lb == "") | (F.lower(la) == F.lower(lb))
 
     def _exists_col(self, expr: ExistsExpr, df: DataFrame, graph) -> Column:
         raise NotImplementedError("EXISTS must be handled at pattern level (Filter)")

@@ -1465,3 +1465,39 @@ class TestBgpJoinOrder:
         ]
         ordered = Translator._order_bgp(triples)
         assert ordered[0][0] == ("iri", EX + "alice")
+
+
+class TestStringArgumentCompatibility:
+    """§17.4.3.1: two-string functions require compatible arguments —
+    second arg simple/xsd:string, or both with the SAME language tag."""
+
+    def test_incompatible_langs_are_type_error(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        E = "http://e/"
+        rows = [
+            (DEFAULT_GRAPH, E + "a", E + "l", "literal", "chat", None, "en"),
+            (DEFAULT_GRAPH, E + "b", E + "l", "literal", "chatter", None, "fr"),
+            (DEFAULT_GRAPH, E + "c", E + "l", "literal", "chatty", None, None),
+        ]
+        eng = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = eng.query(
+            "SELECT ?x ?y WHERE { ?x <http://e/l> ?lx . ?y <http://e/l> ?ly . "
+            "FILTER(STRSTARTS(?ly, ?lx)) }"
+        )
+        pairs = sorted((r["x"]["value"], r["y"]["value"]) for r in df.collect())
+        # en/fr and simple-arg1/tagged-arg2 pairs are ERRORS and drop;
+        # only the same-term pairs survive
+        assert pairs == [(E + "a", E + "a"), (E + "b", E + "b"), (E + "c", E + "c")]
+
+    def test_strbefore_keeps_lang_on_compatible_args(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        eng = SparqlEngine(
+            spark.createDataFrame(
+                [(DEFAULT_GRAPH, "http://e/s", "http://e/p", "literal", "x", None, None)],
+                QUAD_SCHEMA,
+            )
+        )
+        r = eng.query('SELECT (STRBEFORE("abc"@en, "b"@en) AS ?r) WHERE { }').collect()[0]["r"]
+        assert (r["value"], r["lang"]) == ("a", "en")
