@@ -176,3 +176,29 @@ def st04(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "st05_streaming_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def st05(spark, sf_dir):
+    """Stream-static dimension enrichment — the canonical streaming ETL
+    join (events stream x customer dim) run as a REAL stream into the
+    gate.  The static side rides a broadcast hash join, so each
+    micro-batch enriches map-side with NO shuffle of the stream; at
+    100 TB/day the stream never repartitions for dimension lookups and
+    the dim table re-reads pick up slowly-changing updates between
+    micro-batches.  Oracle: the batch join+aggregate answer."""
+    stream = _stream_events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("segment").agg(F.count("*").alias("n_events"))
+    name = _run_to_table(agg, mode="complete")
+    return spark.table(name).orderBy("segment")
