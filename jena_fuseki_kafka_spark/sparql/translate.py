@@ -1705,13 +1705,20 @@ class Translator:
                 df = df.withColumn(g[2], self._expr_term(g[1], df, None))
                 group_cols.append(g[2])
             else:
-                raise ValueError("unsupported GROUP BY expression")
+                # bare GROUP BY (expr): group on a synthesized hidden key
+                gname = f"__grp_{len(group_cols)}"
+                df = df.withColumn(gname, self._expr_term(g, df, None))
+                group_cols.append(gname)
 
         agg_exprs = []
         post_select = []
         post_exprs: list[tuple[int, str, object]] = []  # slot, name, expr
         need_row_count = False
-        for name, expr in q.projection:
+        for pidx, (name, expr) in enumerate(q.projection):
+            # internal agg aliases must NOT derive from the projection
+            # name alone: Spark resolves case-insensitively, so ?m and
+            # ?M would both become __agg_m and collide
+            tag = f"__agg_{pidx}"
             if expr is None:
                 # §18.2.4: a plain projected variable must be a group key
                 if name not in group_cols:
@@ -1736,8 +1743,8 @@ class Translator:
                 # term-preserving aggregate: MIN/MAX/SAMPLE return the
                 # winning solution's ORIGINAL term (datatype/lang intact),
                 # and COUNT/SUM/AVG come back typed like ARQ returns them
-                agg_exprs.append(term_agg.alias(f"__agg_{name}"))
-                post_select.append(F.col(f"__agg_{name}").alias(name))
+                agg_exprs.append(term_agg.alias(tag))
+                post_select.append(F.col(tag).alias(name))
                 continue
             agg = self._agg_expr(expr, df)
             if (
@@ -1754,24 +1761,24 @@ class Translator:
                 lng = v.try_cast("long")
                 int_ok = F.bool_and(lng.isNotNull() | v.isNull())
                 sum_l = F.sum(lng)
-                agg_exprs.append(agg.alias(f"__agg_{name}"))
-                agg_exprs.append(int_ok.alias(f"__agg_{name}_int"))
-                agg_exprs.append(sum_l.alias(f"__agg_{name}_l"))
+                agg_exprs.append(agg.alias(tag))
+                agg_exprs.append(int_ok.alias(tag + "_int"))
+                agg_exprs.append(sum_l.alias(tag + "_l"))
                 if expr.name == "sum":
                     typed = F.when(
-                        F.col(f"__agg_{name}_int") & F.col(f"__agg_{name}_l").isNotNull(),
+                        F.col(tag + "_int") & F.col(tag + "_l").isNotNull(),
                         _term_struct(
                             F.lit("literal"),
-                            F.col(f"__agg_{name}_l").cast("string"),
+                            F.col(tag + "_l").cast("string"),
                             F.lit(XSD_INTEGER),
                         ),
                     ).otherwise(
-                        self._wrap_agg_result(F.col(f"__agg_{name}"), F.lit(XSD_DOUBLE))
+                        self._wrap_agg_result(F.col(tag), F.lit(XSD_DOUBLE))
                     )
                 else:
                     typed = self._wrap_agg_result(
-                        F.col(f"__agg_{name}"),
-                        F.when(F.col(f"__agg_{name}_int"), F.lit(XSD_DECIMAL)).otherwise(
+                        F.col(tag),
+                        F.when(F.col(tag + "_int"), F.lit(XSD_DECIMAL)).otherwise(
                             F.lit(XSD_DOUBLE)
                         ),
                     )
@@ -1787,8 +1794,8 @@ class Translator:
                     ).otherwise(typed)
                 post_select.append(typed.alias(name))
                 continue
-            agg_exprs.append(agg.alias(f"__agg_{name}"))
-            post_select.append(self._wrap_agg_result(F.col(f"__agg_{name}")).alias(name))
+            agg_exprs.append(agg.alias(tag))
+            post_select.append(self._wrap_agg_result(F.col(tag)).alias(name))
         if need_row_count:
             agg_exprs.append(F.count(F.lit(1)).alias("__nrows__"))
 
@@ -1903,7 +1910,11 @@ class Translator:
                 c = inner.try_cast("double")
                 return F.sum_distinct(c) if expr.distinct else F.sum(c)
             if expr.name == "avg":
-                return F.avg(inner.try_cast("double"))
+                c = inner.try_cast("double")
+                if expr.distinct:
+                    # Spark has no avg_distinct; Avg(D) = Sum(D)/Count(D)
+                    return F.try_divide(F.sum_distinct(c), F.count_distinct(c))
+                return F.avg(c)
             if expr.name in ("min", "max"):
                 # MIN/MAX order by VALUE (numeric when numeric — "9" < "10"),
                 # not by lexical form; min_by/max_by carries the winning

@@ -1501,3 +1501,39 @@ class TestStringArgumentCompatibility:
         )
         r = eng.query('SELECT (STRBEFORE("abc"@en, "b"@en) AS ?r) WHERE { }').collect()[0]["r"]
         assert (r["value"], r["lang"]) == ("a", "en")
+
+
+class TestAggregateEdges:
+    """AVG(DISTINCT), case-colliding aliases, bare GROUP BY expressions."""
+
+    @pytest.fixture(scope="class")
+    def geng(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        E = "http://e/"
+        rows = [
+            (DEFAULT_GRAPH, E + "a", E + "n", "literal", "2", XSD + "integer", None),
+            (DEFAULT_GRAPH, E + "b", E + "n", "literal", "2", XSD + "integer", None),
+            (DEFAULT_GRAPH, E + "c", E + "n", "literal", "4", XSD + "integer", None),
+            (DEFAULT_GRAPH, E + "a", E + "w", "literal", "xx", None, None),
+            (DEFAULT_GRAPH, E + "b", E + "w", "literal", "yy", None, None),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_avg_distinct(self, geng):
+        df = geng.query("SELECT (AVG(DISTINCT ?n) AS ?s) WHERE { ?x <http://e/n> ?n }")
+        assert float(df.collect()[0]["s"]["value"]) == 3.0
+
+    def test_case_colliding_aliases(self, geng):
+        # Spark resolves case-insensitively: ?m and ?M must not collide in
+        # the internal aggregate aliases
+        df = geng.query("SELECT (MIN(?w) AS ?m) (MAX(?w) AS ?M) WHERE { ?x <http://e/w> ?w }")
+        r = df.collect()[0]
+        assert (r["m"]["value"], r["M"]["value"]) == ("xx", "yy")
+
+    def test_bare_group_by_expression(self, geng):
+        df = geng.query(
+            "SELECT (COUNT(*) AS ?c) WHERE { ?x <http://e/n> ?n } GROUP BY (STR(?n))"
+        )
+        assert sorted(r["c"]["value"] for r in df.collect()) == ["1", "2"]
