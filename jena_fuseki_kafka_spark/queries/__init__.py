@@ -84,71 +84,58 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r6 window (first 50; d06/s06/r18 are new+unlisted -> sort ahead
-    # of everything here, taking 3 slots) ----
-    # TOUCHED THIS ROUND (translate.py value semantics/aggregates/ordering,
-    # update.py hints, store commit fast path, d02 refactor) -> re-verify:
-    "r01_sparql_acceptance_count",
-    "r17_minus_compat",
-    "u01_update_sequence",
-    "r11_describe_subject",
-    "r04_sparql_engine_group_by",
-    "r12_group_concat",
-    "r14_degree_histogram",
-    "r15_optional_unbound_compat",
-    "r16_from_named_dataset",
-    "r13_subselect",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r02_bgp_join_filter",
-    "r03_graph_quantification",
-    "d02_minhash_lsh",
-    # ---- last driver verdict r04 (2 rounds stale), code untouched ----
-    "q01_pricing_summary",
-    "s03b_embedding_near_dup_lowt",
-    "s03_embedding_near_dup",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "p01_stratified_sample",
-    "p02_curation_pipeline",
-    "p03_mixture_rebalance",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "d01_exact_dedup",
-    "d03_simhash",
-    "d04_ngram_jaccard_blocked",
-    "d05_decontamination",
-    "s01_ann_bruteforce_topk",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "t01_language_id",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t07_repetition_ratio",
-    # ---- window boundary ~here (3 new + 47 listed = 50) ----
-    # r4-green, code untouched; rotate back in r7 (91 queries / 50-slot
-    # window makes some staleness structural — stalest-first next round):
+    # ---- r7 window (first 50; new+unlisted queries sort ahead of all of
+    # these and take slots off the end of the window) ----
+    # r4-green, 2 rounds stale at the r6 check — MUST lead or they cross
+    # the "no verdict older than 2 rounds" boundary (VERDICT r6 item 3):
     "t08_pii_scrub",
     "t09_url_domain_stats",
     "t10_char_entropy",
     "q16_conditional_agg_case",
     "q23_funnel_signup_to_purchase",
     "q38_approx_percentile",
-    # ---- driver-green in r05 (1 round old), code untouched -> tail ----
-    "m01_image_features",
-    "m02_audio_features",
+    "t07_repetition_ratio",
+    # TOUCHED THIS ROUND (forced-broadcast removal per VERDICT r6 item 1,
+    # DESCRIBE frontier unhint item 3) -> re-verify:
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+    "q26_cohort_retention",
+    "d02_minhash_lsh",
+    "r11_describe_subject",
+    # TOUCHED THIS ROUND (widened oracle gates, VERDICT r6 item 6):
+    "r18_negated_property_set",
+    "p04_leakage_safe_split",
+    "u01_update_sequence",
+    # TOUCHED THIS ROUND (translate.py ADVICE fixes: ordering datatype
+    # gates, string-function unbound propagation, numeric result types,
+    # aggregate-projection validation) -> re-verify the SPARQL surface:
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    # TOUCHED THIS ROUND (connected-components convergence guard,
+    # d04 oversized-block MinHash fallback):
+    "d06_dedup_clusters",
+    "s06_embedding_dup_clusters",
+    "d04_ngram_jaccard_blocked",
+    # ---- r5-green, code untouched: 2 rounds stale after r7; front of the
+    # remaining window now, the rest lead the r8 window ----
+    "m01_image_features",
+    "m02_audio_features",
     "q04_forecast_revenue",
     "q05_order_priority_count",
     "q06_customers_without_orders",
@@ -160,16 +147,14 @@ _CHECK_PRIORITY = [
     "q12_subquery_above_avg",
     "q13_values_inline_join",
     "q14_window_top_order_per_cust",
+    # ---- window boundary ~here (50 incl. any new registrations) ----
     "q15_rollup_revenue",
     "q17_string_functions",
-    "q18_multi_join_part_supplier_stats",
-    "q19_disjunctive_predicate_join",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
     "q22_json_props_extract",
     "q24_exact_percentiles",
     "q25_cube_aggregation",
-    "q26_cohort_retention",
     "q27_sliding_window",
     "q28_set_operations",
     "q31_grouping_sets",
@@ -181,6 +166,33 @@ _CHECK_PRIORITY = [
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
     "s02_ann_lsh_bucketed",
+    # ---- r6-green, code untouched -> tail (1 round old) ----
+    "q01_pricing_summary",
+    "s03b_embedding_near_dup_lowt",
+    "s03_embedding_near_dup",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "st05_streaming_static_enrichment",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "p01_stratified_sample",
+    "p02_curation_pipeline",
+    "p03_mixture_rebalance",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d05_decontamination",
+    "s01_ann_bruteforce_topk",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "t01_language_id",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
 ]
 
 

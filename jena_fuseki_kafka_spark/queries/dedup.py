@@ -221,17 +221,24 @@ def _minhash_pairs(spark, sf_dir):
     )
 
     sizes = minhashes.select("doc_id", "n")
-    # verification touches only candidate docs: broadcast semi-joins prune
-    # the shingle relation map-side before any shuffle, so the verify join
-    # moves |candidate docs| x |their shingles|, never the whole corpus
-    docs_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
-    docs_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
-    sa = shingles.join(F.broadcast(docs_a), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_a"), "sh"
+    # verification touches only candidate docs: ONE semi-join prunes the
+    # shingle relation to candidate docs before the verify join, so it
+    # moves |candidate docs| x |their shingles|, never the whole corpus.
+    # The candidate doc-id set scales with the corpus dup rate, so it
+    # carries no broadcast hint — AQE broadcasts it while it fits (making
+    # the prune a map-side filter with zero shingle shuffle) and falls
+    # back to a shuffled semi-join on a high-dup 100 TB corpus where the
+    # set is multi-GB and a forced broadcast would OOM.  The pruned result
+    # is persisted: it feeds both sides of the intersection join.
+    cands = cands.persist()
+    docs_needed = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sb = shingles.join(F.broadcast(docs_b), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_b"), "sh"
-    )
+    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
+    sa = s_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = s_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         cands.join(sa, "doc_a")
         .join(sb, ["doc_b", "sh"])
@@ -308,7 +315,15 @@ def connected_components(pairs, max_rounds: int = 50):
     """HashMin label propagation over an undirected pair list
     (columns doc_a, doc_b) -> (v, comp) with comp = min node id in the
     component.  O(diameter) rounds, each one |edges|-bounded shuffle;
-    localCheckpoint truncates the per-round lineage."""
+    localCheckpoint truncates the per-round lineage.
+
+    Raises if the loop hits ``max_rounds`` before converging: partial
+    labels would silently split components — d06/s06 would emit wrong
+    clusters and p04 a LEAKY train/test split with no signal.  max_rounds
+    bounds component DIAMETER, not size: 50 covers any near-dup cluster
+    shape (LSH clusters are near-cliques, diameter 1-2); a graph that
+    trips it has a path >50 hops long and needs the big-step variant
+    (large-star/small-star), not a silent partial answer."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -340,8 +355,12 @@ def connected_components(pairs, max_rounds: int = 50):
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds "
+        f"({changed} labels still changing) — refusing to return partial "
+        f"(wrong) cluster labels"
+    )
 
 
 # ---------------------------------------------------------------- d03 simhash

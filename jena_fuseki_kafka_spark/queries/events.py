@@ -162,14 +162,16 @@ def q23(spark, sf_dir):
 def q26(spark, sf_dir):
     """Cohort retention: users bucketed by first-activity day; per
     (cohort_day, day_offset) distinct active users.  The cohort map is a
-    per-user aggregate broadcast back onto the fact table — the standard
-    retention-triangle shape; at 100 TB the cohort side is users (small)
-    and the fact side never shuffles twice."""
+    per-user aggregate joined back onto the fact table — the standard
+    retention-triangle shape.  The cohort side scales with the user count,
+    so it carries no broadcast hint: AQE broadcasts it at small SF and
+    shuffles on user_id at 100 TB, where both sides hash-partition on the
+    same key so the join and the preceding groupBy share one exchange."""
     ev = load(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(cohorts), "user_id")
+        ev.join(cohorts, "user_id")
         .select(
             "user_id",
             "cohort_day",

@@ -12,9 +12,14 @@ Determinism notes (the driver value-hashes results):
 - every ORDER BY carries a unique tiebreaker before any LIMIT.
 
 Scale notes: filters are expressed on scan columns so they push into
-parquet; small dimensions (region/nation/supplier/part at TPC-H ratios) are
-explicitly broadcast; aggregates are partial-agg friendly (no distinct-heavy
-shapes except where the operator itself is DISTINCT).
+parquet; only provably constant-size inputs (region, nation, VALUES inline
+tables, 1-row scalar aggregates) carry explicit ``F.broadcast`` hints —
+SF-scaled relations (customer/supplier/part) are left unhinted so AQE picks
+broadcast-vs-shuffle from actual runtime sizes: at sf0.1 the physical plan is
+identical (AQE still broadcasts them), while at the 100 TB design point a
+forced broadcast of an SF-scaled table would collect an unbounded build side
+on every executor and OOM.  Aggregates are partial-agg friendly (no
+distinct-heavy shapes except where the operator itself is DISTINCT).
 """
 
 from __future__ import annotations
@@ -83,7 +88,8 @@ def q01(spark, sf_dir):
 )
 def q02(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + agg + top-k (SPARQL: BGP join chain +
-    ORDER/LIMIT). customer is the small side -> broadcast."""
+    ORDER/LIMIT). customer is SF-scaled, so no forced broadcast — AQE
+    chooses broadcast at small SF and shuffle at scale."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
@@ -93,7 +99,7 @@ def q02(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -120,8 +126,10 @@ def q02(spark, sf_dir):
     """,
 )
 def q03(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way snowflake join (SPARQL: star BGP).  All
-    dimension tables broadcast; only orders|><|lineitem shuffles."""
+    """TPC-H Q5 shape: 6-way snowflake join (SPARQL: star BGP).  Only the
+    constant-size dims (nation: 25 rows, region: 5 rows) carry broadcast
+    hints; customer/supplier are SF-scaled, so AQE picks their join
+    strategy from runtime sizes."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
@@ -133,11 +141,8 @@ def q03(spark, sf_dir):
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -511,14 +516,15 @@ def q17(spark, sf_dir):
     """,
 )
 def q18(spark, sf_dir):
-    """Fact-to-two-dimensions star join; both dims broadcast so the fact
-    table never shuffles before aggregation."""
+    """Fact-to-two-dimensions star join.  part/supplier are SF-scaled, so
+    no forced broadcast: AQE broadcasts them at small SF (fact table never
+    shuffles pre-aggregation) and falls back to shuffle joins at scale."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = load(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), "total_qty"))
         .filter(F.col("n_items") >= 5)
@@ -541,7 +547,7 @@ def q18(spark, sf_dir):
 def q19(spark, sf_dir):
     """TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicate spanning
     both join sides.  The part-only disjuncts (brand/size) are replicated as
-    a pre-join filter so the broadcast side shrinks before the join and the
+    a pre-join filter so the build side shrinks before the join and the
     scan prunes; the mixed lineitem+part residual evaluates post-join inside
     whole-stage codegen — the standard Q19 rewrite Catalyst can't derive
     itself because the OR spans relations."""
@@ -559,7 +565,7 @@ def q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part_side), li.l_partkey == part_side.p_partkey)
+        li.join(part_side, li.l_partkey == part_side.p_partkey)
         .filter(residual)
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),

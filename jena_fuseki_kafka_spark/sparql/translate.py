@@ -216,7 +216,11 @@ class Translator:
         so a hub resource with a huge bnode tree scales with the cluster,
         not the driver.  ``seen`` is seeded with the described nodes
         themselves, so a bnode that is both described directly and reachable
-        from the frontier is expanded exactly once (no duplicate quads)."""
+        from the frontier is expanded exactly once (no duplicate quads).
+        The per-level frontier semi-joins carry NO broadcast hint: a hub
+        resource with a very wide bnode level would make a forced broadcast
+        an unbounded build side; AQE broadcasts the (usually tiny) frontier
+        from its actual runtime size and shuffles only when it must."""
         iris = [t[1] for t in q.terms if t[0] == "iri"]
         variables = [t[1] for t in q.terms if t[0] == "var"]
         spark = self.quads.sparkSession
@@ -240,7 +244,7 @@ class Translator:
             return self.quads.limit(0)
         nodes = ckpt(nodes)
         result = self.quads.join(
-            F.broadcast(nodes), self.quads["subject"] == nodes["node"], "left_semi"
+            nodes, self.quads["subject"] == nodes["node"], "left_semi"
         )
         seen = nodes  # described nodes are already expanded by `result`
         frontier_src = result
@@ -255,7 +259,7 @@ class Translator:
                 break
             seen = ckpt(seen.unionByName(fresh))
             add = self.quads.join(
-                F.broadcast(fresh), self.quads["subject"] == fresh["node"], "left_semi"
+                fresh, self.quads["subject"] == fresh["node"], "left_semi"
             )
             result = result.unionByName(add)
             frontier_src = add
@@ -978,11 +982,13 @@ class Translator:
         if isinstance(expr, Call) and expr.name == "bnode":
             return _term_struct(F.lit("bnode"), self._expr_value(expr, df, graph))
         if isinstance(expr, Call) and expr.name == "strlang":
-            return _term_struct(
-                F.lit("literal"),
-                self._expr_value(expr.args[0], df, graph).cast("string"),
-                F.lit(""),
-                self._expr_value(expr.args[1], df, graph).cast("string"),
+            slv = self._expr_value(expr.args[0], df, graph).cast("string")
+            slt = self._expr_value(expr.args[1], df, graph).cast("string")
+            # unbound/error argument -> unbound result (null struct), never
+            # a literal struct with a null value (BOUND() would lie)
+            return F.when(
+                slv.isNotNull() & slt.isNotNull(),
+                _term_struct(F.lit("literal"), slv, F.lit(""), slt),
             )
         if isinstance(expr, Call) and expr.name.startswith(XSD):
             # XPath constructor (§17.5): cast + retag with the target type.
@@ -995,31 +1001,43 @@ class Translator:
                 _term_struct(F.lit("literal"), cast, F.lit(expr.name)),
             )
         if isinstance(expr, Call) and expr.name == "strdt":
-            return _term_struct(
-                F.lit("literal"),
-                self._expr_value(expr.args[0], df, graph).cast("string"),
-                self._expr_value(expr.args[1], df, graph).cast("string"),
+            sdv = self._expr_value(expr.args[0], df, graph).cast("string")
+            sdt = self._expr_value(expr.args[1], df, graph).cast("string")
+            return F.when(
+                sdv.isNotNull() & sdt.isNotNull(),
+                _term_struct(F.lit("literal"), sdv, sdt),
             )
         if isinstance(expr, Call) and expr.name in (
             "ucase", "lcase", "substr", "replace",
         ):
             # §17.4.3 string functions return "a string literal of the same
             # kind" as their first argument: UCASE("foo"@en) is "FOO"@en,
-            # SUBSTR of an xsd:string stays xsd:string
+            # SUBSTR of an xsd:string stays xsd:string.  A null value (an
+            # unbound/error argument) stays UNBOUND — null struct, not a
+            # literal struct with a null value (same convention as
+            # _wrap_agg_result: BOUND()/COUNT() must see the error).
             val = self._call_value(expr, df, graph).cast("string")
             src = self._expr_term(expr.args[0], df, graph)
-            return _term_struct(F.lit("literal"), val, src["datatype"], src["lang"])
+            return F.when(
+                val.isNotNull(),
+                _term_struct(F.lit("literal"), val, src["datatype"], src["lang"]),
+            )
         if isinstance(expr, Call) and expr.name in ("strbefore", "strafter"):
-            # same-kind result on a match; a no-match returns the EMPTY
-            # SIMPLE literal regardless of the first argument's kind
+            # same-kind result on a match (an empty second argument counts
+            # as a match at the boundary: STRBEFORE("abc"@en, "") is ""@en,
+            # §17.4.3.4); a no-match returns the EMPTY SIMPLE literal.  A
+            # null value — unbound argument or §17.4.3.1 incompatible pair,
+            # which _call_value nulls via _str_args_compat — stays UNBOUND
+            # (null struct), never the empty-literal fallback.
             val = self._call_value(expr, df, graph).cast("string")
             src = self._expr_term(expr.args[0], df, graph)
             a = self._expr_value(expr.args[0], df, graph).cast("string")
             b = self._expr_value(expr.args[1], df, graph).cast("string")
-            matched = F.instr(a, b) > 0
+            matched = (F.instr(a, b) > 0) | (F.length(b) == 0)
             return F.when(
-                matched, _term_struct(F.lit("literal"), val, src["datatype"], src["lang"])
-            ).otherwise(_term_struct(F.lit("literal"), F.lit("")))
+                val.isNotNull() & matched,
+                _term_struct(F.lit("literal"), val, src["datatype"], src["lang"]),
+            ).when(val.isNotNull(), _term_struct(F.lit("literal"), F.lit("")))
         if isinstance(expr, Call) and expr.name == "concat":
             # CONCAT keeps the language tag (or xsd:string typing) only if
             # ALL arguments carry the same one; otherwise a simple literal
@@ -1032,7 +1050,10 @@ class Translator:
                 same_dt = reduce(lambda a_, b_: a_ & b_, [d == dts[0] for d in dts[1:]], F.lit(True))
                 lang = F.when(same_lang, langs[0]).otherwise(F.lit(""))
                 dt = F.when(same_dt & (dts[0] == XSD_STRING), F.lit(XSD_STRING)).otherwise(F.lit(""))
-                return _term_struct(F.lit("literal"), val, dt, lang)
+                # any unbound argument nulls F.concat -> result stays unbound
+                return F.when(
+                    val.isNotNull(), _term_struct(F.lit("literal"), val, dt, lang)
+                )
             return _term_struct(F.lit("literal"), val)
         if isinstance(expr, Call) and expr.name == "coalesce":
             return F.coalesce(*[self._expr_term(a, df, graph) for a in expr.args])
@@ -1055,7 +1076,16 @@ class Translator:
                     ia.isNotNull() & ib.isNotNull(), F.lit(XSD_DECIMAL)
                 ).otherwise(F.lit(XSD_DOUBLE))
             else:
-                div_dt = F.lit(XSD_DOUBLE)
+                # §17.3 promotion for +,-,*: decimal op decimal stays
+                # decimal — only a double/float operand (or an untyped one)
+                # promotes the result to xsd:double
+                dec_family = (XSD_INTEGER, XSD_DECIMAL, XSD + "int", XSD + "long")
+                dts_ = [
+                    F.coalesce(self._expr_term(a, df, graph)["datatype"], F.lit(""))
+                    for a in expr.args
+                ]
+                all_dec = reduce(lambda x, y: x & y, [d.isin(*dec_family) for d in dts_])
+                div_dt = F.when(all_dec, F.lit(XSD_DECIMAL)).otherwise(F.lit(XSD_DOUBLE))
             return (
                 F.when(
                     iv.isNotNull(),
@@ -1066,10 +1096,20 @@ class Translator:
                 )
             )
         if isinstance(expr, Call) and expr.name in ("abs", "ceil", "floor", "round"):
-            # XPath fn:abs &c. return the argument's type: integer in,
-            # integer out ("2", not "2.0"); fn:round ties go toward +INF
+            # XPath fn:abs &c. return the ARGUMENT's type: integer in,
+            # integer out ("2", not "2.0"), xsd:double in, xsd:double out —
+            # never a blanket xsd:decimal; fn:round ties go toward +INF
             v = self._expr_value(expr.args[0], df, graph).cast("string")
             ai, ad = v.try_cast("long"), v.try_cast("double")
+            src_dt = F.coalesce(
+                self._expr_term(expr.args[0], df, graph)["datatype"], F.lit("")
+            )
+            int_dt = F.when(src_dt.isin(*NUMERIC_TYPES), src_dt).otherwise(
+                F.lit(XSD_INTEGER)
+            )
+            dec_dt = F.when(
+                src_dt.isin(XSD_DOUBLE, XSD + "float"), src_dt
+            ).otherwise(F.lit(XSD_DECIMAL))
             fns = {
                 "abs": (F.abs, F.abs),
                 "ceil": (lambda c: c, lambda c: F.ceil(c).cast("double")),
@@ -1080,10 +1120,10 @@ class Translator:
             return (
                 F.when(
                     ai.isNotNull(),
-                    _term_struct(F.lit("literal"), fi(ai).cast("string"), F.lit(XSD_INTEGER)),
+                    _term_struct(F.lit("literal"), fi(ai).cast("string"), int_dt),
                 ).when(
                     ad.isNotNull(),
-                    _term_struct(F.lit("literal"), fd(ad).cast("string"), F.lit(XSD_DECIMAL)),
+                    _term_struct(F.lit("literal"), fd(ad).cast("string"), dec_dt),
                 )
             )
         # generic: compute a plain value and wrap it as a literal
@@ -1211,10 +1251,26 @@ class Translator:
         a = self._expr_value(a_raw, df, graph).cast("string")
         b = self._expr_value(b_raw, df, graph).cast("string")
         an, bn = a.try_cast("double"), b.try_cast("double")
+
         # dateTime/date comparison is on the timeline, not the lexical —
-        # "…T12:00:00+02:00" equals "…T11:00:00Z" (§17.3 op:dateTime-*);
-        # non-numeric strings that cast to timestamps take this lane
-        at, bt = a.try_cast("timestamp"), b.try_cast("timestamp")
+        # "…T12:00:00+02:00" equals "…T11:00:00Z" (§17.3 op:dateTime-*).
+        # The lane is gated on the operand's DATATYPE (as the = path is):
+        # Spark's lenient string->timestamp cast would otherwise pull two
+        # simple literals like "2024-02-01" vs "2024-1-3" onto the
+        # timeline, inverting the §17.3 fn:compare codepoint ordering of
+        # plain/xsd:string literals.
+        def temporal_ok(raw) -> Column:
+            s = self._var_struct(raw, df)
+            if s is not None:
+                return s["datatype"].isin(XSD_DATETIME, XSD_DATE)
+            if isinstance(raw, Lit):
+                return F.lit(raw.datatype in (XSD_DATETIME, XSD_DATE))
+            if isinstance(raw, Call) and raw.name in (XSD_DATETIME, XSD_DATE, "now"):
+                return F.lit(True)
+            return F.lit(False)
+
+        at = F.when(temporal_ok(a_raw), a).try_cast("timestamp")
+        bt = F.when(temporal_ok(b_raw), b).try_cast("timestamp")
 
         def apply(x, y):
             if op == "==":
@@ -1232,8 +1288,8 @@ class Translator:
         result = (
             F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
             .when(at.isNotNull() & bt.isNotNull(), apply(at, bt))
-            .when(an.isNull() & bn.isNull(), apply(a, b))
-            # one numeric, one not: type error -> null
+            .when(an.isNull() & bn.isNull() & at.isNull() & bt.isNull(), apply(a, b))
+            # one numeric one not, or one temporal one not: type error -> null
         )
         if op != "==":
             # §17.3 operand types: ORDERING comparisons are defined only
@@ -1709,6 +1765,18 @@ class Translator:
                 gname = f"__grp_{len(group_cols)}"
                 df = df.withColumn(gname, self._expr_term(g, df, None))
                 group_cols.append(gname)
+
+        # §18.2.4.4: (expr AS ?v) must introduce a FRESH variable — not a
+        # group key, not an earlier AS target.  Same check as the
+        # non-aggregate _select path: without it SELECT ?x (SUM(?n) AS ?x)
+        # ... GROUP BY ?x silently yields two columns named x.
+        seen_names = set(group_cols)
+        for name, expr in q.projection:
+            if expr is not None and name in seen_names:
+                raise RdfParseError(
+                    f"SELECT expression reuses in-scope variable ?{name}"
+                )
+            seen_names.add(name)
 
         agg_exprs = []
         post_select = []

@@ -22,6 +22,18 @@ def plan(spark, name: str) -> str:
     )
 
 
+def optimized_plan(spark, name: str) -> str:
+    """Optimized LOGICAL plan — explicit F.broadcast hints survive here as
+    ``leftHint=/rightHint=(strategy=broadcast)`` annotations on Join nodes,
+    whereas the physical plan can't distinguish a forced broadcast from one
+    Catalyst/AQE chose from sizes."""
+    return QUERIES[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def hint_count(spark, name: str) -> int:
+    return len(re.findall(r"strategy=broadcast", optimized_plan(spark, name)))
+
+
 class TestPushdown:
     def test_q01_shipdate_filter_pushed_to_scan(self, spark):
         p = plan(spark, "q01_pricing_summary")
@@ -46,11 +58,36 @@ class TestJoinStrategy:
          "q19_disjunctive_predicate_join"],
     )
     def test_dimension_joins_broadcast(self, spark, name):
+        # at small SF Catalyst/AQE must still pick broadcast from actual
+        # sizes (no hint needed) — the fact table never shuffles here
         p = plan(spark, name)
         assert "BroadcastHashJoin" in p, p
-        # the fact table must not shuffle for the join itself:
-        # every SortMergeJoin would imply a lineitem exchange
-        assert "SortMergeJoin" not in p, p
+
+    @pytest.mark.parametrize(
+        ("name", "allowed_hints"),
+        [
+            # q03 hints exactly its two constant-size dims: nation (25
+            # rows), region (5 rows).  customer/supplier are SF-scaled and
+            # MUST NOT carry a forced-broadcast hint — a hint overrides
+            # Spark's size check, so at 100 TB it would collect an
+            # unbounded build side and OOM.  AQE still broadcasts them at
+            # small SF from runtime sizes.
+            ("q03_local_supplier_volume", 2),
+            ("q02_top_revenue_orders", 0),
+            ("q18_multi_join_part_supplier_stats", 0),
+            ("q19_disjunctive_predicate_join", 0),
+            ("q26_cohort_retention", 0),
+            ("d02_minhash_lsh", 0),
+            ("r11_describe_subject", 0),
+        ],
+    )
+    def test_no_forced_broadcast_of_scaled_tables(self, spark, name, allowed_hints):
+        n = hint_count(spark, name)
+        assert n == allowed_hints, (
+            f"{name}: {n} ResolvedHint nodes in optimized plan, expected "
+            f"{allowed_hints} (broadcast hints allowed only on provably "
+            f"constant-size inputs)\n{optimized_plan(spark, name)}"
+        )
 
     def test_d03_candidate_join_is_equi(self, spark):
         # rotation-table candidates must ride an equi-join on (table, key);

@@ -1537,3 +1537,133 @@ class TestAggregateEdges:
             "SELECT (COUNT(*) AS ?c) WHERE { ?x <http://e/n> ?n } GROUP BY (STR(?n))"
         )
         assert sorted(r["c"]["value"] for r in df.collect()) == ["1", "2"]
+
+
+class TestValueSemanticsR7:
+    """Round-7 ADVICE fixes: datatype-gated temporal ordering, unbound
+    propagation through term-level string functions, argument-typed
+    numeric function results, aggregate projection-alias validation."""
+
+    @pytest.fixture(scope="class")
+    def veng7(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        E = "http://e/"
+        rows = [
+            # simple literals that Spark's lenient cast would read as dates
+            (DEFAULT_GRAPH, E + "a", E + "v", "literal", "2024-02-01", None, None),
+            (DEFAULT_GRAPH, E + "b", E + "v", "literal", "2024-1-3", None, None),
+            # a real typed dateTime
+            (DEFAULT_GRAPH, E + "c", E + "d", "literal",
+             "2024-06-01T00:00:00", XSD + "dateTime", None),
+            (DEFAULT_GRAPH, E + "d", E + "d", "literal",
+             "2024-06-01T02:00:00+02:00", XSD + "dateTime", None),
+            # tagged strings + a subject with no extra property (for OPTIONAL)
+            (DEFAULT_GRAPH, E + "x", E + "s", "literal", "abc", None, "en"),
+            (DEFAULT_GRAPH, E + "x", E + "t", "literal", "b", None, "fr"),
+            (DEFAULT_GRAPH, E + "y", E + "s", "literal", "xyz", None, None),
+        ]
+        return SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def test_simple_literal_ordering_is_codepoint_not_timeline(self, veng7):
+        # "2024-02-01" < "2024-1-3" by codepoint ('0' < '1'); the timeline
+        # would invert it (Feb 1 > Jan 3).  The timestamp lane must be
+        # gated on the xsd:dateTime/xsd:date datatype.
+        df = veng7.query(
+            "SELECT ?x WHERE { ?x <http://e/v> ?v . "
+            'FILTER(?v < "2024-1-3") }'
+        )
+        assert [r["x"]["value"] for r in df.collect()] == ["http://e/a"]
+
+    def test_typed_datetimes_still_compare_on_timeline(self, veng7):
+        # +02:00 normalizes to equal instants: d is NOT strictly later
+        df = veng7.query(
+            "SELECT ?x WHERE { ?x <http://e/d> ?t . "
+            'FILTER(?t > "2024-06-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) }'
+        )
+        assert [r["x"]["value"] for r in df.collect()] == []
+
+    def test_plain_vs_datetime_ordering_is_type_error(self, veng7):
+        # a plain literal against an xsd:dateTime must DROP (type error),
+        # not silently compare on either lane
+        df = veng7.query(
+            "SELECT ?x WHERE { ?x <http://e/v> ?v . "
+            'FILTER(?v < "2025-01-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) }'
+        )
+        assert df.count() == 0
+
+    def test_string_function_type_error_stays_unbound(self, veng7):
+        # STRBEFORE("abc"@en, "b"@fr) is a §17.4.3.1 type error: the
+        # result must be UNBOUND (BOUND false), never the empty literal
+        df = veng7.query(
+            "SELECT ?r WHERE { <http://e/x> <http://e/s> ?a . "
+            "<http://e/x> <http://e/t> ?b . BIND(STRBEFORE(?a, ?b) AS ?r) }"
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["r"] is None
+
+    def test_ucase_of_unbound_stays_unbound(self, veng7):
+        # OPTIONAL leaves ?t unbound for e/y; UCASE(?t) must stay unbound
+        # so COUNT(?u) sees 1, not 2
+        df = veng7.query(
+            "SELECT (COUNT(?u) AS ?c) WHERE { ?x <http://e/s> ?s . "
+            "OPTIONAL { ?x <http://e/t> ?t } BIND(UCASE(?t) AS ?u) }"
+        )
+        assert df.collect()[0]["c"]["value"] == "1"
+
+    def test_strbefore_empty_delimiter_keeps_kind(self, veng7):
+        # STRBEFORE("abc"@en, "") is ""@en (empty arg matches, kind kept)
+        r = veng7.query(
+            'SELECT (STRBEFORE("abc"@en, "") AS ?r) WHERE { }'
+        ).collect()[0]["r"]
+        assert (r["value"], r["lang"]) == ("", "en")
+
+    def test_abs_returns_argument_type(self, veng7):
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        r = veng7.query(
+            f'SELECT (ABS("-1.5"^^<{XSD}double>) AS ?r) WHERE {{ }}'
+        ).collect()[0]["r"]
+        assert r["datatype"] == XSD + "double"
+        assert float(r["value"]) == 1.5
+
+    def test_decimal_arithmetic_stays_decimal(self, veng7):
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        r = veng7.query(
+            "SELECT (1.5 + 2.25 AS ?r) WHERE { }"
+        ).collect()[0]["r"]
+        assert r["datatype"] == XSD + "decimal"
+        assert float(r["value"]) == 3.75
+        r2 = veng7.query(
+            "SELECT (1.5 + 2.5e0 AS ?r) WHERE { }"
+        ).collect()[0]["r"]
+        assert r2["datatype"] == XSD + "double"
+
+    def test_aggregate_projection_alias_collision_rejected(self, veng7):
+        from jena_fuseki_kafka_spark.model import RdfParseError
+
+        with pytest.raises(RdfParseError):
+            veng7.query(
+                "SELECT ?x (COUNT(*) AS ?x) WHERE { ?x <http://e/v> ?v } GROUP BY ?x"
+            )
+
+
+class TestConnectedComponentsGuard:
+    def test_nonconvergence_raises_instead_of_partial_labels(self, spark):
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        # a 6-node path graph needs ~5 HashMin rounds; cap at 2 -> raise
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=2)
+
+    def test_path_graph_converges_to_single_component(self, spark):
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+        )
+        out = connected_components(pairs, max_rounds=50).collect()
+        assert {r["comp"] for r in out} == {0} and len(out) == 6
