@@ -14,9 +14,10 @@ Scale notes:
   values, so expected block size is n/65536 *per table* and the candidate
   join is a bounded equi-join, never all-pairs within one coarse prefix.
 - n-gram Jaccard blocks on (lang, length-bucket) with a hard block-size
-  cap: oversized blocks are excluded from pair generation (at production
-  scale those route through the MinHash path, which is linear in docs),
-  so the pair space is provably <= cap^2 per block.
+  cap: small blocks get exhaustive all-pairs (provably <= cap^2 per
+  block); over-cap blocks route through the MinHash band-bucket candidate
+  path (linear in docs) restricted to same-block candidates, then rejoin
+  the shared exact verify stage — no document is silently dropped.
 - Exact dedup is one hash aggregate on a normalized content hash.
 """
 
@@ -116,18 +117,61 @@ def _minhash_params(seed: int) -> tuple[int, int]:
     return (2 * seed + 1, (seed * 2654435761) % _MINHASH_P)
 
 
-def _minhash_oracle() -> str:
-    base = "(sh & 1073741823)"
-    mins = ",\n             ".join(
+# Shared minhash/banding building blocks — used by d02 (corpus-wide LSH) and
+# d04's oversized-block fallback (LSH within over-cap blocking keys), in both
+# the Spark and oracle-SQL renderings so the two engines stay byte-identical.
+def _minhash_min_cols():
+    """16 minhash aggregate columns over an ``h`` (masked 30-bit) column."""
+    return [
+        F.min(
+            (F.lit(_minhash_params(seed)[0]) * F.col("h") + F.lit(_minhash_params(seed)[1]))
+            % F.lit(_MINHASH_P)
+        ).alias(f"m{seed}")
+        for seed in range(N_HASHES)
+    ]
+
+
+def _band_cols():
+    """4 band-hash columns (md5 over 4 comma-joined minhash lanes)."""
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)],
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def _band_explode(banded, *keep):
+    """band columns -> (doc_id, *keep, bi, bh) rows for ONE bucket equi-join."""
+    return banded.select(
+        "doc_id",
+        *keep,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("bi", "bh"),
+    )
+
+
+def _minhash_mins_sql(base: str = "(sh & 1073741823)") -> str:
+    return ",\n             ".join(
         "MIN(({a} * {h} + {b}) % {p}) AS m{s}".format(
             a=_minhash_params(seed)[0], b=_minhash_params(seed)[1], h=base, p=_MINHASH_P, s=seed
         )
         for seed in range(N_HASHES)
     )
-    bands = ",\n             ".join(
+
+
+def _minhash_bands_sql() -> str:
+    return ",\n             ".join(
         "md5(" + " || ',' || ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
         for b in range(N_BANDS)
     )
+
+
+def _minhash_oracle() -> str:
+    mins = _minhash_mins_sql()
+    bands = _minhash_bands_sql()
     band_union = "\n      UNION\n".join(
         f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         f"      FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
@@ -184,33 +228,13 @@ def _minhash_pairs(spark, sf_dir):
     # one aggregation pass produces all 16 minhashes AND the shingle-set
     # size (saves a second scan+shuffle of the shingle relation)
     minhashes = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.min(
-                (F.lit(_minhash_params(seed)[0]) * F.col("h") + F.lit(_minhash_params(seed)[1]))
-                % F.lit(_MINHASH_P)
-            ).alias(f"m{seed}")
-            for seed in range(N_HASHES)
-        ],
+        F.count("*").alias("n"), *_minhash_min_cols()
     ).persist()
-    banded = minhashes.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-                ).cast("binary")
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    banded = minhashes.select("doc_id", *_band_cols())
 
     # one equi-join on (band_index, band_hash) instead of N_BANDS separate
     # joins: explode the band columns to rows, self-join once, dedup pairs
-    exploded = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("bi", "bh"),
-    )
+    exploded = _band_explode(banded)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bi", "bh")
     bb = exploded.select(F.col("doc_id").alias("doc_b"), "bi", "bh")
     cands = (
@@ -565,39 +589,75 @@ def d05(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- d04 ngram jaccard (blocked exact)
+# ---------------------------------------------------------------- d04 ngram jaccard (blocked exact + LSH fallback)
 # Hard ceiling on docs per (lang, len_bucket) block: pair generation is
 # all-pairs within a block, so an unbounded block (think lang='en' at corpus
-# scale) is quadratic.  Blocks over the cap are EXCLUDED here — a production
-# pipeline routes them through d02's MinHash candidates (linear in docs) and
-# keeps this operator as the exact verify stage for small blocks.
-D04_MAX_BLOCK_DOCS = 512
+# scale) is quadratic.  Blocks over the cap are NOT dropped — their docs
+# route through d02's MinHash band-bucket candidate generation (linear in
+# docs), restricted to same-block candidates, and rejoin the shared exact
+# Jaccard verify stage.  Every document therefore gets near-dup pairs: small
+# blocks exhaustively, over-cap blocks at LSH recall.  The cap is sized so
+# the sf0.01 oracle gate exercises BOTH routes (largest sf0.01 block is 84
+# docs); at production scale any value bounds the pair space at cap^2/block.
+D04_MAX_BLOCK_DOCS = 64
 
 
-@query(
-    "d04_ngram_jaccard_blocked",
-    oracle=f"""
+def _d04_oracle() -> str:
+    lsh_union = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"      FROM banded_k a JOIN banded_k b ON a.band{b} = b.band{b}\n"
+        f"       AND a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    return f"""
     WITH shingles AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    docmeta AS (SELECT doc_id, lang, n_chars // 200 AS len_bucket FROM documents),
-    blocks AS (
-      SELECT lang, len_bucket FROM docmeta
-      GROUP BY lang, len_bucket HAVING COUNT(*) <= {D04_MAX_BLOCK_DOCS}
+    hashed AS (
+      SELECT doc_id, {_hash60_sql('shingle')} AS sh FROM shingles
     ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    docmeta AS (SELECT doc_id, lang, n_chars // 200 AS len_bucket FROM documents),
+    counts AS (SELECT lang, len_bucket, COUNT(*) AS c FROM docmeta GROUP BY 1, 2),
     bounded AS (
       SELECT m.* FROM docmeta m
-      JOIN blocks k ON k.lang = m.lang AND k.len_bucket = m.len_bucket
+      JOIN counts k ON k.lang = m.lang AND k.len_bucket = m.len_bucket
+      WHERE k.c <= {D04_MAX_BLOCK_DOCS}
     ),
-    pairs AS (
+    overc AS (
+      SELECT m.* FROM docmeta m
+      JOIN counts k ON k.lang = m.lang AND k.len_bucket = m.len_bucket
+      WHERE k.c > {D04_MAX_BLOCK_DOCS}
+    ),
+    exact_pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bounded a JOIN bounded b
         ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     ),
+    over_hashed AS (
+      SELECT h.doc_id, (h.sh & 1073741823) AS hh
+      FROM hashed h JOIN overc o ON o.doc_id = h.doc_id
+    ),
+    minhashes AS (
+      SELECT doc_id,
+             {_minhash_mins_sql('hh')}
+      FROM over_hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             {_minhash_bands_sql()}
+      FROM minhashes
+    ),
+    banded_k AS (
+      SELECT b.*, o.lang, o.len_bucket FROM banded b JOIN overc o ON o.doc_id = b.doc_id
+    ),
+    lsh_pairs AS (
+{lsh_union}
+    ),
+    pairs AS (SELECT * FROM exact_pairs UNION SELECT * FROM lsh_pairs),
     inter AS (
       SELECT p.doc_a, p.doc_b, COUNT(*) AS i
       FROM pairs p
-      JOIN shingles sa ON sa.doc_id = p.doc_a
-      JOIN shingles sb ON sb.doc_id = p.doc_b AND sa.shingle = sb.shingle
+      JOIN hashed sa ON sa.doc_id = p.doc_a
+      JOIN hashed sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
       GROUP BY p.doc_a, p.doc_b
     )
     SELECT v.doc_a, v.doc_b,
@@ -607,36 +667,67 @@ D04_MAX_BLOCK_DOCS = 512
     JOIN sizes zb ON zb.doc_id = v.doc_b
     WHERE CAST(v.i AS DOUBLE) / (za.n + zb.n - v.i) >= 0.25
     ORDER BY doc_a, doc_b
-    """,
-)
+    """
+
+
+@query("d04_ngram_jaccard_blocked", oracle=_d04_oracle())
 def d04(spark, sf_dir):
     """Exact n-gram Jaccard within blocking keys (lang, length-bucket),
-    with a hard per-block doc cap: cost is bounded by cap^2 per block, not
-    block^2.  Oversized blocks are excluded (they belong to the MinHash
-    path, d02); this operator is the exact verify stage for small blocks."""
+    with a hard per-block doc cap: small blocks get exhaustive all-pairs
+    (cost bounded by cap^2 per block), over-cap blocks route through d02's
+    MinHash band-bucket candidate generation (linear in docs, restricted to
+    same-block candidates) — no document is silently dropped.  Both routes
+    share one exact verify stage over 60-bit hashed shingles, so shuffles
+    move 8-byte keys, never shingle strings."""
     d = load(spark, sf_dir, "documents")
-    shingles = _shingles_spark(d)
+    shingles = _shingles_spark(d).select(
+        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
+    ).persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
-    # block-size guard: the distinct-key count table is tiny -> broadcast
-    # semi-join prunes oversized blocks map-side, no extra shuffle of meta
-    blocks = (
-        meta.groupBy("lang", "len_bucket")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") <= D04_MAX_BLOCK_DOCS)
-        .select("lang", "len_bucket")
-    )
-    bounded = meta.join(F.broadcast(blocks), ["lang", "len_bucket"], "left_semi")
+    # block-size guard: the distinct (lang, len_bucket) count table is
+    # bounded by langs x max-doc-len/200 (tiny at any SF) -> broadcast
+    # semi-joins prune map-side, no extra shuffle of meta
+    counts = meta.groupBy("lang", "len_bucket").agg(F.count("*").alias("c"))
+    small = counts.filter(F.col("c") <= D04_MAX_BLOCK_DOCS).select("lang", "len_bucket")
+    big = counts.filter(F.col("c") > D04_MAX_BLOCK_DOCS).select("lang", "len_bucket")
+    bounded = meta.join(F.broadcast(small), ["lang", "len_bucket"], "left_semi")
+    overc = meta.join(F.broadcast(big), ["lang", "len_bucket"], "left_semi")
+
+    # route 1: exhaustive pairs within small blocks
     a = bounded.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
     b = bounded.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
-    pairs = a.join(b, ["lang", "len_bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    exact_pairs = (
+        a.join(b, ["lang", "len_bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+    # route 2: over-cap blocks -> d02's band-bucket LSH candidates, keyed
+    # by (block, band) so candidates stay within one blocking key.  The
+    # over-cap doc-id set scales with the corpus, so the semi-join carries
+    # no broadcast hint — AQE decides from runtime sizes.
+    over_sh = shingles.join(overc.select("doc_id"), "doc_id", "left_semi")
+    hashed = over_sh.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
+    minhashes = hashed.groupBy("doc_id").agg(*_minhash_min_cols())
+    banded = minhashes.select("doc_id", *_band_cols())
+    exploded = _band_explode(banded).join(overc, "doc_id")
+    la = exploded.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "bi", "bh")
+    lb = exploded.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket", "bi", "bh")
+    lsh_pairs = (
+        la.join(lb, ["lang", "len_bucket", "bi", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # shared exact verify over hashed shingles (routes are disjoint by
+    # block membership, so unionByName needs no dedup across them)
+    pairs = exact_pairs.unionByName(lsh_pairs)
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )

@@ -220,6 +220,82 @@ class TestStalledSource:
 
 
 class TestEngineLifecycle:
+    def test_engine_two_connectors_one_dataset(self, spark, tmp_path):
+        # DockerTestConfigFK two-connectors/ONE-dataset shape: two topics
+        # feed a single store.  The realpath-keyed per-store write lock
+        # must serialize commits from both streams — exact combined count,
+        # no lost or duplicated quads across 50+ interleaved micro-batches.
+        import threading
+        import time
+
+        n_files = 26  # one quad per file, maxFilesPerTrigger=1 -> one
+        # micro-batch per file -> 52 interleaved batches across streams
+        eng = Engine(spark)
+        shared_ds = str(tmp_path / "shared_ds")
+        streams = {}
+        for i in (1, 2):
+            d = tmp_path / f"events{i}"
+            d.mkdir()
+            for n in range(n_files):
+                write_events(
+                    spark, str(d), [ev(f'<http://e/c{i}/s{n}> <http://e/p> "v" .', n)]
+                )
+            conn = ConnectorConfig.from_dict(
+                dict(
+                    name=f"shared{i}",
+                    topics=[f"t{i}"],
+                    dataset=shared_ds,
+                    state_dir=str(tmp_path / f"cp{i}"),
+                    group_id=f"g{i}",
+                )
+            )
+            source = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            streams[i] = eng.add_connector(conn, source=source)
+
+        # both IngestStream instances hold DISTINCT QuadStore objects on the
+        # SAME path; instrument their commit bodies to prove the shared
+        # write lock serializes them (overlap > 1 = lost-update window)
+        overlap = {"cur": 0, "max": 0}
+        guard = threading.Lock()
+
+        def instrument(store):
+            orig = store._commit_locked
+
+            def locked(*a, **k):
+                with guard:
+                    overlap["cur"] += 1
+                    overlap["max"] = max(overlap["max"], overlap["cur"])
+                try:
+                    time.sleep(0.01)  # widen any race window
+                    return orig(*a, **k)
+                finally:
+                    with guard:
+                        overlap["cur"] -= 1
+
+            store._commit_locked = locked
+
+        assert streams[1].store is not streams[2].store
+        for s in streams.values():
+            instrument(s.store)
+
+        eng.start(trigger_available_now=True)
+        for s in eng.streams.values():
+            s.query.awaitTermination()
+            s.query = None
+
+        assert overlap["max"] == 1, "two ingest streams entered commit concurrently"
+        batches = [streams[1].metrics["batches"], streams[2].metrics["batches"]]
+        assert all(b >= n_files for b in batches), batches
+        adds = streams[1].metrics["adds"] + streams[2].metrics["adds"]
+        assert adds == 2 * n_files, (adds, batches)
+        # exact combined count through a FRESH store instance: nothing lost,
+        # nothing duplicated, manifest versions from both writers intact
+        assert QuadStore(shared_ds).count(spark) == 2 * n_files
+
     def test_engine_two_connectors_two_datasets(self, spark, tmp_path):
         # DockerTestConfigFK two-connector/two-dataset shape
         eng = Engine(spark)
