@@ -128,10 +128,11 @@ _CHECK_PRIORITY = [
     "r16_from_named_dataset",
     "r17_minus_compat",
     # TOUCHED THIS ROUND (connected-components convergence guard,
-    # d04 oversized-block MinHash fallback):
+    # d04 oversized-block MinHash fallback, st05 dim-join unhint):
     "d06_dedup_clusters",
     "s06_embedding_dup_clusters",
     "d04_ngram_jaccard_blocked",
+    "st05_streaming_static_enrichment",
     # ---- r5-green, code untouched: 2 rounds stale after r7; front of the
     # remaining window now, the rest lead the r8 window ----
     "m01_image_features",
@@ -174,7 +175,6 @@ _CHECK_PRIORITY = [
     "st02_streaming_dedup_count",
     "st03_streaming_session_window",
     "st04_streaming_first_seen",
-    "st05_streaming_static_enrichment",
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",

