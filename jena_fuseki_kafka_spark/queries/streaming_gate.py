@@ -205,3 +205,95 @@ def st05(spark, sf_dir):
     agg = joined.groupBy("segment").agg(F.count("*").alias("n_events"))
     name = _run_to_table(agg, mode="complete")
     return spark.table(name).orderBy("segment")
+
+
+@query(
+    "st06_streaming_late_data_drop",
+    oracle="""
+    WITH scope AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ),
+    ontime AS (
+      SELECT * FROM scope
+      WHERE NOT (date_trunc('hour', ts) = TIMESTAMP '2024-01-01 00:00:00'
+                 AND event_id % 2 = 1)
+    )
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+    FROM ontime GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st06(spark, sf_dir):
+    """Watermark LATE-DATA DROP, exercised for real: day-1 events are
+    staged into ordered source files so hour-0's odd-event_id rows arrive
+    two micro-batches after the watermark closed their window.  Spark
+    only GUARANTEES the drop once the window's state has been evicted
+    (end of the batch whose watermark passed the window end — a late row
+    arriving in that same batch still merges into the not-yet-evicted
+    state), so the staging inserts a full batch between close and
+    arrival, making the drop deterministic:
+
+      f0  hours 00-05 minus the late rows   -> watermark ~04:59
+      f1  hours 06-12                       -> h00..h03 emitted + evicted
+      f2  hours 13-23 PLUS the late rows    -> late rows filtered (window
+                                               end < watermark, no state)
+      f3  far-future sentinel               -> closes every day-1 window
+
+    Append output mode: only watermark-closed windows emit, which is why
+    the sentinel exists (and is filtered from the result).  The oracle is
+    the batch answer MINUS exactly the late rows — the one thing a
+    complete-mode or batch run would get wrong, pinning that the
+    watermark semantics actually engaged.  Scale shape: identical to
+    st01's windowed aggregate (state bounded by watermark horizon, not
+    stream length); staging is test scaffolding, not operator cost."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    h0 = F.date_trunc("hour", F.col("ts")) == F.lit("2024-01-01 00:00:00").cast(
+        "timestamp"
+    )
+    late = h0 & (F.col("event_id") % 2 == 1)
+    t06 = F.lit("2024-01-01 06:00:00").cast("timestamp")
+    t13 = F.lit("2024-01-01 13:00:00").cast("timestamp")
+    f0 = ev.filter((F.col("ts") < t06) & ~late)
+    f1 = ev.filter((F.col("ts") >= t06) & (F.col("ts") < t13))
+    f2 = ev.filter(F.col("ts") >= t13).unionByName(ev.filter(late))
+    sentinel = ev.limit(1).select(
+        *[
+            F.lit("2024-01-03 00:00:00").cast(ev.schema["ts"].dataType).alias(c)
+            if c == "ts"
+            else (F.lit("__sentinel").alias(c) if c == "event_type" else F.col(c))
+            for c in ev.columns
+        ]
+    )
+
+    td = tempfile.mkdtemp(prefix="st06-")  # outlives the returned (lazy) DF
+    for i, df in enumerate([f0, f1, f2, sentinel]):
+        p = os.path.join(td, f"f{i}")
+        df.coalesce(1).write.parquet(p)
+        # the file source orders batches by modification time; pin it so
+        # the staged arrival order is deterministic on any filesystem
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(td + "/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = _run_to_table(agg, mode="append")
+    return (
+        spark.table(name)
+        .select(F.col("window.start").alias("hour"), "event_type", "n_events")
+        .filter(F.col("hour") < F.lit("2024-01-02").cast("timestamp"))
+        .orderBy("hour", "event_type")
+    )

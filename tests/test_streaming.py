@@ -218,6 +218,35 @@ class TestStalledSource:
         finally:
             stream.stop()
 
+    def test_source_delayed_data_arrives_without_error(
+        self, spark, tmp_path, events_dir
+    ):
+        # the reference's givenLatencyProxy case
+        # (DockerTestKafkaDelays.java:146-226): the source is slow, not
+        # dead — data that shows up AFTER the stream started must be
+        # consumed on a later trigger with no error and exact counts
+        import time
+
+        conn = make_conn(tmp_path)
+        store = QuadStore(conn.dataset)
+        stream = IngestStream(spark, conn, store=store, source=file_stream(spark, events_dir))
+        q = stream.start(processing_time="250 milliseconds")
+        try:
+            time.sleep(1.0)  # several empty triggers first
+            assert q.isActive and stream.metrics["batches"] == 0
+            write_events(
+                spark, events_dir,
+                [ev(f'<http://e/s{i}> <http://e/p> "v" .', i) for i in range(3)],
+            )
+            deadline = time.time() + 30
+            while time.time() < deadline and stream.metrics["adds"] < 3:
+                time.sleep(0.25)
+            assert q.exception() is None
+            assert stream.metrics["adds"] == 3
+        finally:
+            stream.stop()
+        assert store.count(spark) == 3
+
 
 class TestEngineLifecycle:
     def test_engine_two_connectors_one_dataset(self, spark, tmp_path):

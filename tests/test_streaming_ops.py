@@ -141,3 +141,40 @@ class TestStatefulStreaming:
         # either way doc 2 must NOT appear if doc 0's batch ran first)
         assert rows["a"] in (0, 2)
         assert len(rows) == 3
+
+
+class TestLateDataDrop:
+    """st06's watermark-drop gate must be NON-vacuous: the staged late
+    rows exist and are genuinely excluded, so the stream answer DIFFERS
+    from the naive batch aggregate by exactly those rows."""
+
+    def test_st06_drops_exactly_the_staged_late_rows(self, spark, sf_dir):
+        import duckdb
+
+        from jena_fuseki_kafka_spark.queries import QUERIES
+
+        rows = QUERIES["st06_streaming_late_data_drop"](spark, sf_dir).collect()
+        assert rows, "gate produced no windows"
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        n_late = con.execute(
+            """
+            SELECT COUNT(*) FROM events
+            WHERE date_trunc('hour', ts) = TIMESTAMP '2024-01-01 00:00:00'
+              AND event_id % 2 = 1
+            """
+        ).fetchone()[0]
+        assert n_late > 0, "no late rows staged — the drop facet proves nothing"
+
+        batch_total = con.execute(
+            "SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'"
+        ).fetchone()[0]
+        stream_total = sum(r["n_events"] for r in rows)
+        assert stream_total == batch_total - n_late, (
+            stream_total,
+            batch_total,
+            n_late,
+        )
