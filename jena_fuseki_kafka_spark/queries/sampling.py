@@ -312,3 +312,84 @@ def p04(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------- p05
+# Concat-and-chunk sequence packing: the standard LLM-pretraining step
+# that concatenates tokenized documents in a deterministic pseudo-random
+# order and slices the stream into fixed-length training sequences.
+P05_SEQ_LEN = 2048
+P05_N_SHARDS = 16
+
+
+@query(
+    "p05_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tok, h, h % {P05_N_SHARDS} AS shard FROM toks
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sharded
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / {P05_SEQ_LEN}) AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {P05_SEQ_LEN} <> (cum - 1) // {P05_SEQ_LEN}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_docs
+    FROM packed GROUP BY shard ORDER BY shard
+    """,
+)
+def p05(spark, sf_dir):
+    """Concat-and-chunk sequence packing for pretraining: whitespace
+    token counts, documents ordered by a stable per-doc hash (the
+    deterministic shuffle), concatenated within hash shards, and sliced
+    into P05_SEQ_LEN(=2048)-token sequences.  Reports per-shard packing stats
+    incl. how many docs straddle a sequence boundary.
+
+    Scale shape: the only non-map operator is ONE window cumsum
+    PARTITIONED BY shard — shards pack independently exactly like
+    per-worker packing in a real pipeline, so parallelism = n_shards
+    (set it to the cluster's task slots at 100 TB) and no global sort or
+    single-partition window exists.  The deterministic hash order makes
+    the packing reproducible under retries and re-runs, which a
+    random-shuffle packer is not."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id", n_tok.alias("n_tok"), h.alias("h"), (h % P05_N_SHARDS).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select("shard", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    straddle = (
+        ((F.col("cum") - F.col("n_tok")) / P05_SEQ_LEN).cast("long")
+        != ((F.col("cum") - 1) / P05_SEQ_LEN).cast("long")
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.ceil(F.max("cum").cast("double") / P05_SEQ_LEN).alias("n_sequences"),
+            F.sum(straddle.cast("long")).alias("n_straddling_docs"),
+        )
+        .orderBy("shard")
+    )

@@ -113,6 +113,17 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "CartesianProduct" not in p, p
 
+    def test_p05_packing_window_is_shard_partitioned(self, spark):
+        # sequence packing's cumsum must be a SHARD-partitioned window —
+        # an empty partition spec would funnel the whole corpus through
+        # one task, the classic global-window scale failure
+        p = plan(spark, "p05_sequence_packing")
+        assert "windowspecdefinition(shard" in p, p
+        assert re.search(r"hashpartitioning\(shard", p), p
+        # and no global-sort exchange before the window (only the final
+        # ORDER BY may range-partition)
+        assert p.count("rangepartitioning") <= 1, p
+
     def test_s03_pair_candidates_ride_cell_equi_join(self, spark):
         # near-dup candidates come from an equi-join on IVF cell id; the
         # only cross joins are the centroid-assignment scans against the
