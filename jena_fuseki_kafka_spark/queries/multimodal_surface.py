@@ -283,3 +283,50 @@ def m04(spark, sf_dir):
         F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
         F.max("c").cast("long").alias("max_group_size"),
     )
+
+
+@query(
+    "m05_scene_changes",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 2 + doc_id % 5 AS nf,
+             (4 + doc_id % 4) * (4 + doc_id % 3) AS size
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    pairs AS (
+      SELECT doc_id, size, (doc_id*31 + f*911) % 256 AS a
+      FROM vids, LATERAL (SELECT unnest(generate_series(0, nf - 2)) AS f)
+    ),
+    mads AS (
+      -- consecutive fake frames differ by +143 mod 256 per pixel, so
+      -- |diff| is 143 where (a + i*7) % 256 < 113 and 113 elsewhere
+      SELECT doc_id, size,
+             143 * (SELECT COUNT(*) FROM (SELECT unnest(generate_series(0, size - 1)) AS i)
+                    WHERE (a + i*7) % 256 < 113)
+             + 113 * (size - (SELECT COUNT(*) FROM (SELECT unnest(generate_series(0, size - 1)) AS i)
+                              WHERE (a + i*7) % 256 < 113)) AS scaled
+      FROM pairs
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(nf_tab.nf) AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN scaled > 127 * size THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundaries,
+           CAST(SUM(scaled) AS BIGINT) AS total_mad_scaled
+    FROM mads JOIN (SELECT doc_id AS d2, nf FROM vids) nf_tab ON nf_tab.d2 = mads.doc_id
+    GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def m05(spark, sf_dir):
+    """Scene-change detection per video: integer-scaled mean-absolute
+    frame difference with a boundary threshold, computed from the REAL
+    decoded frame bytes in one shuffle-free ``mapInPandas`` pass
+    (``scene_change_stats``).  The oracle reconstructs the identical
+    statistics from the closed-form fake-pixel formula — consecutive
+    frames differ by +143 mod 256 per pixel, so the per-pixel |diff| is
+    143 or 113 depending on wrap-around — an independent derivation that
+    hash-matches only if the byte-level demux and the numpy diff are
+    both exact."""
+    from .multimodal import scene_change_stats
+
+    media = fake_media(load(spark, sf_dir, "documents"))
+    return scene_change_stats(media, threshold=127).orderBy("media_id")

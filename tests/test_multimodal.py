@@ -317,3 +317,29 @@ class TestVideoPipeline:
         assert [f.name for f in AUDIO_FEATURES_SCHEMA.fields] == [
             "media_id", "sample_rate", "n_samples", "rms", "error",
         ]
+
+
+class TestSceneChanges:
+    def test_hand_built_video_boundaries(self, spark):
+        from jena_fuseki_kafka_spark.queries.multimodal import scene_change_stats
+
+        # 2x2 frames: identical pair (MAD 0), then a hard cut (MAD 255)
+        frames = [bytes([10] * 4), bytes([10] * 4), bytes([255, 255, 255, 255])]
+        df = media_df(spark, [(7, "video", fake_video(frames, 2, 2), META)])
+        rows = scene_change_stats(df, threshold=127).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.media_id == 7 and r.n_frames == 3
+        assert r.n_boundaries == 1  # only the cut crosses the threshold
+        assert r.total_mad_scaled == 0 + 245 * 4  # |255-10| per pixel
+
+    def test_m05_gate_boundary_facet_non_vacuous(self, spark, sf_dir):
+        from jena_fuseki_kafka_spark.queries import QUERIES
+
+        rows = QUERIES["m05_scene_changes"](spark, sf_dir).collect()
+        assert rows
+        total_b = sum(r.n_boundaries for r in rows)
+        total_pairs = sum(r.n_frames - 1 for r in rows)
+        # the threshold must actually discriminate: some pairs cross it,
+        # some don't — all-or-nothing would mean the facet proves nothing
+        assert 0 < total_b < total_pairs, (total_b, total_pairs)
