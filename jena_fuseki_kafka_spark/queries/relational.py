@@ -898,3 +898,42 @@ def q38(spark, sf_dir):
         ok("ap50", "exact_p50").alias("p50_ok"),
         ok("ap95", "exact_p95").alias("p95_ok"),
     )
+
+
+@query(
+    "q39_correlated_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders
+    FROM customer c
+    WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c.c_nationkey, c.c_custkey
+    """,
+)
+def q39(spark, sf_dir):
+    """Correlated scalar subqueries in BOTH positions: a correlated MAX
+    in WHERE (customers holding their nation's top balance — exact
+    equality on exact money values, no float boundary) and a correlated
+    COUNT in the projection (their jumbo-order count, 0-preserving).
+    Catalyst de-correlates each into an aggregate + join — per-nation MAX
+    is a 25-group aggregate joined back broadcast-style, and the COUNT
+    rewrite is a left outer aggregate join on custkey — so nothing
+    re-executes per outer row; at 100 TB both rewrites stay two hash
+    aggregates and two joins, never a nested loop."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q39_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q39_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST((SELECT COUNT(*) FROM q39_orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders
+        FROM q39_customer c
+        WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM q39_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_nationkey, c.c_custkey
+        """
+    )
