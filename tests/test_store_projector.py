@@ -510,3 +510,45 @@ class TestHintedSmallCommit:
             n_adds_hint=1,  # deletes side has no hint -> full stats path
         )
         assert store.count(spark) == 8  # 8 - 1 + 1
+
+
+class TestCompactionConcurrency:
+    def test_compact_racing_commits_loses_nothing(self, spark, tmp_path):
+        """compact() and commit() from separate threads over separate
+        QuadStore instances on ONE path: the realpath-keyed write lock
+        must serialize the read-manifest -> write-files -> swap-manifest
+        sequences, or a compaction snapshotting stale files silently
+        drops a racing commit's quads.  Every committed quad must survive
+        an interleaved storm of both."""
+        import threading
+
+        path = str(tmp_path / "qr")
+        writer = QuadStore(path, n_buckets=2)
+        compactor = QuadStore(path, n_buckets=2)
+        errs = []
+
+        def committer():
+            try:
+                for i in range(12):
+                    rows = [("", f"s{i}_{j}", "p", "literal", f"v{i}", None, None)
+                            for j in range(5)]
+                    writer.commit(
+                        spark, adds=spark.createDataFrame(rows, QUAD_SCHEMA),
+                        txn_id=f"r{i}",
+                    )
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        def compacter():
+            try:
+                for _ in range(6):
+                    compactor.compact(spark, min_files_per_bucket=1)
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        t1 = threading.Thread(target=committer)
+        t2 = threading.Thread(target=compacter)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs, errs
+        # fresh instance reads the final manifest: all 12x5 quads present
+        assert QuadStore(path).count(spark) == 60
