@@ -133,8 +133,10 @@ _CHECK_PRIORITY = [
     "s06_embedding_dup_clusters",
     "d04_ngram_jaccard_blocked",
     "st05_streaming_static_enrichment",
-    # ---- r5-green, code untouched: 2 rounds stale after r7; front of the
-    # remaining window now, the rest lead the r8 window ----
+    # ---- r5-green, code untouched: 2 rounds stale at the r7 check.  The
+    # r7 window cannot hold all 31 of them (30 queries changed this round
+    # and must re-verify); the ones below the boundary MUST lead the r8
+    # window — rotate them to the very top of this list next round ----
     "m01_image_features",
     "m02_audio_features",
     "q04_forecast_revenue",
