@@ -501,3 +501,79 @@ def s05(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------- s07 int8 quantization
+# Scalar int8 quantization — the memory-bound ANN scale path: a 64-dim
+# float32 vector is 256 bytes; int8 + one float scale is 68, so a 100 TB
+# embedding store becomes ~27 TB and dot products run on int8 SIMD.  The
+# quantizer is symmetric per-vector max-abs: scale = max|v| / 127,
+# q_i = floor(v_i/scale + 0.5) (floor(+0.5) instead of round() because
+# the two engines disagree on round-half ties, while IEEE floor is
+# bit-identical everywhere).
+@query(
+    "s07_int8_quantization",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s,
+             embedding
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INT))
+             END AS qv
+      FROM scaled
+    )
+    SELECT a.vec_id,
+           CAST(list_sum(a.qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(a.qv, x -> ABS(x))) AS BIGINT) AS l1_q,
+           CAST(list_max(list_transform(a.qv, x -> ABS(x))) AS BIGINT) AS max_abs_q,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+                AS BIGINT) AS qdot_next
+    FROM quant a LEFT JOIN quant b ON b.vec_id = a.vec_id + 1
+    ORDER BY a.vec_id
+    """,
+)
+def s07(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column with
+    integer-exact verification facets: per-vector quantized sum, L1 mass,
+    max magnitude (127 by construction for any non-zero vector — the facet
+    a mis-scaled quantizer fails), and the int32 DOT PRODUCT of each
+    vector with its successor — the actual inference-path operation, exact
+    integers so no float-summation ambiguity exists between engines.
+
+    Scale shape: quantization is a per-row map (zero shuffle); the
+    neighbor dot is ONE equi-join on vec_id+1 standing in for the real
+    candidate join (s02/s04 supply candidates at scale).  Everything is
+    JVM ``transform``/``aggregate`` expressions — no Python UDF, no
+    driver collect."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0
+    scaled = e.withColumn("s", s)
+    qv = F.when(
+        F.col("s") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("s") + 0.5).cast("int"),
+        )
+    )
+    quant = scaled.select("vec_id", qv.alias("qv"))
+    isum = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    a = quant.select(F.col("vec_id"), F.col("qv"))
+    b = quant.select((F.col("vec_id") - 1).alias("vec_id"), F.col("qv").alias("qv_next"))
+    joined = a.join(b, "vec_id", "left")
+    qdot = F.when(
+        F.col("qv_next").isNull(), F.lit(None).cast("long")
+    ).otherwise(isum(F.zip_with("qv", "qv_next", lambda x, y: x * y)))
+    return joined.select(
+        "vec_id",
+        isum(F.col("qv")).alias("sum_q"),
+        isum(F.transform("qv", lambda v: F.abs(v))).alias("l1_q"),
+        F.array_max(F.transform("qv", lambda v: F.abs(v))).cast("long").alias("max_abs_q"),
+        qdot.alias("qdot_next"),
+    ).orderBy("vec_id")
