@@ -297,3 +297,54 @@ def st06(spark, sf_dir):
         .filter(F.col("hour") < F.lit("2024-01-02").cast("timestamp"))
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "st07_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.user_id < 100
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def st07(spark, sf_dir):
+    """STREAM-STREAM inner join — the flagship Structured Streaming shape
+    the other gates don't cover: clicks and purchases as two independent
+    watermarked streams, joined on user with an event-time range
+    condition (purchase within 1 hour after the click).  The time bound +
+    watermarks are what make unbounded-stream joins feasible at all: each
+    side's join state is evicted once the other side's watermark passes
+    the range, so state is bounded by the watermark horizon x event rate,
+    never by stream length.  The joined rows land in the sink append-mode
+    and the returned aggregation is batch-side; the oracle is the batch
+    range join q29/q30 are built from — streaming/batch consistency for
+    the join operator itself."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = _run_to_table(joined, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
