@@ -741,3 +741,71 @@ def d04(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------- d07 estimator fidelity
+def _d07_oracle() -> str:
+    lane_match = " + ".join(
+        f"CASE WHEN ma.m{s} = mb.m{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM ({_minhash_oracle()})
+    ),
+    shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, ({_hash60_sql('shingle')} & 1073741823) AS hh FROM shingles
+    ),
+    minhashes AS (
+      SELECT doc_id,
+             {_minhash_mins_sql('hh')}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST({lane_match} AS BIGINT) AS n_matching_lanes,
+           ROUND(CAST({lane_match} AS DOUBLE) / {N_HASHES}, 4) AS est_jaccard
+    FROM pairs p
+    JOIN minhashes ma ON ma.doc_id = p.doc_a
+    JOIN minhashes mb ON mb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@query("d07_minhash_estimator_fidelity", oracle=_d07_oracle())
+def d07(spark, sf_dir):
+    """MinHash estimator fidelity: for every verified near-dup pair, the
+    number of agreeing signature lanes (0..16) next to the EXACT Jaccard
+    — E[lanes/16] = J is the property the whole LSH scale path rests on,
+    and this gate pins the signature agreement down to exact integers per
+    pair (a single corrupted lane hash breaks it).  Cost shape: one
+    16-lane aggregate both engines already compute for d02 plus two
+    signature joins on the (tiny) verified-pair relation."""
+    pairs = _minhash_pairs(spark, sf_dir)  # doc_a, doc_b, jaccard
+    d = load(spark, sf_dir, "documents")
+    shingles = _shingles_spark(d).select(
+        "doc_id",
+        _hash60_spark(F.col("shingle")).bitwiseAND(F.lit(1073741823)).alias("h"),
+    )
+    minhashes = shingles.groupBy("doc_id").agg(*_minhash_min_cols())
+    ma = minhashes.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(N_HASHES)]
+    )
+    mb = minhashes.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(N_HASHES)]
+    )
+    lanes = None
+    for s in range(N_HASHES):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        lanes = t if lanes is None else lanes + t
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            lanes.cast("long").alias("n_matching_lanes"),
+            F.round(lanes.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
