@@ -165,10 +165,19 @@ def main():
     # interleave repeats (full suite per round) rather than back-to-back
     # per query, so one query's page-cache warmth doesn't flatter its own
     # 2nd/3rd sample more than a real re-run would see
+    def run_http() -> None:
+        # guarded: one transient HTTP/server failure must not abort the
+        # whole bench after minutes of collected timings — emit the JSON
+        # with whatever samples exist (the median just has fewer votes)
+        try:
+            samples["http_four_ops_roundtrip"].append(bench_http_four_ops(spark))
+        except Exception as e:
+            print(f"# http_four_ops sample failed: {e}", file=sys.stderr)
+
     for rep in range(repeats):
         for name in HEADLINE:
             run_one(name, rep)
-        samples["http_four_ops_roundtrip"].append(bench_http_four_ops(spark))
+        run_http()
 
     # sub-second queries swing ±30% on 3 samples (VERDICT r5: four
     # "regressions" all inside the spread) — take 2 extra samples so a
@@ -180,15 +189,22 @@ def main():
     # http round-trip variance comes from commit-path GC/compaction, not
     # plan noise — median-of-5 keeps its round-over-round signal decidable
     for _ in range(2):
-        samples["http_four_ops_roundtrip"].append(bench_http_four_ops(spark))
+        run_http()
 
     timings = {
-        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+        if vals
     }
     spreads = {
-        name: round(max(vals) - min(vals), 3) for name, vals in samples.items()
+        name: round(max(vals) - min(vals), 3)
+        for name, vals in samples.items()
+        if vals
     }
     for name, vals in samples.items():
+        if not vals:
+            print(f"# {name}: NO SAMPLES (all attempts failed)", file=sys.stderr)
+            continue
         print(
             f"# median {name}: {timings[name]:.2f}s "
             f"(samples {', '.join(f'{v:.2f}' for v in vals)}; spread {spreads[name]:.2f}s)",

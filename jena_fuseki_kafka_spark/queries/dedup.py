@@ -213,9 +213,15 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_pairs(spark, sf_dir):
+def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
     """Verified MinHash near-dup pairs — the shared core of d02 (pair
-    listing) and d06 (cluster assignment)."""
+    listing), d06 (cluster assignment) and d07 (estimator fidelity).
+
+    With ``with_signatures=True`` returns ``(pairs, minhashes)`` where
+    ``minhashes`` is the already-persisted (doc_id, n, m0..m15) signature
+    relation — so d07 joins the signatures this computation materialized
+    instead of re-deriving shingles and re-running the 16-lane aggregate
+    (a second full shingle scan + shuffle at scale)."""
     d = load(spark, sf_dir, "documents")
     # hash every distinct shingle ONCE to a 60-bit long and persist only
     # (doc_id, sh): the string shingles never shuffle or cache — at 100 TB
@@ -279,6 +285,8 @@ def _minhash_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+    if with_signatures:
+        return out, minhashes
     return out
 
 
@@ -777,16 +785,12 @@ def d07(spark, sf_dir):
     number of agreeing signature lanes (0..16) next to the EXACT Jaccard
     — E[lanes/16] = J is the property the whole LSH scale path rests on,
     and this gate pins the signature agreement down to exact integers per
-    pair (a single corrupted lane hash breaks it).  Cost shape: one
-    16-lane aggregate both engines already compute for d02 plus two
-    signature joins on the (tiny) verified-pair relation."""
-    pairs = _minhash_pairs(spark, sf_dir)  # doc_a, doc_b, jaccard
-    d = load(spark, sf_dir, "documents")
-    shingles = _shingles_spark(d).select(
-        "doc_id",
-        _hash60_spark(F.col("shingle")).bitwiseAND(F.lit(1073741823)).alias("h"),
-    )
-    minhashes = shingles.groupBy("doc_id").agg(*_minhash_min_cols())
+    pair (a single corrupted lane hash breaks it).  Cost shape: the
+    16-lane signature relation is the PERSISTED one _minhash_pairs already
+    materialized for pair verification (no second shingle scan + shuffle
+    — ADVICE r7 fix), plus two signature joins on the (tiny)
+    verified-pair relation."""
+    pairs, minhashes = _minhash_pairs(spark, sf_dir, with_signatures=True)
     ma = minhashes.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(N_HASHES)]
     )

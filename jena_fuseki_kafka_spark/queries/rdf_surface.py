@@ -561,7 +561,7 @@ def r13(spark, sf_dir):
     oracle="""
     WITH deg AS (SELECT user_id, COUNT(*) AS d FROM events GROUP BY user_id),
     hist AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d)
-    SELECT CAST(d AS VARCHAR) AS d, n FROM hist ORDER BY n DESC, d LIMIT 20
+    SELECT CAST(d AS VARCHAR) AS d, n FROM hist ORDER BY n DESC, hist.d LIMIT 20
     """,
 )
 def r14(spark, sf_dir):
