@@ -636,17 +636,26 @@ def r15(spark, sf_dir):
 @query(
     "r17_minus_compat",
     oracle="""
-    SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 350000) AS c_overlap,
+    WITH surv AS (
+      SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice <= 350000
+    ),
+    ov AS (SELECT bucket, COUNT(*) AS n_overlap FROM surv GROUP BY bucket)
+    SELECT ov.bucket, ov.n_overlap,
            (SELECT COUNT(*) FROM orders) AS c_disjoint,
            (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 350000) AS c_unbound
+    FROM ov ORDER BY ov.bucket
     """,
 )
 def r17(spark, sf_dir):
     """MINUS per SPARQL 1.1 §18.5: remove a left solution only when some
-    right solution is COMPATIBLE **and** the domains OVERLAP.  Three facets
-    in one row:
+    right solution is COMPATIBLE **and** the domains OVERLAP.  Three facets:
 
-    - c_overlap: shared ?o -> jumbo orders removed (plain anti-join case);
+    - bucket/n_overlap: shared ?o -> jumbo orders removed (plain anti-join
+      case), with the survivors bucketed by price decile-of-100k (widened
+      per VERDICT r7 item 4: one row per bucket pins the anti-join's
+      surviving DISTRIBUTION, not just its count — a MINUS that dropped
+      the wrong rows with the right total can't pass);
     - c_disjoint: the MINUS pattern shares NO variable with the left, so
       despite being non-empty it removes NOTHING (the spec's surprising
       dom-disjoint rule; a bare anti-join implementation drops everything);
@@ -661,20 +670,24 @@ def r17(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?c_overlap ?c_disjoint ?c_unbound WHERE {
-          { SELECT (COUNT(*) AS ?c_overlap) WHERE {
-              ?o ex:total ?t MINUS { ?o ex:jumbototal ?j } } }
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?bucket ?n_overlap ?c_disjoint ?c_unbound WHERE {
+          { SELECT ?bucket (COUNT(*) AS ?n_overlap) WHERE {
+              ?o ex:total ?t MINUS { ?o ex:jumbototal ?j }
+              BIND(xsd:integer(FLOOR(?t / 100000)) AS ?bucket)
+            } GROUP BY ?bucket }
           { SELECT (COUNT(*) AS ?c_disjoint) WHERE {
               ?o ex:total ?t MINUS { ?y ex:bigtotal ?z } } }
           { SELECT (COUNT(*) AS ?c_unbound) WHERE {
               ?o ex:total ?t
               OPTIONAL { ?o ex:jumbototal ?x }
               MINUS { ?y ex:jumbototal ?x } } }
-        }
+        } ORDER BY ?bucket
         """
     )
     return df.select(
-        F.col("c_overlap")["value"].cast("long").alias("c_overlap"),
+        F.col("bucket")["value"].cast("long").alias("bucket"),
+        F.col("n_overlap")["value"].cast("long").alias("n_overlap"),
         F.col("c_disjoint")["value"].cast("long").alias("c_disjoint"),
         F.col("c_unbound")["value"].cast("long").alias("c_unbound"),
     )
@@ -763,21 +776,28 @@ def r18(spark, sf_dir):
       SELECT DISTINCT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS s
       FROM events WHERE event_type IN ('click', 'view')
     ),
-    named AS (
-      SELECT COUNT(*) AS named_quads FROM events WHERE event_type = 'purchase'
+    g AS (
+      SELECT 'http://example.org/graph/purchase' AS g, 4 * COUNT(*) AS named_quads
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'http://example.org/graph/signup' AS g, 4 * COUNT(*) AS named_quads
+      FROM events WHERE event_type = 'signup'
     )
-    SELECT (SELECT COUNT(*) FROM merged) AS default_subjects,
-           4 * named_quads AS named_quads
-    FROM named
+    SELECT g.g AS g, g.named_quads,
+           (SELECT COUNT(*) FROM merged) AS default_subjects
+    FROM g ORDER BY g.g
     """,
 )
 def r16(spark, sf_dir):
     """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2, served by
     Fuseki per config-connector.ttl:14-17): the click+view graphs MERGE
     into the query's default graph (set-union of quads, counted as
-    distinct subjects), while only the purchase graph is visible to
-    GRAPH patterns — the store's other named graphs must vanish from
-    both scopes."""
+    distinct subjects), while only the purchase+signup graphs are visible
+    to GRAPH patterns — the store's other named graphs must vanish from
+    both scopes.  Widened per VERDICT r7 item 4: one row PER named graph
+    (GRAPH ?g + GROUP BY ?g), so the hash pins which graphs the FROM
+    NAMED clause admitted and each graph's exact quad count, not just a
+    single combined total."""
     from ..sparql import SparqlEngine
 
     quads = events_to_quads(load(spark, sf_dir, "events"))
@@ -785,17 +805,20 @@ def r16(spark, sf_dir):
     df = engine.query(
         """
         PREFIX exg: <http://example.org/graph/>
-        SELECT (COUNT(DISTINCT ?s) AS ?default_subjects) ?named_quads
+        SELECT ?g ?named_quads ?default_subjects
         FROM exg:click
         FROM exg:view
         FROM NAMED exg:purchase
+        FROM NAMED exg:signup
         WHERE {
-          ?s ?p ?o .
-          { SELECT (COUNT(*) AS ?named_quads) WHERE { GRAPH ?g { ?a ?b ?c } } }
-        } GROUP BY ?named_quads
+          { SELECT ?g (COUNT(*) AS ?named_quads) WHERE { GRAPH ?g { ?a ?b ?c } }
+            GROUP BY ?g }
+          { SELECT (COUNT(DISTINCT ?s) AS ?default_subjects) WHERE { ?s ?p ?o } }
+        } ORDER BY ?g
         """
     )
     return df.select(
-        F.col("default_subjects")["value"].cast("long").alias("default_subjects"),
+        F.col("g")["value"].alias("g"),
         F.col("named_quads")["value"].cast("long").alias("named_quads"),
+        F.col("default_subjects")["value"].cast("long").alias("default_subjects"),
     )

@@ -536,12 +536,15 @@ def q18(spark, sf_dir):
 @query(
     "q19_disjunctive_predicate_join",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand ORDER BY p.p_brand
     """,
 )
 def q19(spark, sf_dir):
@@ -550,27 +553,33 @@ def q19(spark, sf_dir):
     a pre-join filter so the build side shrinks before the join and the
     scan prunes; the mixed lineitem+part residual evaluates post-join inside
     whole-stage codegen — the standard Q19 rewrite Catalyst can't derive
-    itself because the OR spans relations."""
+    itself because the OR spans relations.  Widened per VERDICT r7 item 4:
+    per-brand rows (revenue, item count, quantity) instead of one global
+    aggregate, so the hash pins each disjunct's contribution separately —
+    a residual-predicate bug in one branch can't hide in a grand total."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     part_side = p.filter(
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35))
     )
     q = F.col("l_quantity")
     residual = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
         li.join(part_side, li.l_partkey == part_side.p_partkey)
         .filter(residual)
+        .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             F.count("*").alias("n_items"),
+            _dsum(F.col("l_quantity"), "total_qty"),
         )
+        .orderBy("brand")
     )
 
 
@@ -868,10 +877,12 @@ def q37(spark, sf_dir):
 @query(
     "q38_approx_percentile",
     oracle="""
-    SELECT CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS exact_p50,
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS exact_p25,
+           CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS exact_p50,
            CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS exact_p95,
-           1 AS p50_ok, 1 AS p95_ok
-    FROM lineitem
+           1 AS p25_ok, 1 AS p50_ok, 1 AS p95_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def q38(spark, sf_dir):
@@ -880,24 +891,31 @@ def q38(spark, sf_dir):
     accuracy-gate pattern for quantiles).  At 100 TB the approx pass is a
     mergeable per-partition sketch — no global sort, no single-reducer
     percentile, which is what makes per-column distribution profiling of a
-    full corpus feasible at all."""
+    full corpus feasible at all.  Widened per VERDICT r7 item 4: per-
+    return-flag groups x three percentiles (nine exact values + nine
+    sketch gates instead of a single row), so the hash discriminates the
+    distribution's shape per group, not one global midpoint."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.expr("percentile(l_extendedprice, 0.50)").alias("exact_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
-        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("ap50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("ap95"),
+    pcts = {"p25": 0.25, "p50": 0.50, "p95": 0.95}
+    agg = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"exact_{n}")
+            for n, q in pcts.items()
+        ],
+        *[
+            F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)").alias(f"a{n}")
+            for n, q in pcts.items()
+        ],
     )
     def ok(approx, exact):
         return F.when(
             F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.01, 1
         ).otherwise(0)
     return agg.select(
-        F.round("exact_p50", 4).alias("exact_p50"),
-        F.round("exact_p95", 4).alias("exact_p95"),
-        ok("ap50", "exact_p50").alias("p50_ok"),
-        ok("ap95", "exact_p95").alias("p95_ok"),
-    )
+        "l_returnflag",
+        *[F.round(f"exact_{n}", 4).alias(f"exact_{n}") for n in pcts],
+        *[ok(f"a{n}", f"exact_{n}").alias(f"{n}_ok") for n in pcts],
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -1325,12 +1325,26 @@ class Translator:
                 out = F.when(df[arg.name]["datatype"].isin(*floaty), trunc).otherwise(
                     strict
                 )
-            elif isinstance(arg, Op) or (
-                isinstance(arg, Lit)
-                and arg.datatype in NUMERIC_TYPES
-                and arg.datatype != XSD_INTEGER
+            elif (
+                isinstance(arg, Op)
+                or (
+                    isinstance(arg, Lit)
+                    and arg.datatype in NUMERIC_TYPES
+                    and arg.datatype != XSD_INTEGER
+                )
+                or (
+                    isinstance(arg, Call)
+                    and (
+                        arg.name in ("abs", "ceil", "floor", "round")
+                        or arg.name
+                        in (XSD + "decimal", XSD + "double", XSD + "float")
+                    )
+                )
             ):
-                out = trunc  # arithmetic results / float literals truncate
+                # arithmetic results, float literals, and numeric-returning
+                # function results ("1.0" from FLOOR) truncate toward zero;
+                # string-returning calls stay on the strict lexical path
+                out = trunc
             else:
                 out = strict
             # derived-type value ranges (§17.5 casts into derived types)
@@ -1486,16 +1500,21 @@ class Translator:
                 if inline:
                     pat = f"(?{inline})" + pat
             return F.regexp_replace(argv(0).cast("string"), pat, call.args[2].value)
+        # numeric builtins take try_cast, not a strict cast: an ANSI cast
+        # raises at runtime when Catalyst reorders the expression across
+        # rows whose lexical form isn't numeric (e.g. a BIND collapsed
+        # into a projection evaluated before the predicate filter); the
+        # spec's type error must map to unbound, never a query abort
         if name == "abs":
-            return F.abs(argv(0).cast("double"))
+            return F.abs(argv(0).cast("string").try_cast("double"))
         if name == "ceil":
-            return F.ceil(argv(0).cast("double")).cast("double")
+            return F.ceil(argv(0).cast("string").try_cast("double")).cast("double")
         if name == "floor":
-            return F.floor(argv(0).cast("double")).cast("double")
+            return F.floor(argv(0).cast("string").try_cast("double")).cast("double")
         if name == "round":
             # XPath fn:round: ties round toward +INF (round(-2.5) = -2),
             # unlike Spark's half-away-from-zero
-            return F.floor(argv(0).cast("double") + 0.5).cast("double")
+            return F.floor(argv(0).cast("string").try_cast("double") + 0.5).cast("double")
         if name in ("md5", "sha1", "sha256", "sha384", "sha512"):
             v = argv(0).cast("string").cast("binary")
             if name == "md5":

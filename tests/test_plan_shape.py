@@ -89,6 +89,21 @@ class TestJoinStrategy:
             f"constant-size inputs)\n{optimized_plan(spark, name)}"
         )
 
+    def test_q39_subqueries_decorrelate_to_aggregate_joins(self, spark):
+        # both correlated scalar subqueries MUST rewrite to aggregate+join
+        # (VERDICT r7 item 2): the per-nation MAX filter becomes an inner
+        # hash join against a 25-group aggregate and the projected COUNT a
+        # LEFT OUTER hash join against a per-custkey aggregate.  This is
+        # the one rewrite owned entirely by Catalyst's decorrelation — a
+        # regression to a per-outer-row nested loop would be the classic
+        # O(n^2) scale failure and invisible to the correctness gate.
+        p = plan(spark, "q39_correlated_scalar_subquery")
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "partial_max" in p, p      # MAX subquery decorrelated
+        assert "partial_count" in p, p    # COUNT subquery decorrelated
+        assert re.search(r"Join type: LeftOuter", p), p  # 0-preserving COUNT
+
     def test_d03_candidate_join_is_equi(self, spark):
         # rotation-table candidates must ride an equi-join on (table, key);
         # a nested-loop/cartesian here is the all-pairs scale failure

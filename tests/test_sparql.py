@@ -1160,6 +1160,39 @@ class TestValueSemantics:
         df = veng.query('SELECT (REPLACE("a-A", "a", "X", "i") AS ?r) WHERE { }')
         assert df.collect()[0]["r"]["value"] == "X-X"
 
+    def test_integer_cast_of_numeric_function_result_truncates(self, veng):
+        # xsd:integer(FLOOR(x)) composes: FLOOR returns "1.0"^^double —
+        # the cast must TRUNCATE the numeric result, not reject it on the
+        # strict integer-lexical path (r8 regression: r17's bucket BIND
+        # came back unbound)
+        df = veng.query(
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT (xsd:integer(FLOOR(3.7)) AS ?f) "
+            "(xsd:integer(CEIL(3.2)) AS ?c) "
+            "(xsd:integer(ROUND(3.5)) AS ?r) "
+            "(xsd:integer(xsd:double(\"4.9\")) AS ?d) WHERE { }"
+        )
+        r = df.collect()[0]
+        assert r["f"]["value"] == "3" and r["f"]["datatype"].endswith("#integer")
+        assert r["c"]["value"] == "4"
+        assert r["r"]["value"] == "4"
+        assert r["d"]["value"] == "4"
+
+    def test_numeric_builtins_on_non_numeric_are_unbound_not_error(self, veng):
+        # FLOOR("zzz") is a type error -> unbound, and must never surface
+        # as an ANSI runtime cast failure even when Catalyst evaluates the
+        # expression on rows a later filter would prune (r8 regression:
+        # xsd:integer(FLOOR(?t/...)) aborted the query on a 'big' literal)
+        df = veng.query(
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s ?b WHERE { ?s <http://e/v> ?o "
+            "BIND(xsd:integer(FLOOR(?o / 2)) AS ?b) }"
+        )
+        rows = {r["s"]["value"]: r["b"] for r in df.collect()}
+        assert len(rows) == 6  # every solution survives
+        assert rows["http://e/f"] is None  # "zzz" -> unbound, no abort
+        assert rows["http://e/a"]["value"] == "0"  # 1/2 = 0.5 -> floor 0
+
     def test_order_by_kind_rank(self, veng):
         # §15.1: blank nodes < IRIs < literals in ascending order
         df = veng.query("SELECT ?o WHERE { ?s <http://e/v> ?o } ORDER BY ?o")
