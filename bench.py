@@ -40,9 +40,12 @@ HEADLINE = [
     "q30_interval_join",
     "q31_grouping_sets",
     "q36_per_group_outlier_filter",
+    "q39_correlated_scalar_subquery",
+    "q40_salted_fact_dim_join",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_simhash",
+    "d06_dedup_clusters",
     "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
     "s04_ann_ivf",
@@ -52,9 +55,13 @@ HEADLINE = [
     "t10_char_entropy",
     "d05_decontamination",
     "p02_curation_pipeline",
+    "p05_sequence_packing",
+    "s07_int8_quantization",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
     "m01_image_features",
+    "m05_scene_changes",
+    "st07_stream_stream_join",
 ]
 
 

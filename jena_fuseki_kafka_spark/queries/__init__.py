@@ -84,65 +84,18 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r7 window (first 50; new+unlisted queries sort ahead of all of
-    # these and take slots off the end of the window) ----
-    # r4-green, 2 rounds stale at the r6 check — MUST lead or they cross
-    # the "no verdict older than 2 rounds" boundary (VERDICT r6 item 3):
-    "t08_pii_scrub",
-    "t09_url_domain_stats",
-    "t10_char_entropy",
-    "q16_conditional_agg_case",
-    "q23_funnel_signup_to_purchase",
-    "q38_approx_percentile",
-    "t07_repetition_ratio",
-    # TOUCHED THIS ROUND (forced-broadcast removal per VERDICT r6 item 1,
-    # DESCRIBE frontier unhint item 3) -> re-verify:
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q18_multi_join_part_supplier_stats",
-    "q19_disjunctive_predicate_join",
-    "q26_cohort_retention",
-    "d02_minhash_lsh",
-    "r11_describe_subject",
-    # TOUCHED THIS ROUND (widened oracle gates, VERDICT r6 item 6):
-    "r18_negated_property_set",
-    "p04_leakage_safe_split",
-    "u01_update_sequence",
-    # TOUCHED THIS ROUND (translate.py ADVICE fixes: ordering datatype
-    # gates, string-function unbound propagation, numeric result types,
-    # aggregate-projection validation) -> re-verify the SPARQL surface:
-    "r01_sparql_acceptance_count",
-    "r02_bgp_join_filter",
-    "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r12_group_concat",
-    "r13_subselect",
-    "r14_degree_histogram",
-    "r15_optional_unbound_compat",
-    "r16_from_named_dataset",
-    "r17_minus_compat",
-    # TOUCHED THIS ROUND (connected-components convergence guard,
-    # d04 oversized-block MinHash fallback, st05 dim-join unhint):
-    "d06_dedup_clusters",
-    "s06_embedding_dup_clusters",
-    "d04_ngram_jaccard_blocked",
-    "st05_streaming_static_enrichment",
-    # ---- r5-green, code untouched: 2 rounds stale at the r7 check.  The
-    # r7 window cannot hold all 31 of them (30 queries changed this round
-    # and must re-verify); the ones below the boundary MUST lead the r8
-    # window — rotate them to the very top of this list next round ----
-    "m01_image_features",
-    "m02_audio_features",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
+    # ---- r8 window (first 50; new+unlisted queries sort ahead of all of
+    # these and take slots off the end of the window).
+    # Cadence math: 102 registered queries / 50 slots means a 3-round
+    # check cycle at worst — legal against the "no verdict older than 2
+    # rounds at judging" rule (a query checked at R is age 2 at R+2's
+    # judging, still legal, and re-checked at R+3's window).  Each round
+    # the window = {age-3-if-skipped} + {code touched} + rotation fill.
+    # ---- NEW this round (no prior verdict) ----
+    "st08_stream_stream_outer_join",
+    "q40_salted_fact_dim_join",
+    # ---- r5-green, untouched: age 3 at the r8 check if skipped — MUST
+    # lead (VERDICT r7 item 1, the builder's r7 commitment) ----
     "q08_union_all_parts_suppliers",
     "q09_distinct_projection",
     "q10_aggregate_functions",
@@ -150,7 +103,6 @@ _CHECK_PRIORITY = [
     "q12_subquery_above_avg",
     "q13_values_inline_join",
     "q14_window_top_order_per_cust",
-    # ---- window boundary ~here (50 incl. any new registrations) ----
     "q15_rollup_revenue",
     "q17_string_functions",
     "q20_tumbling_window_hourly",
@@ -166,10 +118,26 @@ _CHECK_PRIORITY = [
     "q34_lead_lag_ntile",
     "q36_per_group_outlier_filter",
     "q37_running_frames",
+    "s02_ann_lsh_bucketed",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
-    "s02_ann_lsh_bucketed",
-    # ---- r6-green, code untouched -> tail (1 round old) ----
+    # ---- TOUCHED THIS ROUND -> re-verify: widened gates (q19/q38/r16/
+    # r17, VERDICT r7 item 4), r14 oracle tie-break + numeric-builtin
+    # try_cast fixes (ADVICE), st07 multi-batch staging + hot key, and
+    # the _minhash_pairs signature refactor shared by d02/d06/d07/s06/p04
+    "q19_disjunctive_predicate_join",
+    "q38_approx_percentile",
+    "r14_degree_histogram",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "st07_stream_stream_join",
+    "d02_minhash_lsh",
+    "d06_dedup_clusters",
+    "d07_minhash_estimator_fidelity",
+    "s06_embedding_dup_clusters",
+    "p04_leakage_safe_split",
+    # ---- r6-green rotation fill (age 2 at r8 judging — legal — but
+    # checking 12 of the 24 now halves r9's mandatory load) ----
     "q01_pricing_summary",
     "s03b_embedding_near_dup_lowt",
     "s03_embedding_near_dup",
@@ -182,6 +150,9 @@ _CHECK_PRIORITY = [
     "q35_salted_skew_agg",
     "p01_stratified_sample",
     "p02_curation_pipeline",
+    # ---- window boundary here (50 above) ----
+    # r6-green remainder: age 3 at the r9 check if skipped — these 13
+    # MUST lead the r9 window (rotate to the very top next round)
     "p03_mixture_rebalance",
     "m03_video_frame_sample",
     "m04_frame_dedup",
@@ -195,6 +166,46 @@ _CHECK_PRIORITY = [
     "t02_quality_score",
     "t03_token_count",
     "t04_fingerprint",
+    # ---- r7-green, code untouched -> tail (fine until r10) ----
+    "d04_ngram_jaccard_blocked",
+    "m01_image_features",
+    "m02_audio_features",
+    "m05_scene_changes",
+    "p05_sequence_packing",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q16_conditional_agg_case",
+    "q18_multi_join_part_supplier_stats",
+    "q23_funnel_signup_to_purchase",
+    "q26_cohort_retention",
+    "q39_correlated_scalar_subquery",
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r15_optional_unbound_compat",
+    "r18_negated_property_set",
+    "s07_int8_quantization",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t09_url_domain_stats",
+    "t10_char_entropy",
+    "u01_update_sequence",
 ]
 
 

@@ -100,3 +100,58 @@ def q35(spark, sf_dir):
         "n",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "q40_salted_fact_dim_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
+    ),
+    dim AS (
+      SELECT event_type, SUM(v) AS type_sum, COUNT(*) AS type_n
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_above,
+           CAST(SUM(e.v) AS DOUBLE) AS sum_above
+    FROM e JOIN dim d ON e.event_type = d.event_type
+    WHERE e.v * CAST(d.type_n AS DECIMAL(10,0)) > d.type_sum
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q40(spark, sf_dir):
+    """``salted_join`` (fragment-and-replicate) through the oracle gate —
+    VERDICT r7 item 6: q35 exercises the salted AGGREGATION; this gate
+    exercises the salted JOIN on the same pathological key shape.  The
+    fact side (events) joins its per-type statistics dim on event_type —
+    only 5 distinct keys, so at 100 TB each key is 20% of the table and a
+    plain shuffle join funnels the whole corpus through 5 reducers.
+    ``salted_join`` salts the fact side into 8 fragments per key and
+    EXPLODE-replicates the 5-row dim 8x, spreading each hot key over 8
+    reducers; the result is row-identical to the naive join (the salt
+    never changes which rows match, only where they meet), which is
+    exactly what the unsalted DuckDB oracle asserts.
+
+    The above-type-mean predicate is expressed division-free
+    (v * n > sum, all DECIMAL) so both engines compare exact values —
+    a double AVG would differ in the last ulp between engines and flip
+    boundary rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.sum("v").alias("type_sum"), F.count("*").alias("type_n")
+    )
+    joined = salted_join(ev, dim, on="event_type", n_salt=DEFAULT_SALT)
+    return (
+        joined.filter(
+            F.col("v") * F.col("type_n").cast("decimal(10,0)") > F.col("type_sum")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum("v").cast("double").alias("sum_above"),
+        )
+        .orderBy("event_type")
+    )

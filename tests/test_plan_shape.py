@@ -121,6 +121,18 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in p, p
         assert re.search(r"isnull\(.*\) OR ", p), p  # residual compat clause present
 
+    def test_q40_salted_join_explodes_salt_and_stays_keyed(self, spark):
+        # fragment-and-replicate: the dim side must EXPLODE the salt array
+        # (8 replicas) and the join must be a hash join keyed on
+        # (event_type, __salt) — that key pair is what spreads each hot
+        # key over 8 reducers; losing either reverts to the 5-reducer
+        # funnel the gate exists to prevent
+        p = plan(spark, "q40_salted_fact_dim_join")
+        assert re.search(r"Generate[\s\S]{0,200}explode\(\[0,1,2,3,4,5,6,7\]\)", p), p
+        assert re.search(r"Left keys \[2\]: \[event_type#\d+, __salt#\d+", p), p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+
     def test_d04_block_guard_broadcasts(self, spark):
         # the block-size guard must prune via broadcast semi-join, never
         # shuffle the doc-meta relation for the tiny block-count table
