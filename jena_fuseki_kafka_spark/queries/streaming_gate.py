@@ -299,21 +299,30 @@ def st06(spark, sf_dir):
     )
 
 
-def _stage_weekly(spark, sf_dir: str, with_sentinel: bool = False) -> tuple[str, object]:
-    """Stage the user<100 click/purchase events into FOUR time-ordered
-    source files (weekly splits, pinned mtimes) so a maxFilesPerTrigger=1
-    stream delivers them across four micro-batches — the watermark then
-    ADVANCES between batches and join-state eviction is genuinely on the
-    execution path (ADVICE r7: a single-batch arrival never evicts).
+def _stage_weekly(
+    spark,
+    sf_dir: str,
+    with_sentinel: bool = False,
+    event_types: tuple[str, ...] | None = ("click", "purchase"),
+    duplicate: bool = False,
+) -> tuple[str, object]:
+    """Stage the user<100 events into FOUR time-ordered source files
+    (weekly splits, pinned mtimes) so a maxFilesPerTrigger=1 stream
+    delivers them across four micro-batches — the watermark then ADVANCES
+    between batches and watermark-bounded state eviction is genuinely on
+    the execution path (ADVICE r7: a single-batch arrival never evicts).
     Returns (staged_dir, schema).  With ``with_sentinel`` a far-future 5th
     file closes every window so outer-join null rows flush before
-    availableNow terminates (st06's sentinel pattern)."""
+    availableNow terminates (st06's sentinel pattern).  With ``duplicate``
+    every staged row is written TWICE in its file (same batch, so the
+    second copy always lands inside the dedup watermark horizon — st09's
+    input shape)."""
     import os
     import tempfile
 
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase") & (F.col("user_id") < 100)
-    )
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    if event_types is not None:
+        ev = ev.filter(F.col("event_type").isin(*event_types))
     cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
     bounds = [F.lit(c).cast("timestamp") for c in cuts]
     splits = [
@@ -349,6 +358,8 @@ def _stage_weekly(spark, sf_dir: str, with_sentinel: bool = False) -> tuple[str,
         )
     td = tempfile.mkdtemp(prefix="st-join-")  # outlives the returned (lazy) DF
     for i, df in enumerate(splits):
+        if duplicate:
+            df = df.unionByName(df)
         p = os.path.join(td, f"f{i}")
         df.coalesce(1).write.parquet(p)
         for root, _, files in os.walk(p):
@@ -494,6 +505,47 @@ def st08(spark, sf_dir):
         .agg(
             F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("n_matched"),
             F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "st09_streaming_bounded_dedup",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_unique,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE user_id < 100
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st09(spark, sf_dir):
+    """Watermark-BOUNDED streaming dedup — ``dropDuplicatesWithinWatermark``
+    — the production answer to st02's plain ``dropDuplicates``: st02's
+    keyed state grows with the number of distinct keys FOREVER (at 100 TB
+    / unbounded streams that is the state-store OOM), while this operator
+    evicts a key's state once the watermark passes its event time + delay,
+    so state is bounded by (event rate x watermark horizon) regardless of
+    stream length.  The contract it keeps: duplicates arriving WITHIN the
+    horizon dedupe exactly; the staging therefore writes every event twice
+    in its weekly file (same micro-batch, trivially inside the 2-hour
+    horizon) and the stream delivers four such batches, with eviction
+    running between them.  The gate's two facets prove exactly-one-copy
+    survival per event: per-user row counts AND the per-user event_id sum
+    (a single surviving duplicate doubles its event_id's contribution; a
+    lost event subtracts it — neither can hash-match the batch oracle,
+    which reads each event once)."""
+    td, schema = _stage_weekly(spark, sf_dir, event_types=None, duplicate=True)
+    stream = _staged_stream(spark, td, schema).withWatermark("ts", "2 hours")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    name = _run_to_table(deduped, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
         )
         .orderBy("user_id")
     )
