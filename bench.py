@@ -198,6 +198,18 @@ def main():
     for _ in range(2):
         run_http()
 
+    # host-speed calibration: a fixed pure-JVM job (range sum — no I/O,
+    # no shuffle, plan never changes) whose cost is independent of any
+    # code in this repo.  Round-over-round, queries should be compared
+    # AFTER normalizing by this row: r8 measured every untouched query
+    # uniformly +20-40% vs r7 on an idle machine — host speed drift, not
+    # regressions — and this row makes that drift visible in the JSON.
+    cal = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr("sum(id)").collect()
+        cal.append(round(time.time() - t0, 3))
+
     timings = {
         name: round(statistics.median(vals), 3)
         for name, vals in samples.items()
@@ -227,6 +239,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "spreads": spreads,
+                "calibration_range_sum_sec": round(statistics.median(cal), 3),
                 "sf": sf,
             }
         )
