@@ -1136,13 +1136,24 @@ class Translator:
             spark_type = schema_df.schema[0].dataType
         except Exception:
             pass
+        # a NULL value is the spec's type error -> the TERM is unbound:
+        # gate the wrap so consumers see NULL, not a struct holding NULL
+        # (r8: YEAR("zzz") leaked a value-less integer-tagged struct)
+        s = val.cast("string")
         if isinstance(spark_type, T.BooleanType):
-            return _term_struct(F.lit("literal"), val.cast("string"), F.lit(XSD_BOOLEAN))
-        if isinstance(spark_type, (T.LongType, T.IntegerType)):
-            return _term_struct(F.lit("literal"), val.cast("string"), F.lit(XSD_INTEGER))
-        if isinstance(spark_type, (T.DoubleType, T.FloatType, T.DecimalType)):
-            return _term_struct(F.lit("literal"), val.cast("string"), F.lit(XSD_DOUBLE))
-        return _term_struct(F.lit("literal"), val.cast("string"))
+            dt = F.lit(XSD_BOOLEAN)
+        elif isinstance(spark_type, (T.LongType, T.IntegerType)):
+            dt = F.lit(XSD_INTEGER)
+        elif isinstance(spark_type, (T.DoubleType, T.FloatType, T.DecimalType)):
+            dt = F.lit(XSD_DOUBLE)
+        else:
+            dt = None
+        wrapped = (
+            _term_struct(F.lit("literal"), s, dt)
+            if dt is not None
+            else _term_struct(F.lit("literal"), s)
+        )
+        return F.when(s.isNotNull(), wrapped)
 
     def _numeric(self, col_struct: Column) -> Column:
         return col_struct["value"].try_cast("double")
@@ -1434,13 +1445,26 @@ class Translator:
         if name == "substr":
             # XPath fn:substring: keep chars at 1-based positions p with
             # start <= p < start+len, so a start below 1 consumes length
-            # before the string begins (SUBSTR("12345", 0, 3) is "12")
+            # before the string begins (SUBSTR("12345", 0, 3) is "12").
+            # Positions go through try_cast + fn:round (ties toward +INF,
+            # same as the ROUND builtin): a non-numeric position is the
+            # spec's type error -> unbound, never an ANSI runtime abort,
+            # and a fractional position rounds per fn:substring
+            def pos(i):
+                d = argv(i).cast("string").try_cast("double")
+                return F.floor(d + 0.5).try_cast("int")
+
             src = argv(0).cast("string")
-            start = argv(1).cast("int")
-            eff_start = F.greatest(start, F.lit(1))
+            start = pos(1)
+            # greatest() skips NULLs, so gate explicitly: an unbound
+            # position must make the whole call unbound, not default to 1
+            eff_start = F.when(start.isNotNull(), F.greatest(start, F.lit(1)))
             if len(call.args) > 2:
-                end = start + argv(2).cast("int")
-                return src.substr(eff_start, F.greatest(end - eff_start, F.lit(0)))
+                end = start + pos(2)
+                return F.when(
+                    end.isNotNull(),
+                    src.substr(eff_start, F.greatest(end - eff_start, F.lit(0))),
+                )
             return src.substr(eff_start, F.lit(1 << 30))
         if name == "ucase":
             return F.upper(argv(0).cast("string"))
@@ -1523,7 +1547,9 @@ class Translator:
                 return F.sha1(v)
             return F.sha2(v, int(name[3:]))
         if name in ("year", "month", "day", "hours", "minutes", "seconds"):
-            ts = argv(0).cast("timestamp")
+            # try_cast: YEAR(?x) on a non-dateTime term is a type error ->
+            # unbound, not an ANSI abort (same class as the FLOOR fix)
+            ts = argv(0).cast("string").try_cast("timestamp")
             fns = {
                 "year": F.year, "month": F.month, "day": F.dayofmonth,
                 "hours": F.hour, "minutes": F.minute, "seconds": F.second,

@@ -1178,6 +1178,29 @@ class TestValueSemantics:
         assert r["r"]["value"] == "4"
         assert r["d"]["value"] == "4"
 
+    def test_substr_and_datetime_accessors_ansi_safe(self, veng):
+        # SUBSTR with a non-numeric position and YEAR on a non-dateTime
+        # term are type errors -> unbound, never ANSI runtime aborts;
+        # fractional SUBSTR positions round per fn:substring
+        df = veng.query(
+            "SELECT ?s ?bad ?yr ?frac WHERE { ?s <http://e/v> ?o "
+            "BIND(SUBSTR(\"hello\", ?o) AS ?bad) "
+            "BIND(YEAR(?o) AS ?yr) "
+            "BIND(SUBSTR(\"12345\", 1.5, 2.6) AS ?frac) }"
+        )
+        rows = {r["s"]["value"]: r for r in df.collect()}
+        assert len(rows) == 6  # no abort, every solution survives
+        assert rows["http://e/f"]["bad"] is None       # "zzz" position
+        assert rows["http://e/f"]["yr"] is None        # "zzz" not a dateTime
+        # fn:substring(("12345", 1.5, 2.6)) = chars at round(1.5)=2..2+round(2.6)=3 -> "234"
+        assert rows["http://e/a"]["frac"]["value"] == "234"
+        # and YEAR on a real dateTime term still extracts
+        df2 = veng.query(
+            "SELECT ?s (YEAR(?x) AS ?yr) WHERE { ?s <http://e/ts> ?x }"
+        )
+        years = {r["s"]["value"]: r["yr"]["value"] for r in df2.collect()}
+        assert years["http://e/t1"] == "2024"
+
     def test_numeric_builtins_on_non_numeric_are_unbound_not_error(self, veng):
         # FLOOR("zzz") is a type error -> unbound, and must never surface
         # as an ANSI runtime cast failure even when Catalyst evaluates the
