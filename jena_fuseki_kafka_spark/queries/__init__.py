@@ -86,7 +86,7 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r8 window (first 50; new+unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 103 registered queries / 50 slots means a 3-round
+    # Cadence math: 104 registered queries / 50 slots means a 3-round
     # check cycle at worst — legal against the "no verdict older than 2
     # rounds at judging" rule (a query checked at R is age 2 at R+2's
     # judging, still legal, and re-checked at R+3's window).  Each round
@@ -95,6 +95,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "q40_salted_fact_dim_join",
     "st09_streaming_bounded_dedup",
+    "d08_substring_span_dedup",
     # ---- r5-green, untouched: age 3 at the r8 check if skipped — MUST
     # lead (VERDICT r7 item 1, the builder's r7 commitment) ----
     "q08_union_all_parts_suppliers",
@@ -138,7 +139,7 @@ _CHECK_PRIORITY = [
     "s06_embedding_dup_clusters",
     "p04_leakage_safe_split",
     # ---- r6-green rotation fill (age 2 at r8 judging — legal — but
-    # checking 12 of the 24 now halves r9's mandatory load) ----
+    # checking 10 of the 25 now cuts r9's mandatory load) ----
     "q01_pricing_summary",
     "s03b_embedding_near_dup_lowt",
     "s03_embedding_near_dup",
@@ -149,10 +150,10 @@ _CHECK_PRIORITY = [
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",
-    "p01_stratified_sample",
     # ---- window boundary here (50 above) ----
-    # r6-green remainder: age 3 at the r9 check if skipped — these 14
+    # r6-green remainder: age 3 at the r9 check if skipped — these 15
     # MUST lead the r9 window (rotate to the very top next round)
+    "p01_stratified_sample",
     "p02_curation_pipeline",
     "p03_mixture_rebalance",
     "m03_video_frame_sample",

@@ -813,3 +813,111 @@ def d07(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------- d08 substring spans
+D08_NGRAM = 8
+
+
+def _d08_oracle() -> str:
+    gram = "array_to_string(w[i:i+7], ' ')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    ngrams AS (
+      SELECT doc_id, i AS pos, {_hash60_sql(gram)} AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - {D08_NGRAM - 1})) AS i)
+      WHERE len(w) >= {D08_NGRAM}
+    ),
+    shared AS (SELECT h FROM ngrams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT n.doc_id, n.pos FROM ngrams n JOIN shared s ON n.h = s.h),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {D08_NGRAM - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{D08_NGRAM}) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos + {D08_NGRAM - 1}) AS span_end,
+           MAX(pos + {D08_NGRAM - 1}) - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
+@query("d08_substring_span_dedup", oracle=_d08_oracle())
+def d08(spark, sf_dir):
+    """EXACT SUBSTRING-SPAN dedup — the span-level pass production
+    pipelines run after doc-level dedup (dedup of repeated boilerplate /
+    quotations that doc-level passes miss): find every {D08_NGRAM}-token
+    window shared verbatim by >= 2 DISTINCT documents, then merge the
+    flagged windows per document into MAXIMAL token spans
+    (doc_id, span_start, span_end) a curator can cut.
+
+    Spark-first shape and 100 TB cost:
+    - tokenize + positional n-grams are one JVM transform + explode
+      (positions via ``sequence``; no Python);
+    - only the 8-byte n-gram HASH shuffles — one partial-agg
+      COUNT(DISTINCT doc) per hash finds cross-doc n-grams, one left-semi
+      join flags positions (AQE broadcasts the shared-hash relation while
+      it fits; at a high-dup corpus it falls back to a shuffled semi-join
+      — same unhinted pattern as d02's verify stage);
+    - span merge is gaps-and-islands per document: a doc_id-partitioned
+      window (parallelism = docs, per-partition work = that doc's flagged
+      positions) — never a global sort.
+    The DuckDB oracle computes the identical algorithm (shared md5-60bit
+    hash helper), so spans match to the exact token index."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    with_words = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= D08_NGRAM)
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {D08_NGRAM - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(w, i, {D08_NGRAM})) AS g))"
+    )
+    ng = with_words.select("doc_id", F.explode(grams).alias("x")).select(
+        "doc_id",
+        F.col("x.pos").alias("pos"),
+        _hash60_spark(F.col("x.g")).alias("h"),
+    )
+    shared = (
+        ng.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = ng.join(shared, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+    ).otherwise(0)
+    isl = dup.withColumn("ni", new_island).withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + (D08_NGRAM - 1)).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

@@ -69,3 +69,25 @@ def test_d04_stays_oracle_gated():
     assert "d04_ngram_jaccard_blocked" in QUERIES
     assert "d04_ngram_jaccard_blocked" in ORACLES
     assert "d04_ngram_jaccard_blocked" in _CHECK_PRIORITY
+
+
+class TestD08SubstringSpans:
+    def test_spans_non_vacuous_and_well_formed(self, spark, sf_dir):
+        from jena_fuseki_kafka_spark.queries.dedup import D08_NGRAM
+
+        rows = QUERIES["d08_substring_span_dedup"](spark, sf_dir).collect()
+        assert rows, "corpus must contain cross-doc duplicated spans"
+        by_doc = {}
+        for r in rows:
+            assert r.span_tokens == r.span_end - r.span_start + 1
+            assert r.span_tokens >= D08_NGRAM  # a span is at least one n-gram
+            by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        # spans within one doc are maximal: sorted, non-overlapping, with
+        # a gap > 1 between consecutive spans (else they'd have merged)
+        for doc, spans in by_doc.items():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > e1 + 1, (doc, spans)
+
+    def test_d08_oracle_registered(self):
+        assert "d08_substring_span_dedup" in ORACLES

@@ -121,6 +121,17 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in p, p
         assert re.search(r"isnull\(.*\) OR ", p), p  # residual compat clause present
 
+    def test_d08_span_merge_is_doc_partitioned_and_jvm(self, spark):
+        # substring-span dedup: the gaps-and-islands merge must ride a
+        # doc_id-partitioned window (per-doc work, never a global sort),
+        # candidates flag via a keyed join on the n-gram hash, and the
+        # whole pipeline stays JVM-side
+        p = plan(spark, "d08_substring_span_dedup")
+        assert "windowspecdefinition(doc_id" in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
     def test_q40_salted_join_explodes_salt_and_stays_keyed(self, spark):
         # fragment-and-replicate: the dim side must EXPLODE the salt array
         # (8 replicas) and the join must be a hash join keyed on
