@@ -46,6 +46,7 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d03_simhash",
     "d06_dedup_clusters",
+    "d08_substring_span_dedup",
     "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
     "s04_ann_ivf",
