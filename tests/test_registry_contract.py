@@ -51,3 +51,42 @@ def test_all_oracles_plan_in_duckdb():
         except Exception as e:
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, f"oracles that fail to plan: {bad}"
+
+
+def test_check_window_satisfies_staleness_rule():
+    # The judge's rule: at round N's judging, no query's latest oracle
+    # verdict may be older than 2 rounds.  The driver checks the FIRST 50
+    # registered queries, so the rule is enforceable mechanically: derive
+    # each query's last-checked round from the CORRECTNESS_r*.json files
+    # the driver leaves in the repo, and assert that every query that
+    # would cross the bound this round (last checked >= 3 rounds ago, or
+    # never checked at all) sits inside the 50-slot window.
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_checked: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                last_checked[name] = max(last_checked.get(name, 0), rnd)
+    if not rounds:
+        return  # round 1: no history, nothing can be stale
+    current = max(rounds) + 1  # the round being built
+    window = set(list(QUERIES)[:50])
+    must_check = [
+        n for n in QUERIES
+        if n not in last_checked or current - last_checked[n] >= 3
+    ]
+    missing = [n for n in must_check if n not in window]
+    assert not missing, (
+        f"round {current}: these queries would cross the 2-round staleness "
+        f"bound but are NOT in the 50-slot check window — move them to the "
+        f"top of _CHECK_PRIORITY: {missing}"
+    )
