@@ -54,3 +54,49 @@ class TestSaltedAggregate:
             for r in salted_sum_count(df, ["k"], ["v"]).collect()
         }
         assert salted == plain
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The session config (session.py: adaptive.skewJoin.enabled) must
+        actually deliver runtime skew splitting — the implicit half of the
+        skew story (skew.py's salting is the explicit half).  Build a
+        90%-one-key shuffle join with thresholds scaled to test data and
+        assert AQE re-planned the join with skew=true."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        old = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            big = spark.range(500_000).select(
+                F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("v"),
+            )
+            dim = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            j = big.join(dim, "k").groupBy().agg(F.count("*").alias("n"))
+            assert j.collect()[0]["n"] == 500_000 * 1  # every row matches once
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"Join\(skew=true\)", plan), plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
