@@ -410,3 +410,57 @@ def scene_change_stats(media: DataFrame, threshold: int = 127) -> DataFrame:
     return media.filter(F.col("kind") == "video").select("media_id", "data").mapInPandas(
         detect, schema=schema
     )
+
+
+def vad_segments(media: DataFrame, win: int = 8, threshold: int = 131072) -> DataFrame:
+    """Voice-activity segmentation over audio: frame the waveform into
+    fixed ``win``-sample windows (FULL windows only — the ragged tail is
+    dropped so both engines agree on window count), mark a window voiced
+    when its sum of absolute sample values exceeds ``threshold``, and
+    merge consecutive voiced windows into maximal segments — the VAD
+    pre-pass a speech-data pipeline runs before transcription/packing.
+
+    Scale shape mirrors scene_change_stats: an audio row carries its own
+    samples, so framing, thresholding AND the island merge are all
+    row-local inside one Arrow ``mapInPandas`` pass — zero shuffle at any
+    corpus size, parallelism = media rows.  Integer energies (|int16|
+    sums) keep both engines bit-exact.  Real codecs stub behind
+    ``decode_audio``'s documented boundary."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("seg_start", T.LongType(), True),
+            T.StructField("seg_end", T.LongType(), True),
+            T.StructField("n_windows", T.LongType(), True),
+            T.StructField("energy", T.LongType(), True),
+        ]
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rate, samples = decode_audio(bytes(data))
+                n_win = len(samples) // win
+                voiced = []
+                for wi in range(n_win):
+                    e = sum(abs(s) for s in samples[wi * win : (wi + 1) * win])
+                    if e > threshold:
+                        voiced.append((wi, e))
+                seg = None  # (start, end, energy)
+                for wi, e in voiced:
+                    if seg is not None and wi == seg[1] + 1:
+                        seg = (seg[0], wi, seg[2] + e)
+                    else:
+                        if seg is not None:
+                            rows.append((int(mid), seg[0], seg[1], seg[1] - seg[0] + 1, seg[2]))
+                        seg = (wi, wi, e)
+                if seg is not None:
+                    rows.append((int(mid), seg[0], seg[1], seg[1] - seg[0] + 1, seg[2]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "seg_start", "seg_end", "n_windows", "energy"]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "data").mapInPandas(
+        detect, schema=schema
+    )

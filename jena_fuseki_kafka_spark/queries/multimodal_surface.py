@@ -35,6 +35,7 @@ from .multimodal import (
     audio_features,
     image_features,
     sample_frames,
+    vad_segments,
 )
 
 
@@ -330,3 +331,55 @@ def m05(spark, sf_dir):
 
     media = fake_media(load(spark, sf_dir, "documents"))
     return scene_change_stats(media, threshold=127).orderBy("media_id")
+
+
+@query(
+    "m06_audio_vad_segments",
+    oracle="""
+    WITH auds AS (
+      SELECT doc_id, 16 + doc_id % 32 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    smp AS (
+      SELECT doc_id, n, i, ABS(((doc_id*13 + i*17) % 65536) - 32768) AS a
+      FROM auds, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+    ),
+    win AS (
+      SELECT doc_id, i // 8 AS w_idx, SUM(a) AS e
+      FROM smp WHERE i < (n // 8) * 8
+      GROUP BY doc_id, i // 8
+    ),
+    voiced AS (SELECT doc_id, w_idx, e FROM win WHERE e > 131072),
+    marked AS (
+      SELECT doc_id, w_idx, e,
+             CASE WHEN w_idx - 1 = lag(w_idx) OVER (PARTITION BY doc_id ORDER BY w_idx)
+                  THEN 0 ELSE 1 END AS ni
+      FROM voiced
+    ),
+    isl AS (
+      SELECT doc_id, w_idx, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY w_idx ROWS UNBOUNDED PRECEDING) AS seg
+      FROM marked
+    )
+    SELECT doc_id AS media_id,
+           MIN(w_idx) AS seg_start,
+           MAX(w_idx) AS seg_end,
+           COUNT(*) AS n_windows,
+           CAST(SUM(e) AS BIGINT) AS energy
+    FROM isl GROUP BY doc_id, seg
+    ORDER BY media_id, seg_start
+    """,
+)
+def m06(spark, sf_dir):
+    """Voice-activity segmentation through the gate: 8-sample windows,
+    |int16| energy > 131072 (the 8 x 16384 midline, so the deterministic
+    fake waveform yields a genuine voiced/unvoiced mix), consecutive
+    voiced windows merged row-locally into maximal segments — all inside
+    one shuffle-free mapInPandas pass (m05's scene-detection shape, on
+    audio).  The oracle re-derives windows, thresholds and the island
+    merge relationally from the closed-form fake-sample formula, so
+    segment boundaries and integer energies match exactly."""
+    media = fake_media(load(spark, sf_dir, "documents"))
+    return vad_segments(media, win=8, threshold=131072).orderBy(
+        "media_id", "seg_start"
+    )
