@@ -129,6 +129,7 @@ _CHECK_PRIORITY = [
     # try_cast fixes (ADVICE), st07 multi-batch staging + hot key, and
     # the _minhash_pairs signature refactor shared by d02/d06/d07/s06/p04
     "q19_disjunctive_predicate_join",
+    "q23_funnel_signup_to_purchase",
     "q38_approx_percentile",
     "r14_degree_histogram",
     "r16_from_named_dataset",
@@ -149,10 +150,10 @@ _CHECK_PRIORITY = [
     "st03_streaming_session_window",
     "st04_streaming_first_seen",
     "q29_asof_join",
-    "q30_interval_join",
     # ---- window boundary here (50 above) ----
-    # r6-green remainder: age 3 at the r9 check if skipped — these 16
+    # r6-green remainder: age 3 at the r9 check if skipped — these 17
     # MUST lead the r9 window (rotate to the very top next round)
+    "q30_interval_join",
     "q35_salted_skew_agg",
     "p01_stratified_sample",
     "p02_curation_pipeline",
@@ -183,7 +184,6 @@ _CHECK_PRIORITY = [
     "q07_optional_left_join",
     "q16_conditional_agg_case",
     "q18_multi_join_part_supplier_stats",
-    "q23_funnel_signup_to_purchase",
     "q26_cohort_retention",
     "q39_correlated_scalar_subquery",
     "r01_sparql_acceptance_count",

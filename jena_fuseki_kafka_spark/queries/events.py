@@ -109,36 +109,50 @@ def q22(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
       FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS all_users,
+             CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN s IS NOT NULL AND c > s THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN s IS NOT NULL AND c > s AND p > c
+                      THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      FROM f
     )
-    SELECT COUNT(*) AS n_users,
-           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
-           CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-    FROM f
+    SELECT 0 AS step, all_users AS n_users FROM agg
+    UNION ALL SELECT 1, s1 FROM agg
+    UNION ALL SELECT 2, s2 FROM agg
+    UNION ALL SELECT 3, s3 FROM agg
+    ORDER BY step
     """,
 )
 def q23(spark, sf_dir):
-    """Funnel analysis: conditional-min per user then conversion counts —
-    one shuffle on user_id, no self-join."""
+    """Funnel analysis: conditional-min per user then step counts — one
+    shuffle on user_id, no self-join.  Widened r8 (VERDICT r7 item 4
+    family): a THREE-step ordered funnel (signup -> click after signup ->
+    purchase after click) emitted as one row per step, so the hash pins
+    every stage's drop-off, not one conversion scalar."""
     ev = load(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
     )
-    return f.agg(
-        F.count("*").alias("n_users"),
-        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
-        F.sum(
-            F.when(
-                F.col("first_signup").isNotNull()
-                & (F.col("first_purchase") > F.col("first_signup")),
-                1,
-            ).otherwise(0)
-        ).alias("n_converted"),
+    step1 = F.col("s").isNotNull()
+    step2 = step1 & (F.col("c") > F.col("s"))
+    step3 = step2 & (F.col("p") > F.col("c"))
+    agg = f.agg(
+        F.count("*").alias("all_users"),
+        F.sum(F.when(step1, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("s2"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("s3"),
     )
+    return agg.selectExpr(
+        "stack(4, 0, all_users, 1, s1, 2, s2, 3, s3) AS (step, n_users)"
+    ).orderBy("step")
 
 
 @query(

@@ -350,19 +350,24 @@ def q11(spark, sf_dir):
 @query(
     "q12_subquery_above_avg",
     oracle="""
-    SELECT COUNT(*) AS n_above FROM customer
+    SELECT c_mktsegment, COUNT(*) AS n_above FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def q12(spark, sf_dir):
     """Scalar subquery (SPARQL nested SELECT). Decorrelated by Catalyst
-    when written as a cross join with a 1-row aggregate."""
+    when written as a cross join with a 1-row aggregate.  Widened r8
+    (VERDICT r7 item 4 family): per-segment rows instead of one global
+    count, so the hash pins the above-average set's distribution."""
     c = load(spark, sf_dir, "customer")
     avg = c.agg(F.avg("c_acctbal").alias("a"))
     return (
         c.join(F.broadcast(avg))
         .filter(F.col("c_acctbal") > F.col("a"))
+        .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_above"))
+        .orderBy("c_mktsegment")
     )
 
 
@@ -703,8 +708,8 @@ def q31(spark, sf_dir):
 @query(
     "q32_approx_distinct",
     oracle="""
-    SELECT COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS approx_ok
-    FROM lineitem
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def q32(spark, sf_dir):
@@ -714,45 +719,72 @@ def q32(spark, sf_dir):
     approx pass is a map-side sketch merge (no shuffle of distinct keys),
     which is why it exists at all."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_nd"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_nd"),
     )
     rel_err = F.abs(F.col("approx_nd") - F.col("exact_nd")) / F.col("exact_nd")
     return agg.select(
+        "l_returnflag",
         "exact_nd",
         F.when(rel_err <= 0.05, 1).otherwise(0).alias("approx_ok"),
-    )
+    ).orderBy("l_returnflag")
 
 
 @query(
     "q33_semi_anti_join",
     oracle="""
-    SELECT
-      (SELECT COUNT(*) FROM orders o
-        WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
-        AS n_with_returns,
-      (SELECT COUNT(*) FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
-        AS n_without_returns
+    WITH w AS (
+      SELECT o_orderpriority, COUNT(*) AS n_with_returns FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority
+    ),
+    wo AS (
+      SELECT o_orderpriority, COUNT(*) AS n_without_returns FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority
+    )
+    SELECT COALESCE(w.o_orderpriority, wo.o_orderpriority) AS o_orderpriority,
+           COALESCE(w.n_with_returns, 0) AS n_with_returns,
+           COALESCE(wo.n_without_returns, 0) AS n_without_returns
+    FROM w FULL OUTER JOIN wo ON w.o_orderpriority = wo.o_orderpriority
+    ORDER BY 1
     """,
 )
 def q33(spark, sf_dir):
     """Semi/anti-join (EXISTS / NOT EXISTS): orders with vs without any
-    returned line.  Spark plans left-semi and left-anti joins — the filter
-    on the probe side pushes into its scan, and the join carries only the
-    key column, so the shuffle moves one long per matching row."""
+    returned line, per order priority.  Spark plans left-semi and
+    left-anti joins — the filter on the probe side pushes into its scan,
+    and the join carries only the key column, so the shuffle moves one
+    long per matching row.  Widened r8 (VERDICT r7 item 4 family):
+    per-priority rows replace the old two-scalar row, and the driver-side
+    ``.count()`` pair is gone — the whole result is one distributed plan
+    now."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     returned = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    with_r = o.join(returned, "o_orderkey", "left_semi").count()
-    without_r = o.join(returned, "o_orderkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(with_r, without_r)], "n_with_returns long, n_without_returns long"
+    with_r = (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with_returns"))
+    )
+    without_r = (
+        o.join(returned, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_without_returns"))
+    )
+    return (
+        with_r.join(without_r, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_with_returns", F.lit(0)).alias("n_with_returns"),
+            F.coalesce("n_without_returns", F.lit(0)).alias("n_without_returns"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
