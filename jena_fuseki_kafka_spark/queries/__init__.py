@@ -86,7 +86,7 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r8 window (first 50; new+unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 105 registered queries / 50 slots means a 3-round
+    # Cadence math: 106 registered queries / 50 slots means a 3-round
     # check cycle at worst — legal against the "no verdict older than 2
     # rounds at judging" rule (a query checked at R is age 2 at R+2's
     # judging, still legal, and re-checked at R+3's window).  Each round
@@ -97,6 +97,7 @@ _CHECK_PRIORITY = [
     "st09_streaming_bounded_dedup",
     "d08_substring_span_dedup",
     "m06_audio_vad_segments",
+    "s08_prefix_dim_rerank",
     # ---- r5-green, untouched: age 3 at the r8 check if skipped — MUST
     # lead (VERDICT r7 item 1, the builder's r7 commitment) ----
     "q08_union_all_parts_suppliers",
@@ -149,10 +150,10 @@ _CHECK_PRIORITY = [
     "st02_streaming_dedup_count",
     "st03_streaming_session_window",
     "st04_streaming_first_seen",
-    "q29_asof_join",
     # ---- window boundary here (50 above) ----
-    # r6-green remainder: age 3 at the r9 check if skipped — these 17
+    # r6-green remainder: age 3 at the r9 check if skipped — these 18
     # MUST lead the r9 window (rotate to the very top next round)
+    "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",
     "p01_stratified_sample",

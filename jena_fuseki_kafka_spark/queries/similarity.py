@@ -577,3 +577,88 @@ def s07(spark, sf_dir):
         F.array_max(F.transform("qv", lambda v: F.abs(v))).cast("long").alias("max_abs_q"),
         qdot.alias("qdot_next"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------- s08 prefix-dim rerank
+PREFIX_DIM = 16
+COARSE_C = 50
+
+
+@query(
+    "s08_prefix_dim_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    coarse AS (
+      SELECT q.query_id, e.vec_id, e.embedding, q.qv,
+             ROUND({_COS_SQL.format(a='q.qv[1:16]', b='e.embedding[1:16]')}, 4) AS coarse_cos
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, embedding, qv, coarse_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY coarse_cos DESC, vec_id) AS crk
+      FROM coarse
+    ),
+    rerank AS (
+      SELECT query_id, vec_id, coarse_cos,
+             ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) AS cosine
+      FROM cand WHERE crk <= {COARSE_C}
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, coarse_cos, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM rerank
+    )
+    SELECT query_id, vec_id, coarse_cos, cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def s08(spark, sf_dir):
+    """PREFIX-DIMENSION two-stage retrieval (the Matryoshka-style scale
+    trick): stage 1 ranks every candidate by cosine over only the FIRST
+    {PREFIX_DIM} of {DIM} dimensions — at 100 TB that is the lever, a 4x
+    cut in bytes read and multiplies computed for the scan-heavy pass —
+    and keeps the top {COARSE_C} per query; stage 2 re-ranks just that
+    bounded candidate set with the exact full-dimension cosine and emits
+    the top {TOP_K}.
+
+    Scale shape: the coarse pass is the only corpus-wide work (broadcast
+    query set, per-row JVM slice+dot, per-query window top-C); the rerank
+    touches C rows per query regardless of corpus size.  Both stages use
+    the family's deterministic double machinery (left-to-right summation,
+    round-4) so the DuckDB oracle reproduces candidate sets and ranks
+    exactly — coarse_cos is emitted next to the exact cosine, pinning the
+    stage-1 ranking itself, not just the final answer."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qpre = F.slice(F.col("qv"), 1, PREFIX_DIM)
+    epre = F.slice(F.col("embedding"), 1, PREFIX_DIM)
+    coarse_cos = _dot_spark(qpre, epre) / (_norm_spark(qpre) * _norm_spark(epre))
+    coarse = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", "embedding", "qv",
+        F.round(coarse_cos, 4).alias("coarse_cos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("coarse_cos"), F.asc("vec_id"))
+    cand = coarse.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= COARSE_C
+    )
+    full_cos = _dot_spark(F.col("qv"), F.col("embedding")) / (
+        _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding"))
+    )
+    rerank = cand.select(
+        "query_id", "vec_id", "coarse_cos", F.round(full_cos, 4).alias("cosine")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "coarse_cos", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
