@@ -84,75 +84,17 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r8 window (first 50; new+unlisted queries sort ahead of all of
+    # ---- r9 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 106 registered queries / 50 slots means a 3-round
-    # check cycle at worst — legal against the "no verdict older than 2
-    # rounds at judging" rule (a query checked at R is age 2 at R+2's
-    # judging, still legal, and re-checked at R+3's window).  Each round
-    # the window = {age-3-if-skipped} + {code touched} + rotation fill.
-    # ---- NEW this round (no prior verdict) ----
-    "st08_stream_stream_outer_join",
-    "q40_salted_fact_dim_join",
-    "st09_streaming_bounded_dedup",
-    "d08_substring_span_dedup",
-    "m06_audio_vad_segments",
-    "s08_prefix_dim_rerank",
-    # ---- r5-green, untouched: age 3 at the r8 check if skipped — MUST
-    # lead (VERDICT r7 item 1, the builder's r7 commitment) ----
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q20_tumbling_window_hourly",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q24_exact_percentiles",
-    "q25_cube_aggregation",
-    "q27_sliding_window",
-    "q28_set_operations",
-    "q31_grouping_sets",
-    "q32_approx_distinct",
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q36_per_group_outlier_filter",
-    "q37_running_frames",
-    "s02_ann_lsh_bucketed",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    # ---- TOUCHED THIS ROUND -> re-verify: widened gates (q19/q38/r16/
-    # r17, VERDICT r7 item 4), r14 oracle tie-break + numeric-builtin
-    # try_cast fixes (ADVICE), st07 multi-batch staging + hot key, and
-    # the _minhash_pairs signature refactor shared by d02/d06/d07/s06/p04
-    "q19_disjunctive_predicate_join",
-    "q23_funnel_signup_to_purchase",
-    "q38_approx_percentile",
-    "r14_degree_histogram",
-    "r16_from_named_dataset",
-    "r17_minus_compat",
-    "st07_stream_stream_join",
-    "d02_minhash_lsh",
-    "d06_dedup_clusters",
-    "d07_minhash_estimator_fidelity",
-    "s06_embedding_dup_clusters",
-    "p04_leakage_safe_split",
-    # ---- r6-green rotation fill (age 2 at r8 judging — legal — but
-    # checking 10 of the 25 now cuts r9's mandatory load) ----
-    "q01_pricing_summary",
-    "s03b_embedding_near_dup_lowt",
-    "s03_embedding_near_dup",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    # ---- window boundary here (50 above) ----
-    # r6-green remainder: age 3 at the r9 check if skipped — these 18
-    # MUST lead the r9 window (rotate to the very top next round)
+    # Cadence math: 110 registered queries / 50 slots -> 3-round cycle at
+    # worst, legal against the "no verdict older than 2 rounds at
+    # judging" rule.  Window composition this round: 4 new + 18 mandatory
+    # r6-leads + 7 touched + 21 r7-cohort fill = 50 exactly.
+    # ---- NEW this round (no prior verdict; registered names are
+    # appended here as each lands — unlisted new names sort first
+    # regardless, so a forgotten entry still gets checked) ----
+    # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
+    # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",
@@ -171,12 +113,19 @@ _CHECK_PRIORITY = [
     "t02_quality_score",
     "t03_token_count",
     "t04_fingerprint",
-    # ---- r7-green, code untouched -> tail (fine until r10) ----
-    "d04_ngram_jaccard_blocked",
-    "m01_image_features",
-    "m02_audio_features",
-    "m05_scene_changes",
-    "p05_sequence_packing",
+    # ---- TOUCHED THIS ROUND -> re-verify: s08 coarse-select slimmed
+    # (VERDICT r8 item 3), connected_components big-step escalation
+    # (item 7: shared by d06/s06/p04), _stage_weekly staging-dir cache
+    # (ADVICE: shared by st07/st08/st09) ----
+    "s08_prefix_dim_rerank",
+    "d06_dedup_clusters",
+    "s06_embedding_dup_clusters",
+    "p04_leakage_safe_split",
+    "st07_stream_stream_join",
+    "st08_stream_stream_outer_join",
+    "st09_streaming_bounded_dedup",
+    # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
+    # checking 21 of the 38 now cuts r10's mandatory load to 17) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -198,6 +147,14 @@ _CHECK_PRIORITY = [
     "r09_values_inline_data",
     "r10_ask",
     "r11_describe_subject",
+    # ---- window boundary here (50 above) ----
+    # r7-green remainder: age 3 at the r10 check if skipped — these 17
+    # MUST lead the r10 window (rotate to the very top next round)
+    "d04_ngram_jaccard_blocked",
+    "m01_image_features",
+    "m02_audio_features",
+    "m05_scene_changes",
+    "p05_sequence_packing",
     "r12_group_concat",
     "r13_subselect",
     "r15_optional_unbound_compat",
@@ -210,6 +167,50 @@ _CHECK_PRIORITY = [
     "t09_url_domain_stats",
     "t10_char_entropy",
     "u01_update_sequence",
+    # ---- r8-green, code untouched -> tail (fine until r11) ----
+    "d02_minhash_lsh",
+    "d07_minhash_estimator_fidelity",
+    "d08_substring_span_dedup",
+    "m06_audio_vad_segments",
+    "q01_pricing_summary",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q19_disjunctive_predicate_join",
+    "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q23_funnel_signup_to_purchase",
+    "q24_exact_percentiles",
+    "q25_cube_aggregation",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q31_grouping_sets",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q36_per_group_outlier_filter",
+    "q37_running_frames",
+    "q38_approx_percentile",
+    "q40_salted_fact_dim_join",
+    "r14_degree_histogram",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "s02_ann_lsh_bucketed",
+    "s03_embedding_near_dup",
+    "s03b_embedding_near_dup_lowt",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
 ]
 
 
