@@ -631,7 +631,17 @@ def s08(spark, sf_dir):
     the family's deterministic double machinery (left-to-right summation,
     round-4) so the DuckDB oracle reproduces candidate sets and ranks
     exactly — coarse_cos is emitted next to the exact cosine, pinning the
-    stage-1 ranking itself, not just the final answer."""
+    stage-1 ranking itself, not just the final answer.
+
+    The coarse projection drops ``embedding``/``qv`` BEFORE the top-C
+    window (VERDICT r8 item 3): the exchange feeding the window carries
+    only (query_id, vec_id, coarse_cos) — ~24 bytes/row instead of
+    2 x DIM doubles — so the shuffle stays cheap even if the optimizer's
+    partial WindowGroupLimit (pinned in test_plan_shape.py) ever stopped
+    applying.  The bounded candidate set (<= C per query) is then
+    broadcast back against the embeddings scan to fetch full vectors for
+    the exact rerank — correctness of the shuffle bound no longer depends
+    on an optimizer rewrite."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
@@ -642,18 +652,22 @@ def s08(spark, sf_dir):
     epre = F.slice(F.col("embedding"), 1, PREFIX_DIM)
     coarse_cos = _dot_spark(qpre, epre) / (_norm_spark(qpre) * _norm_spark(epre))
     coarse = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id", "vec_id", "embedding", "qv",
-        F.round(coarse_cos, 4).alias("coarse_cos"),
+        "query_id", "vec_id", F.round(coarse_cos, 4).alias("coarse_cos")
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("coarse_cos"), F.asc("vec_id"))
-    cand = coarse.withColumn("crk", F.row_number().over(wc)).filter(
-        F.col("crk") <= COARSE_C
+    cand = (
+        coarse.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= COARSE_C)
+        .select("query_id", "vec_id", "coarse_cos")
     )
     full_cos = _dot_spark(F.col("qv"), F.col("embedding")) / (
         _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding"))
     )
-    rerank = cand.select(
-        "query_id", "vec_id", "coarse_cos", F.round(full_cos, 4).alias("cosine")
+    rerank = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", "coarse_cos", F.round(full_cos, 4).alias("cosine"))
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -162,6 +162,29 @@ class TestJoinStrategy:
         # ORDER BY may range-partition)
         assert p.count("rangepartitioning") <= 1, p
 
+    def test_s08_coarse_topc_is_partial_and_slim(self, spark):
+        # VERDICT r8 item 3: s08's scale bound rests on (a) the coarse
+        # shuffle carrying only (query_id, vec_id, coarse_cos) — pinned on
+        # the optimized plan's Project directly under the top-C limit —
+        # and (b) Spark applying a PARTIAL WindowGroupLimit below the
+        # exchange so each map task forwards at most C rows per query.
+        # Either alone bounds the shuffle; pin both so neither can rot.
+        exec_plan = (
+            QUERIES["s08_prefix_dim_rerank"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert re.search(r"WindowGroupLimit .*row_number\(\), 50, Partial", exec_plan), exec_plan
+        assert re.search(r"WindowGroupLimit .*row_number\(\), 50, Final", exec_plan), exec_plan
+        opt = optimized_plan(spark, "s08_prefix_dim_rerank")
+        m = re.search(
+            r"WindowGroupLimit .*row_number\(\), 50\n\s*:?[+ ]*-? ?Project \[([^\n]*)",
+            opt,
+        )
+        assert m, opt
+        # exactly query_id, vec_id, then the computed coarse_cos — no
+        # embedding/qv passthrough into the window exchange
+        assert re.match(r"query_id#\d+L, vec_id#\d+L, round\(", m.group(1)), m.group(1)
+
     def test_s03_pair_candidates_ride_cell_equi_join(self, spark):
         # near-dup candidates come from an equi-join on IVF cell id; the
         # only cross joins are the centroid-assignment scans against the
