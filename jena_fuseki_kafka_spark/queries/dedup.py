@@ -344,18 +344,29 @@ def d06(spark, sf_dir):
 
 
 def connected_components(pairs, max_rounds: int = 50):
-    """HashMin label propagation over an undirected pair list
-    (columns doc_a, doc_b) -> (v, comp) with comp = min node id in the
-    component.  O(diameter) rounds, each one |edges|-bounded shuffle;
-    localCheckpoint truncates the per-round lineage.
+    """HashMin label propagation WITH pointer jumping over an undirected
+    pair list (columns doc_a, doc_b) -> (v, comp) with comp = min node id
+    in the component.
 
-    Raises if the loop hits ``max_rounds`` before converging: partial
-    labels would silently split components — d06/s06 would emit wrong
-    clusters and p04 a LEAKY train/test split with no signal.  max_rounds
-    bounds component DIAMETER, not size: 50 covers any near-dup cluster
-    shape (LSH clusters are near-cliques, diameter 1-2); a graph that
-    trips it has a path >50 hops long and needs the big-step variant
-    (large-star/small-star), not a silent partial answer."""
+    Each round does two steps, both |edges|/|V|-bounded shuffles with
+    localCheckpoint truncating the per-round lineage:
+      1. neighbor-min: comp(v) := min(comp(v), min over in-neighbors)
+      2. pointer jump (path compression): comp(v) := comp(comp(v))
+    Step 2 is the big-step escalation VERDICT r8 item 7 asked for: label
+    distance-to-root at least doubles per round, so convergence is
+    O(log diameter) instead of O(diameter) — a 2^50-hop chain would fit in
+    the 50-round budget, i.e. every physically constructible graph
+    converges.  LSH near-dup graphs (near-cliques, diameter 1-2) still
+    finish in 2-3 rounds with one extra |V|-bounded self-join each.
+
+    Invariant both steps preserve: comp(v) is the id of a node in v's
+    component with comp(v) <= v, so intermediate labels are never
+    cross-component — the fixpoint is exactly the per-component min.
+
+    Still raises if the loop hits ``max_rounds`` before the fixpoint
+    (now only reachable via an adversarial max_rounds override or a bug):
+    partial labels would silently split components — d06/s06 would emit
+    wrong clusters and p04 a LEAKY train/test split with no signal."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -371,11 +382,20 @@ def connected_components(pairs, max_rounds: int = 50):
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr_min, labels.v == F.col("nv"), "left").select(
+            "v",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jump: every comp value is itself a node id carried in
+        # `stepped` (comps only ever take node-id values), so the self-join
+        # resolves comp -> comp(comp); left+coalesce guards the root's
+        # self-label
+        ptr = stepped.select(F.col("v").alias("pv"), F.col("comp").alias("pcomp"))
         new_labels = (
-            labels.join(nbr_min, labels.v == F.col("nv"), "left")
+            stepped.join(ptr, stepped.comp == F.col("pv"), "left")
             .select(
                 "v",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )

@@ -64,6 +64,20 @@ class TestConnectedComponents:
         assert all(got[f"d{i}"] == "d0" for i in range(10))
         assert got["x1"] == got["x2"] == "x1"
 
+    def test_200_hop_chain_converges_within_budget(self, spark):
+        # the VERDICT r8 item 7 gate: a >50-hop path graph exceeded the
+        # old O(diameter) HashMin budget (it raised rather than answer);
+        # pointer jumping makes distance-to-root at least double per
+        # round, so 200 hops converge in ~8 rounds — well inside 50
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+        )
+        out = connected_components(pairs, max_rounds=50).collect()
+        assert len(out) == 201
+        assert {r.comp for r in out} == {0}
+
     def test_clique_one_round(self, spark):
         from jena_fuseki_kafka_spark.queries.dedup import connected_components
 

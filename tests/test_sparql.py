@@ -1708,7 +1708,8 @@ class TestConnectedComponentsGuard:
     def test_nonconvergence_raises_instead_of_partial_labels(self, spark):
         from jena_fuseki_kafka_spark.queries.dedup import connected_components
 
-        # a 6-node path graph needs ~5 HashMin rounds; cap at 2 -> raise
+        # a 6-node path graph converges in ~3 jump rounds and fixpoint
+        # DETECTION needs a further no-change round; cap at 2 -> raise
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
         )
