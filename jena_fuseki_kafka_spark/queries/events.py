@@ -241,3 +241,48 @@ def q27(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q41_pivot_wide_metrics",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+    """
+    + ",\n    ".join(
+        f"CAST(SUM(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {t}_n,\n    "
+        f"CAST(SUM(CASE WHEN event_type='{t}' THEN CAST(value AS DECIMAL(28,6))"
+        f" END) AS DOUBLE) AS {t}_value"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1 ORDER BY cohort
+    """,
+)
+def q41(spark, sf_dir):
+    """PIVOT: long event stream -> wide per-cohort metric matrix (count +
+    value mass per event type) — the reshape every feature-store /
+    report-table pipeline ends with.
+
+    Scale shape: the pivot values are ENUMERATED (``pivot(col, values)``),
+    which matters twice at 100 TB — it skips the eager distinct-scan job
+    Spark otherwise runs to discover the pivot domain, and it lets the
+    planner compile the reshape as its two-phase pivot aggregate: a
+    map-side-partial aggregate on (cohort, event_type) first, so the only
+    corpus-wide shuffle carries |cohorts| x |types| pre-aggregated rows,
+    then a pivot-first reshape on cohort — never a per-type scan or join.
+    Sums ride decimal(28,6) so the wide cells are order-independent and
+    match the oracle exactly."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value"),
+        )
+        .orderBy("cohort")
+    )
