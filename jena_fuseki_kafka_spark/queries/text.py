@@ -497,3 +497,122 @@ def t10(spark, sf_dir):
         F.size(F.array_distinct(F.split("text", ""))).cast("long").alias("n_distinct_chars"),
         F.expr(expr).alias("entropy"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- t11 LM perplexity
+# 27-symbol alphabet: a-z + space (everything else normalizes to space)
+_T11_MODEL_SQL = """
+    norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', ' ', 'g') AS t
+             FROM documents),
+    big AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+            FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i)),
+    cnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg),
+    sym AS (SELECT i, chr(CAST(CASE WHEN i = 26 THEN 32 ELSE 97 + i END AS INT)) AS ch
+            FROM (SELECT unnest(generate_series(0, 26)) AS i)),
+    firstc AS (SELECT substr(bg, 1, 1) AS c1, SUM(c) AS cf FROM cnt GROUP BY 1),
+    model AS (
+      SELECT s1.ch || s2.ch AS bg,
+             CAST(FLOOR(LOG10((COALESCE(cnt.c, 0) + 1.0)
+                              / (COALESCE(firstc.cf, 0) + 27.0)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM sym s1 CROSS JOIN sym s2
+      LEFT JOIN cnt ON cnt.bg = s1.ch || s2.ch
+      LEFT JOIN firstc ON firstc.c1 = s1.ch
+    )
+"""
+
+
+@query(
+    "t11_bigram_lm_perplexity",
+    oracle=f"""
+    WITH {_T11_MODEL_SQL},
+    scored AS (
+      SELECT b.doc_id, SUM(m.lp) AS lp_sum, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM big b JOIN model m ON m.bg = b.bg
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(-s.lp_sum, 0) AS BIGINT) AS nll_micro,
+           CASE WHEN s.n_bigrams > 0
+                THEN ROUND(-s.lp_sum / s.n_bigrams / 1000000.0, 4) END AS avg_nll
+    FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def t11(spark, sf_dir):
+    """Character-bigram language-model PERPLEXITY scoring — the CCNet /
+    Wikipedia-LM quality filter shape: train a smoothed LM on the corpus,
+    score every document by average negative log-likelihood, and gate or
+    bucket on the score (high avg_nll = gibberish/boilerplate outliers).
+
+    Scale shape, two passes like the centroid family:
+      1. TRAIN: explode bigrams (a projection, no shuffle) into a hash
+         aggregate whose partial map-side combine bounds the shuffle by
+         the 27x27 alphabet domain per task — the collected model is
+         <= 729 rows regardless of corpus size (same bounded-collect
+         contract as the IVF centroids), add-one smoothed over the full
+         domain so scoring never misses a key.
+      2. SCORE: the model is baked into a 729-slot JVM literal array
+         indexed by (first*27+second); per-document scoring is ONE
+         row-local ``aggregate`` over character positions — no join, no
+         Python, no second shuffle.
+    Log-probs are fixed-point micro-units via FLOOR(log10(p)*1e6), which
+    both engines compute identically (no rounding-mode ambiguity), so
+    per-document sums are exact-integer comparable."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " ")
+    docs = fan_out(d.select("doc_id", norm.alias("t")))
+    positions = F.when(
+        F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(positions, lambda i: F.col("t").substr(i, F.lit(1) + 1))
+    # ---- pass 1: corpus bigram counts (shuffle bounded by 27^2/task)
+    counts = {
+        r["bg"]: r["c"]
+        for r in docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    syms = [chr(97 + i) for i in range(26)] + [" "]
+    first_tot = {c1: 0 for c1 in syms}
+    for bg, c in counts.items():
+        first_tot[bg[0]] += c
+    lp = [
+        int(math.floor(math.log10((counts.get(c1 + c2, 0) + 1.0)
+                                  / (first_tot[c1] + 27.0)) * 1_000_000))
+        for c1 in syms
+        for c2 in syms
+    ]
+    lp_arr = F.array(*[F.lit(v) for v in lp])
+
+    # ---- pass 2: row-local scoring against the literal model
+    def sym_idx(ch):
+        return F.when(ch == " ", F.lit(26)).otherwise(F.ascii(ch) - 97)
+
+    def pos_lp(i):
+        idx = (
+            sym_idx(F.col("t").substr(i, F.lit(1))) * 27
+            + sym_idx(F.col("t").substr(i + 1, F.lit(1)))
+        )
+        return F.element_at(lp_arr, (idx + 1).cast("int")).cast("long")
+
+    lp_sum = F.aggregate(positions, F.lit(0).cast("long"), lambda acc, i: acc + pos_lp(i))
+    n_big = F.greatest(F.length("t") - 1, F.lit(0)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_big.alias("n_bigrams"),
+            (-lp_sum).alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("nll_micro") / F.col("n_bigrams") / 1_000_000.0, 4),
+            ),
+        )
+        .orderBy("doc_id")
+    )
