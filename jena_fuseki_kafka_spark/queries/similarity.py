@@ -676,3 +676,118 @@ def s08(spark, sf_dir):
         .select("query_id", "vec_id", "coarse_cos", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ------------------------------------------------- s09 SemDeDup-style pruning
+SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
+# embeddings are near-orthogonal, so the paper's 0.95+ would prune nothing at
+# test SF and the gate would be vacuous
+
+
+@query(
+    "s09_semdedup_prune",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    cell AS (
+      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {{cos_ec}} AS sim
+        FROM embeddings e CROSS JOIN c
+      )
+    ),
+    assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
+    cover AS (
+      SELECT b.vec_id AS v, MIN(a.vec_id) AS covered_by
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {{cos_ab}} >= {SEMDEDUP_T}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cid,
+           CASE WHEN cover.v IS NULL THEN 1 ELSE 0 END AS kept,
+           cover.covered_by,
+           CASE WHEN cover.v IS NULL THEN NULL
+                ELSE ROUND({{cos_su}}, 4) END AS cover_cos
+    FROM assign s
+    LEFT JOIN cover ON cover.v = s.vec_id
+    LEFT JOIN embeddings u ON u.vec_id = cover.covered_by
+    ORDER BY s.vec_id
+    """.format(
+        cos_ec=_COS_SQL.format(a="e.embedding", b="c.cv"),
+        cos_ab=_COS_SQL.format(a="a.embedding", b="b.embedding"),
+        cos_su=_COS_SQL.format(a="s.embedding", b="u.embedding"),
+    ),
+)
+def s09(spark, sf_dir):
+    """SemDeDup-style SEMANTIC CORPUS PRUNING (Abbas et al. 2023 shape):
+    cluster the embedding space with the family's deterministic coarse
+    quantizer, then inside each cluster greedily keep the lowest-id member
+    of every near-duplicate group — a vector is pruned iff some lower-id
+    cell-mate sits within the cosine threshold, and the output records the
+    keep/prune decision per vector plus its covering representative.
+
+    This is the operator that turns s03's near-dup PAIRS into a pruned
+    training corpus: downstream consumes ``kept = 1`` rows.
+
+    Scale shape: identical cost envelope to s03/s04 — centroids broadcast
+    (bounded), single-cell assignment is a hash aggregate (max_by, no
+    window over the corpus), candidate pairs ride the cell-id EQUI-join
+    with block size bounded by expected cell population (~{CENTROID_MOD}),
+    cover resolution is one |pairs|-bounded MIN aggregate, and the final
+    representative lookup is an equi-join back to embeddings.  No
+    all-pairs work anywhere; every stage is linear in rows at fixed cell
+    geometry."""
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    a = assign.select(
+        F.col("vec_id").alias("u"), "cid",
+        F.col("embedding").alias("eu"), F.col("nrm").alias("nu"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("v"), "cid",
+        F.col("embedding").alias("ev"), F.col("nrm").alias("nv"),
+    )
+    pair_cos = _dot_spark(F.col("eu"), F.col("ev")) / (F.col("nu") * F.col("nv"))
+    cover = (
+        a.join(b, "cid")
+        .filter((F.col("u") < F.col("v")) & (pair_cos >= SEMDEDUP_T))
+        .groupBy("v")
+        .agg(F.min("u").alias("covered_by"))
+    )
+    reps = e.select(
+        F.col("vec_id").alias("covered_by"),
+        F.col("embedding").alias("ru"), F.col("nrm").alias("rn"),
+    )
+    cover_cos = _dot_spark(F.col("embedding"), F.col("ru")) / (F.col("nrm") * F.col("rn"))
+    return (
+        assign.join(cover, assign.vec_id == cover.v, "left")
+        .join(reps, "covered_by", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("covered_by").isNull(), 1).otherwise(0).alias("kept"),
+            "covered_by",
+            F.when(F.col("covered_by").isNull(), F.lit(None).cast("double"))
+            .otherwise(F.round(cover_cos, 4))
+            .alias("cover_cos"),
+        )
+        .orderBy("vec_id")
+    )
