@@ -464,3 +464,50 @@ def vad_segments(media: DataFrame, win: int = 8, threshold: int = 131072) -> Dat
     return media.filter(F.col("kind") == "audio").select("media_id", "data").mapInPandas(
         detect, schema=schema
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+AHASH_BITS = 60  # stays inside a signed 64-bit BIGINT on both engines
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual block-hash of images: sample AHASH_BITS pixels on a
+    deterministic grid (bit k reads pixel floor(k*n/60) of the row-major
+    grayscale raster) and threshold each at >127 — a fixed-threshold
+    variant of aHash whose bits are independent of the global image mean,
+    so a localized edit flips exactly the bits whose sample pixels it
+    touches.  mapInPandas decode, same error-column DLQ discipline as
+    image_features; row-local, shuffle-free."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    w, h, pixels = decode_image(bytes(data))
+                    n = w * h
+                    if n == 0:
+                        raise ValueError("empty pixel data")
+                    hv = 0
+                    for k in range(AHASH_BITS):
+                        if pixels[k * n // AHASH_BITS] > 127:
+                            hv |= 1 << k
+                    out.append((mid, w, h, hv, None))
+                except (NotImplementedError, ValueError, struct.error, OSError) as e:
+                    out.append((mid, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "ahash", "error"]
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "data").mapInPandas(
+        extract, schema=AHASH_SCHEMA
+    )

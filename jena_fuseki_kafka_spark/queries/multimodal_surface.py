@@ -383,3 +383,139 @@ def m06(spark, sf_dir):
     return vad_segments(media, win=8, threshold=131072).orderBy(
         "media_id", "seg_start"
     )
+
+
+# ----------------------------------------------- m07 perceptual-hash dedup
+_M07_TWIN_OFFSET = 10_000_000  # twin media_id = doc_id + offset
+_M07_EDIT_BITS = (17, 41)  # sample positions the twin's edit touches
+_M07_HAM_T = 3  # with 4 bands of 15 bits, ham <= 3 guarantees a band match
+
+
+def fake_image_pairs(docs: DataFrame) -> DataFrame:
+    """Image corpus WITH PLANTED NEAR-DUPLICATES: every image doc yields
+    its base image (media_id = doc_id) plus an edited twin (media_id =
+    doc_id + {offset}) whose pixels at the sample positions of hash bits
+    {bits} are shifted by +128 mod 256 — each edit crosses the fixed 127
+    threshold, so the twin's block-hash differs in EXACTLY those bits
+    (hamming 2).  The synthetic corpus is otherwise hash-random, so the
+    banded join's candidate set is dominated by the planted pairs — the
+    non-vacuity trick s03b uses, applied to media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import AHASH_BITS
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 8, 8 + did % 5
+                n = w * h
+                px = [(did * 31 + i * 7) % 256 for i in range(n)]
+                meta = {"format": "FAKEIMG", "width": w, "height": h,
+                        "sample_rate": None, "duration_ms": None}
+                rows.append(
+                    (did, "image",
+                     b"FAKEIMG" + struct.pack("<HH", w, h) + bytes(px), meta)
+                )
+                edited = list(px)
+                for k in _M07_EDIT_BITS:
+                    idx = k * n // AHASH_BITS
+                    edited[idx] = (edited[idx] + 128) % 256
+                rows.append(
+                    (did + _M07_TWIN_OFFSET, "image",
+                     b"FAKEIMG" + struct.pack("<HH", w, h) + bytes(edited), meta)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+@query(
+    "m07_image_phash_neardup",
+    oracle=f"""
+    WITH imgs AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+                  FROM documents WHERE doc_id % 3 = 0),
+    base AS (
+      SELECT doc_id AS media_id, doc_id AS id, w, h, 0 AS twin FROM imgs
+      UNION ALL
+      SELECT doc_id + {_M07_TWIN_OFFSET}, doc_id, w, h, 1 FROM imgs
+    ),
+    bits AS (
+      SELECT media_id, k,
+             CASE WHEN ((id*31 + ((k*(w*h))//60)*7
+                         + CASE WHEN twin = 1
+                                AND (k*(w*h))//60 IN ((17*(w*h))//60, (41*(w*h))//60)
+                                THEN 128 ELSE 0 END) % 256) > 127
+                  THEN 1 ELSE 0 END AS bit
+      FROM base, LATERAL (SELECT unnest(generate_series(0, 59)) AS k)
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS ahash
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_M07_HAM_T}
+    ORDER BY media_a, media_b
+    """,
+)
+def m07(spark, sf_dir):
+    """Image NEAR-DUPLICATE detection by banded perceptual hash — m04
+    dedupes exact frame bytes; this catches edited/re-encoded copies.
+    Pipeline: binary decode -> 60-bit block-hash (mapInPandas, row-local)
+    -> LSH banding (4 bands x 15 bits) -> band-equality EQUI-join for
+    candidates -> exact hamming verify (bit_count(xor), JVM).
+
+    Scale shape: the only shuffle carries (media_id, ahash, band) rows —
+    16 bytes x 4 per image, never pixels; candidates are band-bucket
+    bounded exactly like d02's MinHash bands; pigeonhole guarantees every
+    pair within hamming {_M07_HAM_T} shares >= 1 of the 4 bands, so the
+    banded candidate set is EXHAUSTIVE for the threshold (the oracle's
+    all-pairs formulation is the same set by construction, not an
+    approximation)."""
+    from .multimodal import image_ahash
+
+    media = fake_image_pairs(load(spark, sf_dir, "documents"))
+    hashes = (
+        image_ahash(media)
+        .filter(F.col("error").isNull())
+        .select("media_id", "ahash")
+    )
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright("ahash", 15 * b).bitwiseAND(F.lit(32767)).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bd"),
+    ).select("media_id", "ahash", "bd.band_id", "bd.band_val")
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hb"),
+        "band_id", "band_val",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        # a pair agreeing on several bands appears once per band -> dedup
+        # BEFORE the (cheap) hamming verify, mirroring d02/s03
+        .dropDuplicates(["media_a", "media_b"])
+        .filter(ham <= _M07_HAM_T)
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )
