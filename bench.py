@@ -79,6 +79,10 @@ HEADLINE_BATCH = [
     "m05_scene_changes",
     "m06_audio_vad_segments",
     "s08_prefix_dim_rerank",
+    "q41_pivot_wide_metrics",
+    "t11_bigram_lm_perplexity",
+    "s09_semdedup_prune",
+    "m07_image_phash_neardup",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

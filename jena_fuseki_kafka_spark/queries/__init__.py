@@ -93,6 +93,10 @@ _CHECK_PRIORITY = [
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
+    "q41_pivot_wide_metrics",
+    "t11_bigram_lm_perplexity",
+    "s09_semdedup_prune",
+    "m07_image_phash_neardup",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",

@@ -185,6 +185,42 @@ class TestJoinStrategy:
         # embedding/qv passthrough into the window exchange
         assert re.match(r"query_id#\d+L, vec_id#\d+L, round\(", m.group(1)), m.group(1)
 
+    def test_s09_prune_candidates_ride_cell_equi_join(self, spark):
+        # SemDeDup pruning must inherit s03's cost envelope: the only
+        # nested-loop nodes are the bounded broadcast-centroid crosses;
+        # cell-mate pairs and representative lookups are equi-joins
+        p = plan(spark, "s09_semdedup_prune")
+        assert "CartesianProduct" not in p, p
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", p):
+            assert m.group(1) == "Cross" and m.group(2).startswith("Build"), p
+
+    def test_m07_band_join_never_nested_loop(self, spark):
+        # the hamming threshold is enforced AFTER band-bucket candidate
+        # generation; a plan regression to an all-pairs nested loop (e.g.
+        # the filter migrating into a join condition Spark can't hash)
+        # would be quadratic in images at 100 TB
+        p = plan(spark, "m07_image_phash_neardup")
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+
+    def test_t11_scoring_is_jvm_only(self, spark):
+        # the model is a literal array baked into the plan; per-document
+        # scoring must stay inside codegen — no Python eval of any kind
+        p = plan(spark, "t11_bigram_lm_perplexity")
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p, p
+
+    def test_q41_pivot_shuffles_preaggregated_rows(self, spark):
+        # enumerated pivot values -> two-phase pivot aggregate: the
+        # map-side partial on (cohort, event_type) must sit below the
+        # exchange so the shuffle carries |cohorts| x |types| rows, and
+        # the reshape adds at most one more hash exchange
+        p = plan(spark, "q41_pivot_wide_metrics")
+        assert re.search(r"HashAggregate \[partial", p) or "partial_" in p, p
+        assert p.count("Exchange hashpartitioning") <= 2, p
+        for node in ("BatchEvalPython", "ArrowEvalPython"):
+            assert node not in p, p
+
     def test_s03_pair_candidates_ride_cell_equi_join(self, spark):
         # near-dup candidates come from an equi-join on IVF cell id; the
         # only cross joins are the centroid-assignment scans against the
