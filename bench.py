@@ -83,6 +83,7 @@ HEADLINE_BATCH = [
     "t11_bigram_lm_perplexity",
     "s09_semdedup_prune",
     "m07_image_phash_neardup",
+    "d09_duplication_fraction",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

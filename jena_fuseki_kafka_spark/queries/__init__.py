@@ -97,6 +97,7 @@ _CHECK_PRIORITY = [
     "t11_bigram_lm_perplexity",
     "s09_semdedup_prune",
     "m07_image_phash_neardup",
+    "d09_duplication_fraction",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
@@ -120,7 +121,9 @@ _CHECK_PRIORITY = [
     # ---- TOUCHED THIS ROUND -> re-verify: s08 coarse-select slimmed
     # (VERDICT r8 item 3), connected_components big-step escalation
     # (item 7: shared by d06/s06/p04), _stage_weekly staging-dir cache
-    # (ADVICE: shared by st07/st08/st09) ----
+    # (ADVICE: shared by st07/st08/st09), d08 front-half refactor
+    # (shared with the new d09) ----
+    "d08_substring_span_dedup",
     "s08_prefix_dim_rerank",
     "d06_dedup_clusters",
     "s06_embedding_dup_clusters",
@@ -149,11 +152,11 @@ _CHECK_PRIORITY = [
     "r07_not_exists_antijoin",
     "r08_construct_quads",
     "r09_values_inline_data",
+    # ---- window boundary here (50 above) ----
+    # r7-green remainder: age 3 at the r10 check if skipped — these 19
+    # MUST lead the r10 window (rotate to the very top next round)
     "r10_ask",
     "r11_describe_subject",
-    # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 17
-    # MUST lead the r10 window (rotate to the very top next round)
     "d04_ngram_jaccard_blocked",
     "m01_image_features",
     "m02_audio_features",
@@ -174,7 +177,6 @@ _CHECK_PRIORITY = [
     # ---- r8-green, code untouched -> tail (fine until r11) ----
     "d02_minhash_lsh",
     "d07_minhash_estimator_fidelity",
-    "d08_substring_span_dedup",
     "m06_audio_vad_segments",
     "q01_pricing_summary",
     "q08_union_all_parts_suppliers",

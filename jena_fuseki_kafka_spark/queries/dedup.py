@@ -874,6 +874,38 @@ def _d08_oracle() -> str:
     """
 
 
+def _tokenized_docs(spark, sf_dir):
+    """documents -> (doc_id, w: array of whitespace tokens), all docs."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return fan_out(d.select("doc_id", "text")).select("doc_id", words.alias("w"))
+
+
+def _cross_doc_flagged_positions(spark, sf_dir):
+    """(doc_id, pos) of every {D08_NGRAM}-token window whose hash is shared
+    verbatim by >= 2 distinct documents — the common front half of d08
+    (span merge) and d09 (per-doc duplication fraction).  Only the 8-byte
+    hash shuffles; the shared-hash set rides a partial-agg
+    COUNT(DISTINCT doc) and flags positions via a left-semi join."""
+    with_words = _tokenized_docs(spark, sf_dir).filter(F.size("w") >= D08_NGRAM)
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {D08_NGRAM - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(w, i, {D08_NGRAM})) AS g))"
+    )
+    ng = with_words.select("doc_id", F.explode(grams).alias("x")).select(
+        "doc_id",
+        F.col("x.pos").alias("pos"),
+        _hash60_spark(F.col("x.g")).alias("h"),
+    )
+    shared = (
+        ng.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return ng.join(shared, "h", "left_semi").select("doc_id", "pos")
+
+
 @query("d08_substring_span_dedup", oracle=_d08_oracle())
 def d08(spark, sf_dir):
     """EXACT SUBSTRING-SPAN dedup — the span-level pass production
@@ -898,29 +930,7 @@ def d08(spark, sf_dir):
     hash helper), so spans match to the exact token index."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    with_words = (
-        fan_out(d.select("doc_id", "text"))
-        .select("doc_id", words.alias("w"))
-        .filter(F.size("w") >= D08_NGRAM)
-    )
-    grams = F.expr(
-        f"transform(sequence(1, size(w) - {D08_NGRAM - 1}), "
-        f"i -> struct(i AS pos, concat_ws(' ', slice(w, i, {D08_NGRAM})) AS g))"
-    )
-    ng = with_words.select("doc_id", F.explode(grams).alias("x")).select(
-        "doc_id",
-        F.col("x.pos").alias("pos"),
-        _hash60_spark(F.col("x.g")).alias("h"),
-    )
-    shared = (
-        ng.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dup = ng.join(shared, "h", "left_semi").select("doc_id", "pos")
+    dup = _cross_doc_flagged_positions(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -941,3 +951,116 @@ def d08(spark, sf_dir):
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------- d09 duplication fraction
+D09_MAX_DUP_FRAC = 0.3  # keep gate: <=30% of tokens inside cross-doc spans
+
+
+def _d09_oracle() -> str:
+    gram = "array_to_string(w[i:i+7], ' ')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    ngrams AS (
+      SELECT doc_id, i AS pos, {_hash60_sql(gram)} AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - {D08_NGRAM - 1})) AS i)
+      WHERE len(w) >= {D08_NGRAM}
+    ),
+    shared AS (SELECT h FROM ngrams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT n.doc_id, n.pos FROM ngrams n JOIN shared s ON n.h = s.h),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {D08_NGRAM - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{D08_NGRAM}) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + {D08_NGRAM - 1}) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    cover AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id),
+    dupg AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dup GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(g.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(c.dup_tokens, 0) / len(t.w), 4) AS dup_token_frac,
+           CASE WHEN COALESCE(c.dup_tokens, 0) * 10 <= len(t.w) * 3
+                THEN 1 ELSE 0 END AS keep
+    FROM toks t
+    LEFT JOIN dupg g ON g.doc_id = t.doc_id
+    LEFT JOIN cover c ON c.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query("d09_duplication_fraction", oracle=_d09_oracle())
+def d09(spark, sf_dir):
+    """Per-document CROSS-CORPUS duplication fraction — the
+    RefinedWeb/FineWeb-style document filter that d08's span list feeds:
+    for every document, how many of its tokens sit inside a maximal span
+    of {D08_NGRAM}-token windows shared verbatim with other documents,
+    and a keep gate at {D09_MAX_DUP_FRAC:.0%}.  t07 measures WITHIN-doc
+    repetition; this measures ACROSS-doc duplication — boilerplate,
+    syndicated text, licence blocks — the signal used to drop or trim
+    documents doc-level dedup (d01/d02) keeps because they are not
+    globally identical.
+
+    Scale shape: shares d08's front half (only 8-byte hashes shuffle;
+    COUNT(DISTINCT doc) partial agg; left-semi flag join), then the span
+    merge and both per-doc aggregates are doc-partitioned — parallelism =
+    documents, never a global sort.  The keep gate compares integers
+    (dup_tokens*10 <= n_tokens*3), so no float-boundary ambiguity between
+    engines."""
+    from pyspark.sql import Window
+
+    toks = _tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+    dup = _cross_doc_flagged_positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+    ).otherwise(0)
+    isl = dup.withColumn("ni", new_island).withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + (D08_NGRAM - 1)).alias("e")
+    )
+    cover = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
+    )
+    dupg = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    joined = (
+        toks.join(dupg, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_grams",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_token_frac"),
+        F.when(F.col("dup_tokens") * 10 <= F.col("n_tokens") * 3, 1)
+        .otherwise(0)
+        .alias("keep"),
+    ).orderBy("doc_id")
