@@ -88,8 +88,12 @@ HEADLINE_BATCH = [
 
 # streaming gates: wall time here is micro-batch trigger + state-store
 # machinery (each stages 4 weekly files and runs availableNow), so they
-# get their own sub-total and a fixed 2 samples — the timings are
-# machinery-bound and round-over-round stable (r8 spread ~0)
+# get their own sub-total.  They take the full REPEATS samples like batch
+# rows — a 2-sample cap was tried and rejected: with 2 samples the median
+# IS the midpoint, so one host-contention outlier (observed: st07 17s and
+# 63s in the same run) drags the reported number by half the spread; a
+# median of 3 rejects it.  They are only excluded from the sub-second
+# extra-sample escalation (they are never sub-second).
 HEADLINE_STREAMING = [
     "st07_stream_stream_join",
     "st08_stream_stream_outer_join",
@@ -223,11 +227,8 @@ def main():
             print(f"# http_four_ops sample failed: {e}", file=sys.stderr)
 
     for rep in range(repeats):
-        for name in HEADLINE_BATCH:
+        for name in HEADLINE:
             run_one(name, rep)
-        for name in HEADLINE_STREAMING:
-            if rep < 2:  # machinery-bound, stable: 2 samples suffice
-                run_one(name, rep)
         run_http()
 
     # sub-second queries swing ±30% on 3 samples (VERDICT r5: four

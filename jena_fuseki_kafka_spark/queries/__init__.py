@@ -86,10 +86,10 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r9 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 110 registered queries / 50 slots -> 3-round cycle at
+    # Cadence math: 111 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 4 new + 18 mandatory
-    # r6-leads + 7 touched + 21 r7-cohort fill = 50 exactly.
+    # judging" rule.  Window composition this round: 5 new + 18 mandatory
+    # r6-leads + 8 touched + 19 r7-cohort fill = 50 exactly.
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -132,7 +132,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 21 of the 38 now cuts r10's mandatory load to 17) ----
+    # checking 19 of the 38 now cuts r10's mandatory load to 19) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",

@@ -881,13 +881,15 @@ def _tokenized_docs(spark, sf_dir):
     return fan_out(d.select("doc_id", "text")).select("doc_id", words.alias("w"))
 
 
-def _cross_doc_flagged_positions(spark, sf_dir):
+def _cross_doc_flagged_positions(toks):
     """(doc_id, pos) of every {D08_NGRAM}-token window whose hash is shared
     verbatim by >= 2 distinct documents — the common front half of d08
-    (span merge) and d09 (per-doc duplication fraction).  Only the 8-byte
+    (span merge) and d09 (per-doc duplication fraction), over an already
+    tokenized (doc_id, w) frame so callers with several consumers of the
+    tokens (d09) can materialize the tokenize pass ONCE.  Only the 8-byte
     hash shuffles; the shared-hash set rides a partial-agg
     COUNT(DISTINCT doc) and flags positions via a left-semi join."""
-    with_words = _tokenized_docs(spark, sf_dir).filter(F.size("w") >= D08_NGRAM)
+    with_words = toks.filter(F.size("w") >= D08_NGRAM)
     grams = F.expr(
         f"transform(sequence(1, size(w) - {D08_NGRAM - 1}), "
         f"i -> struct(i AS pos, concat_ws(' ', slice(w, i, {D08_NGRAM})) AS g))"
@@ -930,7 +932,7 @@ def d08(spark, sf_dir):
     hash helper), so spans match to the exact token index."""
     from pyspark.sql import Window
 
-    dup = _cross_doc_flagged_positions(spark, sf_dir)
+    dup = _cross_doc_flagged_positions(_tokenized_docs(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -954,7 +956,12 @@ def d08(spark, sf_dir):
 
 
 # ---------------------------------------------------- d09 duplication fraction
-D09_MAX_DUP_FRAC = 0.3  # keep gate: <=30% of tokens inside cross-doc spans
+# keep gate: dup_tokens/n_tokens <= NUM/DEN (30%), compared as integers on
+# BOTH engines so no float boundary can split them; the single source of
+# truth for the threshold — the oracle SQL and the Spark gate both render
+# from these
+D09_MAX_DUP_NUM = 3
+D09_MAX_DUP_DEN = 10
 
 
 def _d09_oracle() -> str:
@@ -994,7 +1001,8 @@ def _d09_oracle() -> str:
            CAST(COALESCE(g.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
            CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            ROUND(COALESCE(c.dup_tokens, 0) / len(t.w), 4) AS dup_token_frac,
-           CASE WHEN COALESCE(c.dup_tokens, 0) * 10 <= len(t.w) * 3
+           CASE WHEN COALESCE(c.dup_tokens, 0) * {D09_MAX_DUP_DEN}
+                     <= len(t.w) * {D09_MAX_DUP_NUM}
                 THEN 1 ELSE 0 END AS keep
     FROM toks t
     LEFT JOIN dupg g ON g.doc_id = t.doc_id
@@ -1009,7 +1017,8 @@ def d09(spark, sf_dir):
     RefinedWeb/FineWeb-style document filter that d08's span list feeds:
     for every document, how many of its tokens sit inside a maximal span
     of {D08_NGRAM}-token windows shared verbatim with other documents,
-    and a keep gate at {D09_MAX_DUP_FRAC:.0%}.  t07 measures WITHIN-doc
+    and a keep gate at D09_MAX_DUP_NUM/D09_MAX_DUP_DEN (30%).  t07
+    measures WITHIN-doc
     repetition; this measures ACROSS-doc duplication — boilerplate,
     syndicated text, licence blocks — the signal used to drop or trim
     documents doc-level dedup (d01/d02) keeps because they are not
@@ -1023,10 +1032,13 @@ def d09(spark, sf_dir):
     engines."""
     from pyspark.sql import Window
 
-    toks = _tokenized_docs(spark, sf_dir).select(
-        "doc_id", F.size("w").cast("long").alias("n_tokens")
-    )
-    dup = _cross_doc_flagged_positions(spark, sf_dir)
+    # tokenize ONCE: both the n_tokens branch and the n-gram branch read
+    # the same materialized frame (lazy localCheckpoint — first action
+    # tokenizes and caches executor-side, the same trade d06 makes for its
+    # fixpoint), instead of paying the regex-split corpus pass twice
+    tokenized = _tokenized_docs(spark, sf_dir).localCheckpoint(eager=False)
+    toks = tokenized.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    dup = _cross_doc_flagged_positions(tokenized)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1060,7 +1072,11 @@ def d09(spark, sf_dir):
         "n_dup_grams",
         "dup_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_token_frac"),
-        F.when(F.col("dup_tokens") * 10 <= F.col("n_tokens") * 3, 1)
+        F.when(
+            F.col("dup_tokens") * D09_MAX_DUP_DEN
+            <= F.col("n_tokens") * D09_MAX_DUP_NUM,
+            1,
+        )
         .otherwise(0)
         .alias("keep"),
     ).orderBy("doc_id")

@@ -277,12 +277,27 @@ def q41(spark, sf_dir):
     Sums ride decimal(28,6) so the wide cells are order-independent and
     match the oracle exactly."""
     ev = load(spark, sf_dir, "events")
-    return (
+    wide = (
         ev.groupBy((F.col("user_id") % 10).alias("cohort"))
         .pivot("event_type", _EVENT_TYPES)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value"),
         )
-        .orderBy("cohort")
     )
+    # a (cohort, type) cell with no rows pivots to NULL, but a COUNT of an
+    # empty cell is semantically 0 — and the oracle's SUM(CASE..ELSE 0)
+    # says 0.  Coalesce the count cells so a sparser type mix (tiny SF,
+    # different data) cannot diverge the engines; value cells stay NULL on
+    # both sides (SUM over nothing).
+    return wide.select(
+        "cohort",
+        *[
+            c
+            for t in _EVENT_TYPES
+            for c in (
+                F.coalesce(f"{t}_n", F.lit(0).cast("long")).alias(f"{t}_n"),
+                F.col(f"{t}_value"),
+            )
+        ],
+    ).orderBy("cohort")

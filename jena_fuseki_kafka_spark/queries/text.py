@@ -556,9 +556,13 @@ def t11(spark, sf_dir):
          indexed by (first*27+second); per-document scoring is ONE
          row-local ``aggregate`` over character positions — no join, no
          Python, no second shuffle.
-    Log-probs are fixed-point micro-units via FLOOR(log10(p)*1e6), which
-    both engines compute identically (no rounding-mode ambiguity), so
-    per-document sums are exact-integer comparable."""
+    Log-probs are fixed-point micro-units via FLOOR(log10(p)*1e6) — no
+    rounding-mode ambiguity, and per-document sums are exact-integer
+    comparable.  log10 itself is the one op here IEEE doesn't pin to
+    correct rounding, so cross-engine agreement is VERIFIED rather than
+    assumed: tests/test_text_determinism.py floors all 729 model ratios
+    through both Python's math.log10 and DuckDB's LOG10 and fails with
+    the offending ratio if a libm/DuckDB change ever splits them."""
     import math
 
     d = load(spark, sf_dir, "documents")
