@@ -162,6 +162,16 @@ class TestJoinStrategy:
         # ORDER BY may range-partition)
         assert p.count("rangepartitioning") <= 1, p
 
+    def test_d09_fraction_is_doc_partitioned_and_jvm(self, spark):
+        # d09 inherits d08's span machinery and adds two per-doc
+        # aggregates; the same scale guarantees must hold — doc-partitioned
+        # windows, keyed joins only, JVM-side end to end
+        p = plan(spark, "d09_duplication_fraction")
+        assert "windowspecdefinition(doc_id" in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
     def test_s08_coarse_topc_is_partial_and_slim(self, spark):
         # VERDICT r8 item 3: s08's scale bound rests on (a) the coarse
         # shuffle carrying only (query_id, vec_id, coarse_cos) — pinned on

@@ -178,3 +178,30 @@ class TestLateDataDrop:
             batch_total,
             n_late,
         )
+
+
+class TestStageCache:
+    def test_distinct_configs_get_distinct_staged_dirs(self, spark):
+        # st07 (plain), st08 (sentinel) and st09 (duplicate) must never
+        # share a staged dir: a sentinel file leaking into st07's stream
+        # would advance its watermark early, and st09's doubled rows would
+        # corrupt both joins.  Repeat calls with the SAME config must
+        # reuse (the ADVICE r8 leak fix).
+        import os
+
+        from jena_fuseki_kafka_spark.queries import streaming_gate as sg
+
+        sf = "/root/testdata/sf0.001"
+        sg._cleanup_stage_cache()
+        plain, _ = sg._stage_weekly(spark, sf)
+        plain2, _ = sg._stage_weekly(spark, sf)
+        sentinel, _ = sg._stage_weekly(spark, sf, with_sentinel=True)
+        doubled, _ = sg._stage_weekly(spark, sf, duplicate=True)
+        assert plain == plain2
+        assert len({plain, sentinel, doubled}) == 3
+        # sentinel config stages the extra 5th closing file
+        assert len(os.listdir(plain)) == 4
+        assert len(os.listdir(sentinel)) == 5
+        tds = [td for td, _ in sg._STAGE_CACHE.values()]
+        sg._cleanup_stage_cache()
+        assert all(not os.path.exists(td) for td in tds)
