@@ -84,6 +84,7 @@ HEADLINE_BATCH = [
     "s09_semdedup_prune",
     "m07_image_phash_neardup",
     "d09_duplication_fraction",
+    "q42_changelog_latest_compaction",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

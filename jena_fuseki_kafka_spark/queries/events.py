@@ -301,3 +301,52 @@ def q41(spark, sf_dir):
             )
         ],
     ).orderBy("cohort")
+
+
+@query(
+    "q42_changelog_latest_compaction",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q42(spark, sf_dir):
+    """CHANGELOG COMPACTION — latest record per key, the primitive behind
+    CDC materialization / SCD-type-1 MERGE / upsert-table reads: collapse
+    an event log to each key's most recent row, tie-broken
+    deterministically by (ts, event_id).
+
+    Scale shape: this is deliberately NOT the window formulation the
+    oracle uses (row_number + filter), which must SHUFFLE THE FULL
+    HISTORY to co-locate each key before ranking it.  ``max_by`` is an
+    aggregate with a map-side partial: each task compacts its slice to
+    one candidate row per key BEFORE the exchange, so the shuffle
+    carries |keys| rows, not the history — the property that matters at
+    a 100 TB changelog, and the one pinned in test_plan_shape.py (no
+    Window node; partial_max_by below the hash exchange).  One honest
+    caveat: a struct-valued aggregation buffer is not hash-aggregable,
+    so Spark plans SortAggregate — each task sorts its own slice
+    (spillable, local) rather than the cluster sorting the whole log."""
+    ev = load(spark, sf_dir, "events")
+    latest = F.max_by(
+        F.struct("event_id", "ts", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("last")
+    return (
+        ev.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -162,6 +162,20 @@ class TestJoinStrategy:
         # ORDER BY may range-partition)
         assert p.count("rangepartitioning") <= 1, p
 
+    def test_q42_compaction_shuffles_state_not_history(self, spark):
+        # changelog compaction must be the aggregate plan, not the window
+        # plan: no Window node anywhere, and the partial max_by sits BELOW
+        # the hash exchange so each task compacts its slice to one row per
+        # key before any data moves — the shuffle carries |keys| rows
+        p = (
+            QUERIES["q42_changelog_latest_compaction"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in p, p
+        pre, _, post = p.partition("Exchange hashpartitioning")
+        assert "partial_max_by" in post, p  # partial below the exchange
+        assert "partial_max_by" not in pre, p
+
     def test_d09_fraction_is_doc_partitioned_and_jvm(self, spark):
         # d09 inherits d08's span machinery and adds two per-doc
         # aggregates; the same scale guarantees must hold — doc-partitioned
