@@ -85,6 +85,7 @@ HEADLINE_BATCH = [
     "m07_image_phash_neardup",
     "d09_duplication_fraction",
     "q42_changelog_latest_compaction",
+    "m08_image_resize_facets",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

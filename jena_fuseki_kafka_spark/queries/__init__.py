@@ -86,10 +86,10 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r9 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 112 registered queries / 50 slots -> 3-round cycle at
+    # Cadence math: 113 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 6 new + 18 mandatory
-    # r6-leads + 8 touched + 18 r7-cohort fill = 50 exactly.
+    # judging" rule.  Window composition this round: 7 new + 18 mandatory
+    # r6-leads + 8 touched + 17 r7-cohort fill = 50 exactly.
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -99,6 +99,7 @@ _CHECK_PRIORITY = [
     "m07_image_phash_neardup",
     "d09_duplication_fraction",
     "q42_changelog_latest_compaction",
+    "m08_image_resize_facets",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
@@ -133,7 +134,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 18 of the 38 now cuts r10's mandatory load to 20) ----
+    # checking 17 of the 38 now cuts r10's mandatory load to 21) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -151,10 +152,10 @@ _CHECK_PRIORITY = [
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",
     "r07_not_exists_antijoin",
-    "r08_construct_quads",
     # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 20
+    # r7-green remainder: age 3 at the r10 check if skipped — these 21
     # MUST lead the r10 window (rotate to the very top next round)
+    "r08_construct_quads",
     "r09_values_inline_data",
     "r10_ask",
     "r11_describe_subject",

@@ -519,3 +519,58 @@ def m07(spark, sf_dir):
         .select("media_a", "media_b", ham.alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+@query(
+    "m08_image_resize_facets",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    rp AS (
+      SELECT doc_id, x, y,
+             (doc_id*31
+              + (LEAST(h-1, (y*h)//4) * w + LEAST(w-1, (x*w)//4)) * 7) % 256 AS p
+      FROM imgs,
+           LATERAL (SELECT unnest(generate_series(0, 3)) AS y),
+           LATERAL (SELECT unnest(generate_series(0, 3)) AS x)
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(SUM(p) AS BIGINT) AS intensity_sum,
+           CAST(SUM(CASE WHEN p < 32 THEN 1 ELSE 0 END) AS BIGINT) AS hist0
+    FROM rp GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def m08(spark, sf_dir):
+    """RESIZE pipeline gate: images run through the real binary
+    resize operator (nearest-neighbor 4x4, mapInPandas: decode -> sample
+    grid -> re-encode container) and the resized CONTAINER is then
+    decoded AGAIN by image_features — so the oracle's closed-form facet
+    check (intensity sum + dark-pixel histogram bin over the 16 resized
+    pixels) verifies the resize's per-pixel source indexing and the
+    re-encoded bytes end-to-end, not just the metadata.  m01 gates the
+    decode path; this gates decode -> transform -> encode -> decode.
+
+    Scale shape: two chained row-local Arrow passes, shuffle-free; the
+    resized payload (16 bytes + header) is what a thumbnail/preprocess
+    stage would actually materialize at 100 TB."""
+    from .multimodal import image_features, resize_images
+
+    media = fake_media(load(spark, sf_dir, "documents"))
+    resized = resize_images(media, 4, 4)
+    feats = image_features(resized)
+    n_px = F.col("width") * F.col("height")
+    return (
+        feats.filter(F.col("error").isNull())
+        .select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round(F.col("mean_intensity") * n_px).cast("long").alias("intensity_sum"),
+            F.col("histogram")[0].alias("hist0"),
+        )
+        .orderBy("media_id")
+    )
