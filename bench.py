@@ -86,6 +86,9 @@ HEADLINE_BATCH = [
     "d09_duplication_fraction",
     "q42_changelog_latest_compaction",
     "m08_image_resize_facets",
+    "q43_scd2_validity_intervals",
+    "q44_incremental_agg_merge",
+    "p06_time_embargo_split",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store
@@ -103,6 +106,18 @@ HEADLINE_STREAMING = [
 ]
 
 HEADLINE = HEADLINE_BATCH + HEADLINE_STREAMING
+
+# Rows measured and recorded in BENCH_full.json but EXCLUDED from the
+# stdout JSON line: the tail-capture budget (<=1900 chars) caps how many
+# per-query medians the driver record can carry, so the slim line drops
+# the longest-stable, most-redundant rows first (simple scan+join/agg
+# shapes whose regressions q01/q03/q14/q21 would also catch).  Everything
+# here still runs every round — only the compact record omits it.
+SLIM_LINE_EXCLUDE = {
+    "q02_top_revenue_orders",
+    "q04_forecast_revenue",
+    "q20_tumbling_window_hourly",
+}
 
 
 def bench_http_four_ops(spark) -> float:
@@ -286,7 +301,9 @@ def main():
         "metric": "headline_suite_seconds",
         "value": round(batch_s + streaming_s + http_s, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {
+            n: v for n, v in timings.items() if n not in SLIM_LINE_EXCLUDE
+        },
         "batch_seconds": batch_s,
         "streaming_seconds": streaming_s,
         "http_seconds": http_s,
@@ -297,6 +314,7 @@ def main():
     # goes to a side file — the stdout line must fit the ~2000-char tail
     # the bench consumer keeps
     full = dict(record)
+    full["queries"] = timings  # the full record carries every row
     full["spreads"] = spreads
     full["samples"] = {n: v for n, v in samples.items()}
     full["queries_normalized"] = {

@@ -86,10 +86,11 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r9 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 113 registered queries / 50 slots -> 3-round cycle at
+    # Cadence math: 116 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 7 new + 18 mandatory
-    # r6-leads + 8 touched + 17 r7-cohort fill = 50 exactly.
+    # judging" rule.  Window composition this round: 10 new + 18 mandatory
+    # r6-leads + 8 touched + 14 r7-cohort fill = 50 exactly (the 3 fill
+    # slots the new q43/q44/p06 displaced move to the r10 mandatory set).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -100,6 +101,9 @@ _CHECK_PRIORITY = [
     "d09_duplication_fraction",
     "q42_changelog_latest_compaction",
     "m08_image_resize_facets",
+    "q43_scd2_validity_intervals",
+    "q44_incremental_agg_merge",
+    "p06_time_embargo_split",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
@@ -134,7 +138,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 17 of the 38 now cuts r10's mandatory load to 21) ----
+    # checking 14 of the 38 now cuts r10's mandatory load to 24) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -149,12 +153,12 @@ _CHECK_PRIORITY = [
     "r02_bgp_join_filter",
     "r03_graph_quantification",
     "r04_sparql_engine_group_by",
+    # ---- window boundary here (50 above) ----
+    # r7-green remainder: age 3 at the r10 check if skipped — these 24
+    # MUST lead the r10 window (rotate to the very top next round)
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",
     "r07_not_exists_antijoin",
-    # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 21
-    # MUST lead the r10 window (rotate to the very top next round)
     "r08_construct_quads",
     "r09_values_inline_data",
     "r10_ask",

@@ -350,3 +350,166 @@ def q42(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q43_scd2_validity_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    per_run AS (
+      SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS vf,
+             MIN(event_id) AS min_event_id, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(vf) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           epoch_us(LEAD(vf) OVER w2) - epoch_us(vf) AS valid_us,
+           min_event_id, n_events,
+           CAST(CASE WHEN LEAD(vf) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM per_run
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ORDER BY user_id, run_id
+    """,
+)
+def q43(spark, sf_dir):
+    """SCD TYPE 2 — derive validity intervals from a changelog: collapse
+    each user's consecutive run of identical state (event_type) into ONE
+    dimension row [valid_from, valid_to) with an is_current flag.  This is
+    the other half of CDC materialization next to q42's type-1 latest-row
+    compaction: type-2 keeps history, emitting a new row only when the
+    tracked attribute CHANGES (gaps-and-islands, then interval chaining).
+
+    Scale shape: every window here — the change marker, the running
+    run_id, and the valid_to chain — is partitioned by user_id, so the
+    whole derivation is ONE hash exchange on the key followed by
+    task-local sorts (spillable, bounded by a single user's history), then
+    a hash aggregate per run that REUSES the same partitioning (no second
+    exchange: Catalyst sees the groupBy keys are a superset of the window
+    partition key).  Nothing global: no corpus-wide sort, no join.  At a
+    100 TB changelog the shuffle carries each row once, and the final
+    table is |state-changes| rows, typically orders of magnitude smaller.
+    Interval arithmetic rides unix_micros (exact integers) and second-
+    truncated strings so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.min("event_id").alias("min_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(w2)
+    return (
+        per_run.select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "state",
+            F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            (
+                F.unix_micros(nxt.cast("timestamp"))
+                - F.unix_micros(F.col("vf").cast("timestamp"))
+            ).alias("valid_us"),
+            "min_event_id",
+            "n_events",
+            F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+_Q44_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "q44_incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           COUNT(value) AS n_values
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def q44(spark, sf_dir):
+    """INCREMENTAL AGGREGATE MAINTENANCE — merge a pre-aggregated BASE
+    (history before a cutoff) with a freshly aggregated DELTA (new
+    arrivals) into the same result a full recompute would give, using only
+    algebraic aggregates (count/sum/min/max merge associatively).  This is
+    the materialized-view refresh primitive: at 100 TB you never rescan
+    the history — you keep the base's partial aggregates and fold each
+    micro-batch in.  The oracle IS the full recompute, so the gate proves
+    the merge is lossless.
+
+    Scale shape: both legs scan with the cutoff predicate PUSHED to
+    parquet (disjoint row groups at scale; here the same files filtered),
+    each leg does a map-side partial aggregate, the union re-aggregates on
+    the same keys — so the only corpus-wide shuffle carries two
+    pre-aggregated rows per (type, day) key, and the merge aggregate is
+    |keys|-sized.  SUM rides decimal(28,6) so base+delta reassociation
+    cannot drift from the oracle's single-pass sum."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(_Q44_CUTOFF).cast("timestamp_ntz")
+
+    def partial(leg):
+        return leg.groupBy(
+            "event_type", F.col("ts").cast("date").cast("string").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("n_values"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("n_values").alias("n_values"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+        "n_values",
+    ).orderBy("event_type", "day")

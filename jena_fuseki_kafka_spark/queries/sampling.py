@@ -393,3 +393,118 @@ def p05(spark, sf_dir):
         )
         .orderBy("shard")
     )
+P06_CUTOFF = "2024-01-22 00:00:00"
+P06_TEST_START = "2024-01-23 00:00:00"  # cutoff + 24h embargo
+_P06_EMBARGO_US = 86_400_000_000
+
+
+@query(
+    "p06_time_embargo_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{P06_CUTOFF}' THEN 'train'
+                  WHEN ts >= TIMESTAMP '{P06_TEST_START}' THEN 'test'
+                  ELSE 'embargo' END AS split,
+             event_type, user_id, ts
+      FROM events
+    ),
+    census AS (
+      SELECT split, event_type, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             MIN(ts) AS first_raw, MAX(ts) AS last_raw
+      FROM tagged GROUP BY split, event_type
+    ),
+    summary AS (
+      SELECT MAX(CASE WHEN split = 'train' THEN last_raw END) AS train_last,
+             MIN(CASE WHEN split = 'test' THEN first_raw END) AS test_first,
+             CAST(SUM(n_events) AS BIGINT) AS total_n
+      FROM census
+    )
+    SELECT split, event_type, n_events, n_users,
+           strftime(first_raw, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(last_raw, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(NULL AS BIGINT) AS gap_us, CAST(NULL AS BIGINT) AS embargo_ok
+    FROM census
+    UNION ALL
+    SELECT 'summary', 'ALL', total_n, CAST(NULL AS BIGINT),
+           strftime(train_last, '%Y-%m-%d %H:%M:%S'),
+           strftime(test_first, '%Y-%m-%d %H:%M:%S'),
+           epoch_us(test_first) - epoch_us(train_last),
+           CAST(CASE WHEN epoch_us(test_first) - epoch_us(train_last)
+                          >= {_P06_EMBARGO_US} THEN 1 ELSE 0 END AS BIGINT)
+    FROM summary
+    ORDER BY split, event_type
+    """,
+)
+def p06(spark, sf_dir):
+    """TIME-EMBARGO TRAIN/TEST SPLIT — the temporally-safe counterpart to
+    p04's cluster-safe split: train is everything before the cutoff, test
+    is everything after cutoff + 24h embargo, and the embargo interval is
+    DROPPED so no test example sits within the leakage horizon (the
+    purged/embargoed split used for time-series and recommendation
+    corpora).  The gate hashes the full (split x event_type) census —
+    counts, distinct users, boundary timestamps — plus a summary row
+    carrying the PROOF: the realized train→test gap in exact microseconds
+    and an integer embargo_ok flag (gap >= 24h), so leakage-freedom is
+    pinned by value, not assumed from the filter constants.
+
+    Scale shape: ONE full scan, no join, no per-split passes.  The census
+    is a single hash aggregate on (split, event_type) — 16 groups — with
+    map-side partials (the distinct-user count shuffles (group, user_id)
+    pairs, bounded by the user dimension, not the event log).  The
+    summary row re-aggregates the 16 census rows, not the data.  At
+    100 TB this is the cheapest possible shape: scan once, reduce to a
+    handful of rows."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    cutoff = F.lit(P06_CUTOFF).cast("timestamp_ntz")
+    test_start = F.lit(P06_TEST_START).cast("timestamp_ntz")
+    tagged = ev.select(
+        F.when(ts < cutoff, "train")
+        .when(ts >= test_start, "test")
+        .otherwise("embargo")
+        .alias("split"),
+        "event_type",
+        "user_id",
+        "ts",
+    )
+    census = tagged.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_raw"),
+        F.max("ts").alias("last_raw"),
+    )
+    # The census feeds BOTH output legs (per-group rows + the summary
+    # re-aggregate).  Without materialization Spark plans a second full
+    # scan of events for the summary leg — at 100 TB that doubles the
+    # dominant cost.  localCheckpoint pins the 16-row census once (same
+    # trade d06 makes for its fixpoint), so events are read exactly once.
+    census = census.localCheckpoint()
+    null_long = F.lit(None).cast("long")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    census_rows = census.select(
+        "split",
+        "event_type",
+        "n_events",
+        "n_users",
+        fmt("first_raw").alias("first_ts"),
+        fmt("last_raw").alias("last_ts"),
+        null_long.alias("gap_us"),
+        null_long.alias("embargo_ok"),
+    )
+    train_last = F.max(F.when(F.col("split") == "train", F.col("last_raw")))
+    test_first = F.min(F.when(F.col("split") == "test", F.col("first_raw")))
+    gap_us = F.unix_micros(test_first.cast("timestamp")) - F.unix_micros(
+        train_last.cast("timestamp")
+    )
+    summary = census.agg(
+        F.lit("summary").alias("split"),
+        F.lit("ALL").alias("event_type"),
+        F.sum("n_events").alias("n_events"),
+        null_long.alias("n_users"),
+        fmt(train_last).alias("first_ts"),
+        fmt(test_first).alias("last_ts"),
+        gap_us.alias("gap_us"),
+        F.when(gap_us >= _P06_EMBARGO_US, 1).otherwise(0).cast("long").alias("embargo_ok"),
+    )
+    return census_rows.unionByName(summary).orderBy("split", "event_type")

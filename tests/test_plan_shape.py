@@ -336,3 +336,40 @@ class TestTextPipelineOps:
         # exchange carries (task x domain), not one row per URL
         p = plan(spark, "t09_url_domain_stats")
         assert "partial_count" in p, p
+
+
+class TestScd2AndIncrementalMaintenance:
+    def test_q43_single_hash_exchange_for_all_windows(self, spark):
+        # the SCD2 derivation (lag marker, running run_id, per-run agg,
+        # valid_to lead) must share ONE hash exchange on user_id: the two
+        # window layers and the run aggregate all reuse the partitioning,
+        # so the changelog's rows move exactly once.  The only other
+        # exchange is the deterministic output ORDER BY.
+        p = plan(spark, "q43_scd2_validity_intervals")
+        assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1, p
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+        assert "Join" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+    def test_q44_cutoff_pushed_to_both_scans(self, spark):
+        # incremental maintenance only beats recompute if the base/delta
+        # split reaches the parquet scans: both legs must carry a pushed
+        # ts predicate (row-group / partition pruning at scale), and each
+        # leg must partial-aggregate before the union's final aggregate
+        p = plan(spark, "q44_incremental_agg_merge")
+        pushed = re.findall(r"PushedFilters: \[[^\]]*ts[^\]]*\]", p)
+        assert len(pushed) >= 2, p
+        assert "partial_count" in p or "partial_sum" in p, p
+        assert "Join" not in p, p
+
+    def test_p06_single_scan_no_join(self, spark):
+        # the embargo split census + summary must come from ONE scan of
+        # events: the census is localCheckpoint-ed (16 rows), so the
+        # returned plan reads the checkpoint in both union legs and the
+        # parquet scan happened exactly once, at census materialization.
+        # A parquet scan in THIS plan would mean the summary leg re-reads
+        # the event log — the 2x-cost bug this pin exists to catch.
+        p = plan(spark, "p06_time_embargo_split")
+        assert len(re.findall(r"Scan parquet", p)) == 0, p
+        assert "ExistingRDD" in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
