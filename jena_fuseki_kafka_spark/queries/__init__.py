@@ -88,9 +88,10 @@ _CHECK_PRIORITY = [
     # these and take slots off the end of the window).
     # Cadence math: 116 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 10 new + 18 mandatory
-    # r6-leads + 8 touched + 14 r7-cohort fill = 50 exactly (the 3 fill
-    # slots the new q43/q44/p06 displaced move to the r10 mandatory set).
+    # judging" rule.  Window composition this round: 11 new + 18 mandatory
+    # r6-leads + 8 touched + 13 r7-cohort fill = 50 exactly (the 4 fill
+    # slots the new q43/q44/p06/st10 displaced move to the r10 mandatory
+    # set).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -104,6 +105,7 @@ _CHECK_PRIORITY = [
     "q43_scd2_validity_intervals",
     "q44_incremental_agg_merge",
     "p06_time_embargo_split",
+    "st10_streaming_file_sink_exactly_once",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
@@ -138,7 +140,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 14 of the 38 now cuts r10's mandatory load to 24) ----
+    # checking 13 of the 38 now cuts r10's mandatory load to 25) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -152,10 +154,10 @@ _CHECK_PRIORITY = [
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
     "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
     # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 24
+    # r7-green remainder: age 3 at the r10 check if skipped — these 25
     # MUST lead the r10 window (rotate to the very top next round)
+    "r04_sparql_engine_group_by",
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",
     "r07_not_exists_antijoin",

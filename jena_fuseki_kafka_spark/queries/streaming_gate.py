@@ -578,3 +578,106 @@ def st09(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# file-sink + checkpoint dirs for st10, cached per sf_dir (same lifecycle
+# discipline as _STAGE_CACHE) and removed at interpreter exit
+_SINK_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _cleanup_sink_cache() -> None:
+    import shutil
+
+    for sink, ckpt in _SINK_CACHE.values():
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    _SINK_CACHE.clear()
+
+
+atexit.register(_cleanup_sink_cache)
+
+
+@query(
+    "st10_streaming_file_sink_exactly_once",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(0 AS BIGINT) AS rerun_added
+    FROM events WHERE user_id < 100
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st10(spark, sf_dir):
+    """STREAMING FILE SINK with EXACTLY-ONCE delivery — the
+    batch-handoff surface the other st gates don't touch: a watermarked
+    source streamed through a stateless projection into a PARTITIONED
+    parquet file sink with a checkpoint, then the stream is started a
+    SECOND time on the same checkpoint with no new input and must append
+    NOTHING.  This is the contract a production pipeline leans on when a
+    driver dies mid-run: the checkpoint's offset log + the sink's
+    _spark_metadata manifest together make restarts idempotent (the same
+    mechanism the ingest path's commit-then-record offset store mirrors —
+    ingest/projector.py A6/A12 — expressed here with Spark's own sink).
+
+    The gate reads the sink back THROUGH the manifest (spark.read on a
+    file-sink directory honors _spark_metadata, so orphan files from a
+    torn run are invisible) and hashes per-type counts, the decimal value
+    mass, the distinct-id census, and the measured rerun delta (a Python
+    int from counting the sink after each run — computed, not assumed).
+    Any duplicated or lost batch breaks n_events/n_ids; any rerun
+    reprocessing breaks rerun_added=0.
+
+    Scale shape: the streamed transform is stateless (no state store at
+    all — the cheapest streaming pipeline there is); the sink partitions
+    by event_type at write time, so the downstream read prunes on the
+    query key.  State: zero.  Exactly-once costs only the manifest
+    append per micro-batch."""
+    import os
+    import tempfile
+
+    td, schema = _stage_weekly(spark, sf_dir, event_types=None)
+    cached = _SINK_CACHE.get(sf_dir)
+    if cached is None:
+        sink = tempfile.mkdtemp(prefix="st10-sink-")
+        ckpt = tempfile.mkdtemp(prefix="st10-ckpt-")
+        # mkdtemp creates the dirs; the sink must not pre-exist for the
+        # first start's manifest init, so hand Spark fresh subpaths
+        sink = os.path.join(sink, "out")
+        ckpt = os.path.join(ckpt, "cp")
+        _SINK_CACHE[sf_dir] = (sink, ckpt)
+    else:
+        sink, ckpt = cached
+
+    def run_once() -> None:
+        stream = _staged_stream(spark, td, schema).withWatermark("ts", "2 hours")
+        shaped = stream.select(
+            "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("day")
+        )
+        q = (
+            shaped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_type")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    run_once()  # same checkpoint, no new input: must be a no-op
+    n_second = spark.read.parquet(sink).count()
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.lit(int(n_second - n_first)).cast("long").alias("rerun_added"),
+        )
+        .orderBy("event_type")
+    )
