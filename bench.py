@@ -89,6 +89,7 @@ HEADLINE_BATCH = [
     "q43_scd2_validity_intervals",
     "q44_incremental_agg_merge",
     "p06_time_embargo_split",
+    "d10_incremental_corpus_dedup",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store
@@ -118,6 +119,8 @@ SLIM_LINE_EXCLUDE = {
     "q02_top_revenue_orders",
     "q04_forecast_revenue",
     "q20_tumbling_window_hourly",
+    "q21_sessionization",
+    "m05_scene_changes",
 }
 
 

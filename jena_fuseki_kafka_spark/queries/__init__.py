@@ -88,10 +88,10 @@ _CHECK_PRIORITY = [
     # these and take slots off the end of the window).
     # Cadence math: 116 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 11 new + 18 mandatory
-    # r6-leads + 8 touched + 13 r7-cohort fill = 50 exactly (the 4 fill
-    # slots the new q43/q44/p06/st10 displaced move to the r10 mandatory
-    # set).
+    # judging" rule.  Window composition this round: 12 new + 18 mandatory
+    # r6-leads + 8 touched + 12 r7-cohort fill = 50 exactly (the 5 fill
+    # slots the new q43/q44/p06/st10/d10 displaced move to the r10
+    # mandatory set).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -106,6 +106,7 @@ _CHECK_PRIORITY = [
     "q44_incremental_agg_merge",
     "p06_time_embargo_split",
     "st10_streaming_file_sink_exactly_once",
+    "d10_incremental_corpus_dedup",
     # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
     # lead (VERDICT r8 item 1, the tripwire's demand) ----
     "q29_asof_join",
@@ -140,7 +141,7 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 13 of the 38 now cuts r10's mandatory load to 25) ----
+    # checking 12 of the 38 now cuts r10's mandatory load to 26) ----
     "q02_top_revenue_orders",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
@@ -153,10 +154,10 @@ _CHECK_PRIORITY = [
     "q39_correlated_scalar_subquery",
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
-    "r03_graph_quantification",
     # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 25
+    # r7-green remainder: age 3 at the r10 check if skipped — these 26
     # MUST lead the r10 window (rotate to the very top next round)
+    "r03_graph_quantification",
     "r04_sparql_engine_group_by",
     "r05_property_path_closure",
     "r06_optional_bind_coalesce",

@@ -1080,3 +1080,154 @@ def d09(spark, sf_dir):
         .otherwise(0)
         .alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- d10 incremental
+D10_BATCH_MOD = 5  # doc_id % 5 == 0 -> the incoming batch (~20%); else corpus
+
+
+def _d10_oracle() -> str:
+    mins = _minhash_mins_sql()
+    bands = _minhash_bands_sql()
+    band_union = "\n      UNION\n".join(
+        f"      SELECT b.doc_id AS doc_b, c.doc_id AS doc_c\n"
+        f"      FROM banded b JOIN banded c ON b.band{i} = c.band{i}\n"
+        f"      WHERE b.doc_id % {D10_BATCH_MOD} = 0"
+        f" AND c.doc_id % {D10_BATCH_MOD} <> 0"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, {_hash60_sql('shingle')} AS sh FROM shingles
+    ),
+    minhashes AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             {bands}
+      FROM minhashes
+    ),
+    candidates AS (
+{band_union}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_b, c.doc_c, COUNT(*) AS inter
+      FROM candidates c
+      JOIN hashed sb ON sb.doc_id = c.doc_b
+      JOIN hashed sc ON sc.doc_id = c.doc_c AND sb.sh = sc.sh
+      GROUP BY c.doc_b, c.doc_c
+    ),
+    matches AS (
+      SELECT v.doc_b, v.doc_c,
+             ROUND(CAST(v.inter AS DOUBLE) / (zb.n + zc.n - v.inter), 4) AS jaccard
+      FROM verified v
+      JOIN sizes zb ON zb.doc_id = v.doc_b
+      JOIN sizes zc ON zc.doc_id = v.doc_c
+      WHERE CAST(v.inter AS DOUBLE) / (zb.n + zc.n - v.inter)
+            >= {JACCARD_THRESHOLD}
+    ),
+    per_b AS (
+      SELECT doc_b, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard,
+             MIN(doc_c) AS first_match
+      FROM matches GROUP BY doc_b
+    )
+    SELECT d.doc_id, CAST(COALESCE(p.n_matches, 0) AS BIGINT) AS n_matches,
+           p.best_jaccard, p.first_match,
+           CAST(CASE WHEN p.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM documents d LEFT JOIN per_b p ON p.doc_b = d.doc_id
+    WHERE d.doc_id % {D10_BATCH_MOD} = 0
+    ORDER BY d.doc_id
+    """
+
+
+@query("d10_incremental_corpus_dedup", oracle=_d10_oracle())
+def d10(spark, sf_dir):
+    """INCREMENTAL corpus dedup — dedup an incoming BATCH against the
+    ACCUMULATED corpus, the operating mode of a continuously-fed training
+    pipeline (each crawl snapshot dedupes against everything already
+    kept): for every batch doc, does it near-duplicate any existing
+    corpus doc, against which first, and how strongly.  d02 answers the
+    within-corpus question; this answers the admission question, emitting
+    one row per batch doc (is_new, n_matches, best_jaccard, first_match)
+    so the downstream keep/drop filter is a column predicate.
+
+    Scale shape — the point is what does NOT get paid per batch: the
+    candidate join is batch-banded x corpus-banded (sides disjoint, no
+    doc_a<doc_b dance), so its cost scales with |batch| x bucket hit
+    rate, never |corpus|^2; exact-Jaccard verification prunes the shingle
+    relation to candidate docs with a semi-join first (d02's discipline).
+    In production the corpus side of the band join is a PERSISTED
+    signature table — written once, bucketed by (band, hash) so the join
+    is exchange-free on the corpus side (test_bucketing.py's layout
+    contract) — and only the batch pays the shingle->minhash pass each
+    round; here both sides derive from one shared scan because the gate
+    must be self-contained, with the signature relation computed ONCE and
+    reused for banding, sizes, and verification (d07's reuse rule).
+    Reference scope note: the reference engine has no dedup surface
+    (SURVEY.md §2 — LLM-pipeline operators are this repo's extension
+    family)."""
+    d = load(spark, sf_dir, "documents")
+    shingles = _shingles_spark(d).select(
+        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
+    ).persist()
+    hashed = shingles.select(
+        "doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h")
+    )
+    minhashes = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *_minhash_min_cols()
+    ).persist()
+    banded = minhashes.select("doc_id", *_band_cols())
+    exploded = _band_explode(banded)
+    is_batch = (F.col("doc_id") % D10_BATCH_MOD) == 0
+    bt = exploded.filter(is_batch).select(F.col("doc_id").alias("doc_b"), "bi", "bh")
+    cp = exploded.filter(~is_batch).select(F.col("doc_id").alias("doc_c"), "bi", "bh")
+    cands = bt.join(cp, ["bi", "bh"]).select("doc_b", "doc_c").distinct().persist()
+
+    docs_needed = (
+        cands.select(F.col("doc_b").alias("doc_id"))
+        .union(cands.select(F.col("doc_c").alias("doc_id")))
+        .distinct()
+    )
+    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
+    sb = s_cand.select(F.col("doc_id").alias("doc_b"), "sh")
+    sc = s_cand.select(F.col("doc_id").alias("doc_c"), "sh")
+    inter = (
+        cands.join(sb, "doc_b")
+        .join(sc, ["doc_c", "sh"])
+        .groupBy("doc_b", "doc_c")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = minhashes.select("doc_id", "n")
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    zc = sizes.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("nc"))
+    jac = F.col("inter").cast("double") / (
+        F.col("nb") + F.col("nc") - F.col("inter")
+    )
+    matches = (
+        inter.join(zb, "doc_b")
+        .join(zc, "doc_c")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_b", "doc_c", F.round(jac, 4).alias("jaccard"))
+    )
+    per_b = matches.groupBy("doc_b").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min("doc_c").alias("first_match"),
+    )
+    all_batch = d.filter(is_batch).select(F.col("doc_id").alias("doc_b"))
+    return (
+        all_batch.join(per_b, "doc_b", "left")
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_jaccard",
+            "first_match",
+            F.when(F.col("n_matches").isNull(), 1).otherwise(0).cast("long").alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )

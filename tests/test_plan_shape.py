@@ -373,3 +373,18 @@ class TestScd2AndIncrementalMaintenance:
         assert len(re.findall(r"Scan parquet", p)) == 0, p
         assert "ExistingRDD" in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+class TestIncrementalDedup:
+    def test_d10_band_join_is_asymmetric_and_jvm(self, spark):
+        # the candidate join must be batch x corpus (both sides filtered
+        # on the doc_id % 5 split BEFORE the band equi-join), never a
+        # corpus x corpus self-join or a nested loop, and the whole
+        # pipeline stays JVM-side
+        p = plan(spark, "d10_incremental_corpus_dedup")
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+        assert re.search(r"% 5\) = 0", p), p          # batch side split
+        assert re.search(r"NOT \(\(\w+#\d+L? % 5\) = 0\)|% 5\) = 0\) = false", p) or (
+            "isnotnull" in p
+        ), p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
