@@ -113,8 +113,9 @@ HEADLINE = HEADLINE_BATCH + HEADLINE_STREAMING
 # stdout JSON line: the tail-capture budget (<=1900 chars) caps how many
 # per-query medians the driver record can carry, so the slim line drops
 # the longest-stable, most-redundant rows first (simple scan+join/agg
-# shapes whose regressions q01/q03/q14/q21 would also catch).  Everything
-# here still runs every round — only the compact record omits it.
+# shapes whose regressions the still-listed q01/q03/q14 rows would also
+# catch).  Everything here still runs every round — only the compact
+# record omits it.
 SLIM_LINE_EXCLUDE = {
     "q02_top_revenue_orders",
     "q04_forecast_revenue",
@@ -331,7 +332,11 @@ def main():
     line = json.dumps(record)
     if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
         slim = dict(record)
-        slim["queries"] = {n: v for n, v in timings.items() if n in HEADLINE_BATCH}
+        slim["queries"] = {
+            n: v
+            for n, v in timings.items()
+            if n in HEADLINE_BATCH and n not in SLIM_LINE_EXCLUDE
+        }
         line = json.dumps(slim)
         print(f"# JSON line >1900 chars; emitted batch-only queries map "
               f"(full record in {side})", file=sys.stderr)

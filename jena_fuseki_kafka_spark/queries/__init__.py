@@ -86,7 +86,7 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r9 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 116 registered queries / 50 slots -> 3-round cycle at
+    # Cadence math: 118 registered queries / 50 slots -> 3-round cycle at
     # worst, legal against the "no verdict older than 2 rounds at
     # judging" rule.  Window composition this round: 12 new + 18 mandatory
     # r6-leads + 8 touched + 12 r7-cohort fill = 50 exactly (the 5 fill

@@ -169,16 +169,22 @@ def _minhash_bands_sql() -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_sql(left: str, right: str, band_pred) -> str:
+    """Shared oracle-SQL scaffolding for the MinHash paths: the CTE chain
+    shingles -> hashed -> minhashes -> banded -> candidates -> sizes ->
+    verified -> matches(left, right, jaccard).  ``band_pred(band_col)``
+    renders each band union leg's ON/WHERE tail, so the symmetric
+    (doc_a < doc_b) and asymmetric (batch vs corpus) candidate shapes
+    share everything else."""
     mins = _minhash_mins_sql()
     bands = _minhash_bands_sql()
     band_union = "\n      UNION\n".join(
-        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        f"      FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        f"      SELECT a.doc_id AS {left}, b.doc_id AS {right}\n"
+        f"      FROM banded a JOIN banded b ON a.band{b} = b.band{b}"
+        f"{band_pred(b)}"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    return f"""shingles AS ({_SHINGLES_SQL}),
     hashed AS (
       SELECT doc_id, {_hash60_sql('shingle')} AS sh FROM shingles
     ),
@@ -197,20 +203,100 @@ def _minhash_oracle() -> str:
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
     verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      SELECT c.{left}, c.{right}, COUNT(*) AS inter
       FROM candidates c
-      JOIN hashed sa ON sa.doc_id = c.doc_a
-      JOIN hashed sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-      GROUP BY c.doc_a, c.doc_b
+      JOIN hashed sa ON sa.doc_id = c.{left}
+      JOIN hashed sb ON sb.doc_id = c.{right} AND sa.sh = sb.sh
+      GROUP BY c.{left}, c.{right}
+    ),
+    matches AS (
+      SELECT v.{left}, v.{right},
+             ROUND(CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter), 4) AS jaccard
+      FROM verified v
+      JOIN sizes za ON za.doc_id = v.{left}
+      JOIN sizes zb ON zb.doc_id = v.{right}
+      WHERE CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    cte = _minhash_cte_sql(
+        "doc_a", "doc_b", lambda b: " AND a.doc_id < b.doc_id"
     )
-    SELECT v.doc_a, v.doc_b,
-           ROUND(CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter), 4) AS jaccard
-    FROM verified v
-    JOIN sizes za ON za.doc_id = v.doc_a
-    JOIN sizes zb ON zb.doc_id = v.doc_b
-    WHERE CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) >= {JACCARD_THRESHOLD}
-    ORDER BY v.doc_a, v.doc_b
+    return f"""
+    WITH {cte}
+    SELECT doc_a, doc_b, jaccard FROM matches
+    ORDER BY doc_a, doc_b
     """
+
+
+def _signature_relations(spark, sf_dir):
+    """Shared MinHash signature pipeline — ONE implementation feeding the
+    symmetric corpus dedup (d02/d06/d07 via _minhash_pairs) and the
+    asymmetric incremental dedup (d10): returns ``(shingles, minhashes,
+    exploded)``.
+
+    - ``shingles``: persisted (doc_id, sh).  Every distinct shingle is
+      hashed ONCE to a 60-bit long and only the 8-byte key is persisted —
+      the string shingles never shuffle or cache; at 100 TB that's the
+      difference between moving text and moving longs.
+    - ``minhashes``: persisted (doc_id, n, m0..m15).  One aggregation pass
+      produces all 16 minhashes AND the shingle-set size (saves a second
+      scan+shuffle of the shingle relation).
+    - ``exploded``: (doc_id, bi, bh) band rows, so candidate generation is
+      ONE equi-join on (band_index, band_hash) instead of N_BANDS joins.
+    """
+    d = load(spark, sf_dir, "documents")
+    shingles = _shingles_spark(d).select(
+        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
+    ).persist()
+    hashed = shingles.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
+    minhashes = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *_minhash_min_cols()
+    ).persist()
+    banded = minhashes.select("doc_id", *_band_cols())
+    return shingles, minhashes, _band_explode(banded)
+
+
+def _verify_exact_jaccard(cands, shingles, sizes, left: str, right: str):
+    """Exact-Jaccard verification of a candidate pair relation — shared by
+    the symmetric (doc_a, doc_b) and asymmetric (doc_b, doc_c) dedup paths.
+    ``cands`` must already be persisted by the caller (it feeds both sides
+    of the intersection join).  Returns (left, right, jaccard) rows at or
+    above JACCARD_THRESHOLD, jaccard rounded to 4 for oracle parity.
+
+    Verification touches only candidate docs: ONE semi-join prunes the
+    shingle relation to candidate docs before the verify join, so it moves
+    |candidate docs| x |their shingles|, never the whole corpus.  The
+    candidate doc-id set scales with the corpus dup rate, so it carries no
+    broadcast hint — AQE broadcasts it while it fits (making the prune a
+    map-side filter with zero shingle shuffle) and falls back to a
+    shuffled semi-join on a high-dup 100 TB corpus where the set is
+    multi-GB and a forced broadcast would OOM."""
+    docs_needed = (
+        cands.select(F.col(left).alias("doc_id"))
+        .union(cands.select(F.col(right).alias("doc_id")))
+        .distinct()
+    )
+    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
+    sa = s_cand.select(F.col("doc_id").alias(left), "sh")
+    sb = s_cand.select(F.col("doc_id").alias(right), "sh")
+    inter = (
+        cands.join(sa, left)
+        .join(sb, [right, "sh"])
+        .groupBy(left, right)
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias(left), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias(right), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(za, left)
+        .join(zb, right)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(left, right, F.round(jac, 4).alias("jaccard"))
+    )
 
 
 def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
@@ -222,25 +308,7 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
     relation — so d07 joins the signatures this computation materialized
     instead of re-deriving shingles and re-running the 16-lane aggregate
     (a second full shingle scan + shuffle at scale)."""
-    d = load(spark, sf_dir, "documents")
-    # hash every distinct shingle ONCE to a 60-bit long and persist only
-    # (doc_id, sh): the string shingles never shuffle or cache — at 100 TB
-    # that's the difference between moving text and moving 8-byte keys
-    shingles = _shingles_spark(d).select(
-        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).persist()
-
-    hashed = shingles.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
-    # one aggregation pass produces all 16 minhashes AND the shingle-set
-    # size (saves a second scan+shuffle of the shingle relation)
-    minhashes = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n"), *_minhash_min_cols()
-    ).persist()
-    banded = minhashes.select("doc_id", *_band_cols())
-
-    # one equi-join on (band_index, band_hash) instead of N_BANDS separate
-    # joins: explode the band columns to rows, self-join once, dedup pairs
-    exploded = _band_explode(banded)
+    shingles, minhashes, exploded = _signature_relations(spark, sf_dir)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bi", "bh")
     bb = exploded.select(F.col("doc_id").alias("doc_b"), "bi", "bh")
     cands = (
@@ -248,42 +316,11 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
-
     sizes = minhashes.select("doc_id", "n")
-    # verification touches only candidate docs: ONE semi-join prunes the
-    # shingle relation to candidate docs before the verify join, so it
-    # moves |candidate docs| x |their shingles|, never the whole corpus.
-    # The candidate doc-id set scales with the corpus dup rate, so it
-    # carries no broadcast hint — AQE broadcasts it while it fits (making
-    # the prune a map-side filter with zero shingle shuffle) and falls
-    # back to a shuffled semi-join on a high-dup 100 TB corpus where the
-    # set is multi-GB and a forced broadcast would OOM.  The pruned result
-    # is persisted: it feeds both sides of the intersection join.
-    cands = cands.persist()
-    docs_needed = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
-    sa = s_cand.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = s_cand.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    out = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    out = _verify_exact_jaccard(cands, shingles, sizes, "doc_a", "doc_b").orderBy(
+        "doc_a", "doc_b"
     )
     if with_signatures:
         return out, minhashes
@@ -1172,48 +1209,13 @@ def d10(spark, sf_dir):
     (SURVEY.md §2 — LLM-pipeline operators are this repo's extension
     family)."""
     d = load(spark, sf_dir, "documents")
-    shingles = _shingles_spark(d).select(
-        "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).persist()
-    hashed = shingles.select(
-        "doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h")
-    )
-    minhashes = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n"), *_minhash_min_cols()
-    ).persist()
-    banded = minhashes.select("doc_id", *_band_cols())
-    exploded = _band_explode(banded)
+    shingles, minhashes, exploded = _signature_relations(spark, sf_dir)
     is_batch = (F.col("doc_id") % D10_BATCH_MOD) == 0
     bt = exploded.filter(is_batch).select(F.col("doc_id").alias("doc_b"), "bi", "bh")
     cp = exploded.filter(~is_batch).select(F.col("doc_id").alias("doc_c"), "bi", "bh")
     cands = bt.join(cp, ["bi", "bh"]).select("doc_b", "doc_c").distinct().persist()
-
-    docs_needed = (
-        cands.select(F.col("doc_b").alias("doc_id"))
-        .union(cands.select(F.col("doc_c").alias("doc_id")))
-        .distinct()
-    )
-    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
-    sb = s_cand.select(F.col("doc_id").alias("doc_b"), "sh")
-    sc = s_cand.select(F.col("doc_id").alias("doc_c"), "sh")
-    inter = (
-        cands.join(sb, "doc_b")
-        .join(sc, ["doc_c", "sh"])
-        .groupBy("doc_b", "doc_c")
-        .agg(F.count("*").alias("inter"))
-    )
     sizes = minhashes.select("doc_id", "n")
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    zc = sizes.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("nc"))
-    jac = F.col("inter").cast("double") / (
-        F.col("nb") + F.col("nc") - F.col("inter")
-    )
-    matches = (
-        inter.join(zb, "doc_b")
-        .join(zc, "doc_c")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_b", "doc_c", F.round(jac, 4).alias("jaccard"))
-    )
+    matches = _verify_exact_jaccard(cands, shingles, sizes, "doc_b", "doc_c")
     per_b = matches.groupBy("doc_b").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.max("jaccard").alias("best_jaccard"),

@@ -588,9 +588,13 @@ _SINK_CACHE: dict[str, tuple[str, str]] = {}
 def _cleanup_sink_cache() -> None:
     import shutil
 
+    import os
+
     for sink, ckpt in _SINK_CACHE.values():
-        shutil.rmtree(sink, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        # the cached paths are <mkdtemp>/out and <mkdtemp>/cp — remove the
+        # mkdtemp PARENTS, or every run leaks two empty dirs in /tmp
+        shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
     _SINK_CACHE.clear()
 
 

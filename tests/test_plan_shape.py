@@ -383,8 +383,10 @@ class TestIncrementalDedup:
         # pipeline stays JVM-side
         p = plan(spark, "d10_incremental_corpus_dedup")
         assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
-        assert re.search(r"% 5\) = 0", p), p          # batch side split
-        assert re.search(r"NOT \(\(\w+#\d+L? % 5\) = 0\)|% 5\) = 0\) = false", p) or (
-            "isnotnull" in p
-        ), p
+        # batch side: doc_id % 5 = 0 filter present below the band join
+        assert re.search(r"\(\w+#\d+L? % 5\) = 0\)", p), p
+        # corpus side: the NEGATED split filter must also be there — if it
+        # disappears the band join degrades to corpus x corpus candidates,
+        # the exact scale regression this pin exists to catch
+        assert re.search(r"NOT \(\(\w+#\d+L? % 5\) = 0\)", p), p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
