@@ -84,79 +84,21 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r9 window (first 50; unlisted queries sort ahead of all of
+    # ---- r10 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 118 registered queries / 50 slots -> 3-round cycle at
-    # worst, legal against the "no verdict older than 2 rounds at
-    # judging" rule.  Window composition this round: 12 new + 18 mandatory
-    # r6-leads + 8 touched + 12 r7-cohort fill = 50 exactly (the 5 fill
-    # slots the new q43/q44/p06/st10/d10 displaced move to the r10
-    # mandatory set).
+    # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
+    # against "no verdict older than 2 rounds at judging".  Window
+    # composition this round: 3 new + 26 mandatory r7-leads + 4 touched
+    # + 17 r8-cohort fill = 50 exactly; the r8-cohort remainder (25)
+    # becomes r11's mandatory set (<= 26, per VERDICT r9 item 2).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    "q41_pivot_wide_metrics",
-    "t11_bigram_lm_perplexity",
-    "s09_semdedup_prune",
-    "m07_image_phash_neardup",
-    "d09_duplication_fraction",
-    "q42_changelog_latest_compaction",
-    "m08_image_resize_facets",
-    "q43_scd2_validity_intervals",
-    "q44_incremental_agg_merge",
-    "p06_time_embargo_split",
-    "st10_streaming_file_sink_exactly_once",
-    "d10_incremental_corpus_dedup",
-    # ---- r6-green, untouched: age 3 at the r9 check if skipped — MUST
-    # lead (VERDICT r8 item 1, the tripwire's demand) ----
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "p01_stratified_sample",
-    "p02_curation_pipeline",
-    "p03_mixture_rebalance",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "d01_exact_dedup",
-    "d03_simhash",
-    "d05_decontamination",
-    "s01_ann_bruteforce_topk",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "t01_language_id",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    # ---- TOUCHED THIS ROUND -> re-verify: s08 coarse-select slimmed
-    # (VERDICT r8 item 3), connected_components big-step escalation
-    # (item 7: shared by d06/s06/p04), _stage_weekly staging-dir cache
-    # (ADVICE: shared by st07/st08/st09), d08 front-half refactor
-    # (shared with the new d09) ----
-    "d08_substring_span_dedup",
-    "s08_prefix_dim_rerank",
-    "d06_dedup_clusters",
-    "s06_embedding_dup_clusters",
-    "p04_leakage_safe_split",
-    "st07_stream_stream_join",
-    "st08_stream_stream_outer_join",
-    "st09_streaming_bounded_dedup",
-    # ---- r7-green rotation fill (age 2 at r9 judging — legal — but
-    # checking 12 of the 38 now cuts r10's mandatory load to 26) ----
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q16_conditional_agg_case",
-    "q18_multi_join_part_supplier_stats",
-    "q26_cohort_retention",
-    "q39_correlated_scalar_subquery",
-    "r01_sparql_acceptance_count",
-    "r02_bgp_join_filter",
-    # ---- window boundary here (50 above) ----
-    # r7-green remainder: age 3 at the r10 check if skipped — these 26
-    # MUST lead the r10 window (rotate to the very top next round)
+    # (names uncommented as each lands this round; planned:
+    #  d11_fuzzy_decontamination, st11 foreachBatch MERGE gate,
+    #  p07_packing_efficiency_census)
+    # ---- r7-green, untouched: age 3 at the r10 check if skipped — MUST
+    # lead (VERDICT r9 item 1a, the tripwire's demand) ----
     "r03_graph_quantification",
     "r04_sparql_engine_group_by",
     "r05_property_path_closure",
@@ -166,15 +108,15 @@ _CHECK_PRIORITY = [
     "r09_values_inline_data",
     "r10_ask",
     "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r15_optional_unbound_compat",
+    "r18_negated_property_set",
     "d04_ngram_jaccard_blocked",
     "m01_image_features",
     "m02_audio_features",
     "m05_scene_changes",
     "p05_sequence_packing",
-    "r12_group_concat",
-    "r13_subselect",
-    "r15_optional_unbound_compat",
-    "r18_negated_property_set",
     "s07_int8_quantization",
     "st05_streaming_static_enrichment",
     "st06_streaming_late_data_drop",
@@ -183,7 +125,16 @@ _CHECK_PRIORITY = [
     "t09_url_domain_stats",
     "t10_char_entropy",
     "u01_update_sequence",
-    # ---- r8-green, code untouched -> tail (fine until r11) ----
+    # ---- TOUCHED THIS ROUND -> re-verify: connected_components
+    # convergence check folded into the jump join (VERDICT r9 item 3:
+    # shared by d06/s06/p04), d10 oracle re-rendered via _minhash_cte_sql
+    # (ADVICE r9 item 2) ----
+    "d06_dedup_clusters",
+    "s06_embedding_dup_clusters",
+    "p04_leakage_safe_split",
+    "d10_incremental_corpus_dedup",
+    # ---- r8-green rotation fill (age 2 at r10 judging — legal — but
+    # checking 17 of the 42 now cuts r11's mandatory load to 25) ----
     "d02_minhash_lsh",
     "d07_minhash_estimator_fidelity",
     "m06_audio_vad_segments",
@@ -201,6 +152,9 @@ _CHECK_PRIORITY = [
     "q20_tumbling_window_hourly",
     "q21_sessionization",
     "q22_json_props_extract",
+    # ---- window boundary here (50 above) ----
+    # r8-green remainder: age 3 at the r11 check if skipped — these 25
+    # MUST lead the r11 window (rotate to the very top next round)
     "q23_funnel_signup_to_purchase",
     "q24_exact_percentiles",
     "q25_cube_aggregation",
@@ -226,6 +180,53 @@ _CHECK_PRIORITY = [
     "st04_streaming_first_seen",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
+    # ---- r9-green, code untouched -> tail (fine until r12) ----
+    "q41_pivot_wide_metrics",
+    "t11_bigram_lm_perplexity",
+    "s09_semdedup_prune",
+    "m07_image_phash_neardup",
+    "d09_duplication_fraction",
+    "q42_changelog_latest_compaction",
+    "m08_image_resize_facets",
+    "q43_scd2_validity_intervals",
+    "q44_incremental_agg_merge",
+    "p06_time_embargo_split",
+    "st10_streaming_file_sink_exactly_once",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "p01_stratified_sample",
+    "p02_curation_pipeline",
+    "p03_mixture_rebalance",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d05_decontamination",
+    "s01_ann_bruteforce_topk",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "t01_language_id",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "d08_substring_span_dedup",
+    "s08_prefix_dim_rerank",
+    "st07_stream_stream_join",
+    "st08_stream_stream_outer_join",
+    "st09_streaming_bounded_dedup",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q16_conditional_agg_case",
+    "q18_multi_join_part_supplier_stats",
+    "q26_cohort_retention",
+    "q39_correlated_scalar_subquery",
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
 ]
 
 

@@ -61,6 +61,15 @@ def test_check_window_satisfies_staleness_rule():
     # the driver leaves in the repo, and assert that every query that
     # would cross the bound this round (last checked >= 3 rounds ago, or
     # never checked at all) sits inside the 50-slot window.
+    #
+    # "The round being built" comes from the builder-committed ROUND
+    # marker (bumped as the first commit of each round), NOT from
+    # max(artifact rounds)+1: the driver drops CORRECTNESS_rN.json AFTER
+    # round N's snapshot commit, so the artifact-based derivation flipped
+    # the suite red at every judging by construction (VERDICT r8/r9).
+    # The artifacts still back a guard: if the ROUND marker's own
+    # artifact has landed and the marker was not bumped, the next round
+    # started without acknowledging it -> fail loudly.
     import glob
     import json
     import os
@@ -78,7 +87,17 @@ def test_check_window_satisfies_staleness_rule():
                 last_checked[name] = max(last_checked.get(name, 0), rnd)
     if not rounds:
         return  # round 1: no history, nothing can be stale
-    current = max(rounds) + 1  # the round being built
+    round_marker = os.path.join(repo, "ROUND")
+    if os.path.exists(round_marker):
+        with open(round_marker) as f:
+            current = int(f.read().strip())
+        assert current >= max(rounds), (
+            f"ROUND marker says {current} but CORRECTNESS_r{max(rounds)}.json "
+            f"exists: a new round started without bumping ROUND — bump it "
+            f"(first commit of the round) and rotate _CHECK_PRIORITY"
+        )
+    else:
+        current = max(rounds) + 1  # legacy fallback: the round being built
     window = set(list(QUERIES)[:50])
     must_check = [
         n for n in QUERIES
