@@ -413,14 +413,19 @@ def connected_components(pairs, max_rounds: int = 50):
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("v")).distinct().withColumn("comp", F.col("v"))
+    changed = -1  # sentinel: loop body never ran (max_rounds <= 0)
     for _round in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.v)
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the previous label alongside the stepped one so the
+        # convergence check rides the same job as the jump join below —
+        # one job per round, not a jump job plus a separate count job
         stepped = labels.join(nbr_min, labels.v == F.col("nv"), "left").select(
             "v",
+            F.col("comp").alias("prev"),
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
         # pointer jump: every comp value is itself a node id carried in
@@ -433,16 +438,15 @@ def connected_components(pairs, max_rounds: int = 50):
             .select(
                 "v",
                 F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"),
+                (F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp")))
+                 != F.col("prev")).cast("long").alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "v")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        # the lazy local checkpoint materializes (and truncates lineage)
+        # on this aggregate's job, so labels + changed-count cost ONE job
+        changed = new_labels.agg(F.coalesce(F.sum("chg"), F.lit(0))).first()[0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -119,3 +119,15 @@ class TestConnectedComponents:
         )
         got = {r.v: r.comp for r in connected_components(pairs).collect()}
         assert got == {"a": "a", "b": "a", "c": "a"}
+
+    def test_zero_round_budget_raises_diagnostic_not_nameerror(self, spark):
+        # ADVICE r9: with max_rounds <= 0 the loop body never runs; the
+        # guard must still raise the intended RuntimeError, not NameError
+        # on an unbound `changed`
+        import pytest
+
+        from jena_fuseki_kafka_spark.queries.dedup import connected_components
+
+        pairs = spark.createDataFrame([("a", "b")], ["doc_a", "doc_b"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=0)
