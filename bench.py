@@ -111,18 +111,53 @@ HEADLINE = HEADLINE_BATCH + HEADLINE_STREAMING
 
 # Rows measured and recorded in BENCH_full.json but EXCLUDED from the
 # stdout JSON line: the tail-capture budget (<=1900 chars) caps how many
-# per-query medians the driver record can carry, so the slim line drops
-# the longest-stable, most-redundant rows first (simple scan+join/agg
-# shapes whose regressions the still-listed q01/q03/q14 rows would also
-# catch).  Everything here still runs every round — only the compact
-# record omits it.
-SLIM_LINE_EXCLUDE = {
+# per-query medians the driver record can carry.  VERDICT r9 item 4: a
+# FIXED drop list left those rows' driver-visible record permanently
+# dark, so the exclusion now ROTATES — a pool of the most-redundant rows
+# (shapes whose regressions a still-listed row of the same family would
+# also catch), halved by the committed ROUND marker's parity, so every
+# pooled row rides the stdout line at least every other round.
+# Everything here still runs every round — only the compact record
+# omits the excluded half; BENCH_full.json always carries all rows.
+SLIM_ROTATION_POOL = [
+    # half A (excluded on even rounds)
     "q02_top_revenue_orders",
     "q04_forecast_revenue",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
     "m05_scene_changes",
-}
+    "q19_disjunctive_predicate_join",
+    "q31_grouping_sets",
+    "t08_pii_scrub",
+    "q14_window_top_order_per_cust",
+    # half B (excluded on odd rounds)
+    "q29_asof_join",
+    "q30_interval_join",
+    "q36_per_group_outlier_filter",
+    "q40_salted_fact_dim_join",
+    "t06_topk_bigrams_per_lang",
+    "t10_char_entropy",
+    "p02_curation_pipeline",
+    "m06_audio_vad_segments",
+    "s07_int8_quantization",
+]
+
+
+def _current_round() -> int:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROUND")
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+_half = len(SLIM_ROTATION_POOL) // 2
+SLIM_LINE_EXCLUDE = set(
+    SLIM_ROTATION_POOL[:_half]
+    if _current_round() % 2 == 0
+    else SLIM_ROTATION_POOL[_half:]
+)
 
 
 def bench_http_four_ops(spark) -> float:
@@ -302,6 +337,12 @@ def main():
     batch_s = subtotal(HEADLINE_BATCH)
     streaming_s = subtotal(HEADLINE_STREAMING)
     http_s = subtotal(["http_four_ops_roundtrip"])
+    # ADVICE r9: a query whose every sample failed shrinks the sub-totals
+    # (subtotal() skips its None), so a crash could read as a speedup if
+    # only totals are compared — surface the casualty count on the stdout
+    # line (fixed-width, fits the tail budget) and the names in
+    # BENCH_full.json + stderr
+    failed = sorted(n for n, vals in samples.items() if not vals)
     record = {
         "metric": "headline_suite_seconds",
         "value": round(batch_s + streaming_s + http_s, 3),
@@ -312,6 +353,7 @@ def main():
         "batch_seconds": batch_s,
         "streaming_seconds": streaming_s,
         "http_seconds": http_s,
+        "failed_queries": len(failed),
         "calibration_range_sum_sec": calibration,
         "sf": sf,
     }
@@ -320,6 +362,7 @@ def main():
     # the bench consumer keeps
     full = dict(record)
     full["queries"] = timings  # the full record carries every row
+    full["failed_query_names"] = failed
     full["spreads"] = spreads
     full["samples"] = {n: v for n, v in samples.items()}
     full["queries_normalized"] = {
