@@ -1128,50 +1128,19 @@ D10_BATCH_MOD = 5  # doc_id % 5 == 0 -> the incoming batch (~20%); else corpus
 
 
 def _d10_oracle() -> str:
-    mins = _minhash_mins_sql()
-    bands = _minhash_bands_sql()
-    band_union = "\n      UNION\n".join(
-        f"      SELECT b.doc_id AS doc_b, c.doc_id AS doc_c\n"
-        f"      FROM banded b JOIN banded c ON b.band{i} = c.band{i}\n"
-        f"      WHERE b.doc_id % {D10_BATCH_MOD} = 0"
-        f" AND c.doc_id % {D10_BATCH_MOD} <> 0"
-        for i in range(N_BANDS)
+    # the asymmetric (batch x corpus) candidate shape is just a band
+    # predicate over the shared MinHash CTE chain (ADVICE r9): each band
+    # leg keeps batch docs on the left and corpus docs on the right
+    cte = _minhash_cte_sql(
+        "doc_b",
+        "doc_c",
+        lambda i: (
+            f" AND a.doc_id % {D10_BATCH_MOD} = 0"
+            f" AND b.doc_id % {D10_BATCH_MOD} <> 0"
+        ),
     )
     return f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT doc_id, {_hash60_sql('shingle')} AS sh FROM shingles
-    ),
-    minhashes AS (
-      SELECT doc_id,
-             {mins}
-      FROM hashed GROUP BY doc_id
-    ),
-    banded AS (
-      SELECT doc_id,
-             {bands}
-      FROM minhashes
-    ),
-    candidates AS (
-{band_union}
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_b, c.doc_c, COUNT(*) AS inter
-      FROM candidates c
-      JOIN hashed sb ON sb.doc_id = c.doc_b
-      JOIN hashed sc ON sc.doc_id = c.doc_c AND sb.sh = sc.sh
-      GROUP BY c.doc_b, c.doc_c
-    ),
-    matches AS (
-      SELECT v.doc_b, v.doc_c,
-             ROUND(CAST(v.inter AS DOUBLE) / (zb.n + zc.n - v.inter), 4) AS jaccard
-      FROM verified v
-      JOIN sizes zb ON zb.doc_id = v.doc_b
-      JOIN sizes zc ON zc.doc_id = v.doc_c
-      WHERE CAST(v.inter AS DOUBLE) / (zb.n + zc.n - v.inter)
-            >= {JACCARD_THRESHOLD}
-    ),
+    WITH {cte},
     per_b AS (
       SELECT doc_b, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard,
              MIN(doc_c) AS first_match

@@ -580,8 +580,13 @@ def st09(spark, sf_dir):
     )
 
 
-# file-sink + checkpoint dirs for st10, cached per sf_dir (same lifecycle
-# discipline as _STAGE_CACHE) and removed at interpreter exit
+# file-sink + checkpoint dirs for st10, cached per STAGED dir (ADVICE r9:
+# keying by sf_dir alone made the cache an assumption independent of
+# _STAGE_CACHE's; keyed by the staged dir it is strictly downstream — if
+# the staging layer ever rebuilds, the sink rebuilds with it).  Both
+# caches rest on the same documented invariant: sf_dir contents are
+# immutable for the life of the process (the driver's testdata is
+# generated once, before any round runs).  Removed at interpreter exit.
 _SINK_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -641,7 +646,7 @@ def st10(spark, sf_dir):
     import tempfile
 
     td, schema = _stage_weekly(spark, sf_dir, event_types=None)
-    cached = _SINK_CACHE.get(sf_dir)
+    cached = _SINK_CACHE.get(td)
     if cached is None:
         sink = tempfile.mkdtemp(prefix="st10-sink-")
         ckpt = tempfile.mkdtemp(prefix="st10-ckpt-")
@@ -649,7 +654,7 @@ def st10(spark, sf_dir):
         # first start's manifest init, so hand Spark fresh subpaths
         sink = os.path.join(sink, "out")
         ckpt = os.path.join(ckpt, "cp")
-        _SINK_CACHE[sf_dir] = (sink, ckpt)
+        _SINK_CACHE[td] = (sink, ckpt)
     else:
         sink, ckpt = cached
 
