@@ -90,6 +90,7 @@ HEADLINE_BATCH = [
     "q44_incremental_agg_merge",
     "p06_time_embargo_split",
     "d10_incremental_corpus_dedup",
+    "d11_fuzzy_decontamination",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

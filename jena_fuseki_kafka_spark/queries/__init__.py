@@ -94,9 +94,9 @@ _CHECK_PRIORITY = [
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    # (names uncommented as each lands this round; planned:
-    #  d11_fuzzy_decontamination, st11 foreachBatch MERGE gate,
-    #  p07_packing_efficiency_census)
+    # (names appended as each lands this round; planned additionally:
+    #  st11 foreachBatch MERGE gate, p07_packing_efficiency_census)
+    "d11_fuzzy_decontamination",
     # ---- r7-green, untouched: age 3 at the r10 check if skipped — MUST
     # lead (VERDICT r9 item 1a, the tripwire's demand) ----
     "r03_graph_quantification",
@@ -128,11 +128,13 @@ _CHECK_PRIORITY = [
     # ---- TOUCHED THIS ROUND -> re-verify: connected_components
     # convergence check folded into the jump join (VERDICT r9 item 3:
     # shared by d06/s06/p04), d10 oracle re-rendered via _minhash_cte_sql
-    # (ADVICE r9 item 2) ----
+    # (ADVICE r9 item 2), d05 benchmark predicate factored out to share
+    # with the new d11 ----
     "d06_dedup_clusters",
     "s06_embedding_dup_clusters",
     "p04_leakage_safe_split",
     "d10_incremental_corpus_dedup",
+    "d05_decontamination",
     # ---- r8-green rotation fill (age 2 at r10 judging — legal — but
     # checking 17 of the 42 now cuts r11's mandatory load to 25) ----
     "d02_minhash_lsh",
@@ -151,10 +153,10 @@ _CHECK_PRIORITY = [
     "q19_disjunctive_predicate_join",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
-    "q22_json_props_extract",
-    # ---- window boundary here (50 above) ----
-    # r8-green remainder: age 3 at the r11 check if skipped — these 25
+    # ---- window boundary here (50 above once st11/p07 land) ----
+    # r8-green remainder: age 3 at the r11 check if skipped — these 26
     # MUST lead the r11 window (rotate to the very top next round)
+    "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
     "q24_exact_percentiles",
     "q25_cube_aggregation",
@@ -202,7 +204,6 @@ _CHECK_PRIORITY = [
     "m04_frame_dedup",
     "d01_exact_dedup",
     "d03_simhash",
-    "d05_decontamination",
     "s01_ann_bruteforce_topk",
     "s04_ann_ivf",
     "s05_ann_recall_gate",

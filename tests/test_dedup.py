@@ -91,3 +91,59 @@ class TestD08SubstringSpans:
 
     def test_d08_oracle_registered(self):
         assert "d08_substring_span_dedup" in ORACLES
+
+class TestD11FuzzyDecontamination:
+    def _write_docs(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_drifted_copy_flagged_where_exact_d05_is_blind(self, spark, tmp_path):
+        # doc_id 20 is in the 1-in-20 md5 benchmark sample; 1 and 2 are not.
+        # The train doc quotes the benchmark text with PUNCTUATION drift
+        # (d05 already lowercases and collapses whitespace, so punctuation
+        # is exactly the drift class it cannot see).
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        drifted = "Alpha, beta; GAMMA delta (epsilon) zeta -- eta theta iota: kappa!"
+        clean = "one two three four five six seven eight nine ten"
+        sf = self._write_docs(
+            spark, tmp_path,
+            [(20, bench_text), (1, drifted), (2, clean)],
+        )
+        d11 = {r.doc_id: r for r in QUERIES["d11_fuzzy_decontamination"](spark, sf).collect()}
+        d05 = QUERIES["d05_decontamination"](spark, sf).collect()
+        assert list(d11) == [1], d11
+        row = d11[1]
+        # the full 10-token quote is one maximal span: positions 1..3 of
+        # the 8-grams cover tokens 1..10
+        assert row.n_spans == 1
+        assert row.n_tokens == 10
+        assert row.contam_tokens == 10
+        assert row.contam_frac == 1.0
+        assert row.n_benchmark_docs == 1
+        assert d05 == [], f"punctuation drift should be invisible to exact d05: {d05}"
+
+    def test_separated_hits_stay_separate_spans(self, spark, tmp_path):
+        # two drifted quotes of benchmark 8-grams separated by >1 clean
+        # token must NOT merge into one span
+        bq1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+        bq2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+        train = f"{bq1.upper()} filler1 filler2 filler3 {bq2.replace(' ', ', ')}"
+        sf = self._write_docs(
+            spark, tmp_path,
+            [(20, f"{bq1} {bq2}"), (1, train)],
+        )
+        rows = QUERIES["d11_fuzzy_decontamination"](spark, sf).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 1
+        assert rows[0].n_spans == 2, rows
+        assert rows[0].contam_tokens == 16
+        assert rows[0].n_tokens == 19
+
+    def test_matches_duckdb_oracle_on_testdata(self, spark, sf_dir):
+        rows = QUERIES["d11_fuzzy_decontamination"](spark, sf_dir).collect()
+        con = _duck(sf_dir)
+        oracle = con.execute(ORACLES["d11_fuzzy_decontamination"]).fetchall()
+        assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)
+        for r in rows:
+            assert 0 < r.contam_tokens <= r.n_tokens
+            assert r.n_spans >= 1 and r.n_benchmark_docs >= 1

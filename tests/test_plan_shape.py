@@ -186,6 +186,17 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
+    def test_d11_fuzzy_decon_is_hash_keyed_and_jvm(self, spark):
+        # fuzzy decontamination: normalization + positional n-grams stay
+        # JVM-side, the train x benchmark collision check is a keyed join
+        # on the 60-bit gram hash (never nested-loop/cartesian), and the
+        # span merge rides a doc_id-partitioned window
+        p = plan(spark, "d11_fuzzy_decontamination")
+        assert "windowspecdefinition(doc_id" in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
     def test_s08_coarse_topc_is_partial_and_slim(self, spark):
         # VERDICT r8 item 3: s08's scale bound rests on (a) the coarse
         # shuffle carrying only (query_id, vec_id, coarse_cos) — pinned on
