@@ -91,6 +91,7 @@ HEADLINE_BATCH = [
     "p06_time_embargo_split",
     "d10_incremental_corpus_dedup",
     "d11_fuzzy_decontamination",
+    "p07_packing_efficiency_census",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store

@@ -508,3 +508,135 @@ def p06(spark, sf_dir):
         F.when(gap_us >= _P06_EMBARGO_US, 1).otherwise(0).cast("long").alias("embargo_ok"),
     )
     return census_rows.unionByName(summary).orderBy("split", "event_type")
+
+
+# ---------------------------------------------------------------- p07
+# Packing-efficiency census: the monitoring readout a pipeline operator
+# watches over p05's concat-and-chunk packing.  p05 reports WHAT was
+# packed; p07 reports HOW WELL: per shard, capacity vs tokens used
+# (utilization, padding waste in the final partial sequence) and the
+# fragmentation the chunker introduces (docs cut at sequence boundaries,
+# total boundary crossings, resulting fragment count).  Everything is
+# integer-exact — utilization ships as basis points via integer division,
+# so no float boundary can split the engines.
+
+
+@query(
+    "p07_packing_efficiency_census",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tok, h, h % {P05_N_SHARDS} AS shard FROM toks
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sharded
+    ),
+    per_doc AS (
+      SELECT shard, n_tok,
+             ((cum - 1) // {P05_SEQ_LEN}) - ((cum - n_tok) // {P05_SEQ_LEN}) AS crossings
+      FROM packed
+    ),
+    shardagg AS (
+      SELECT shard,
+             COUNT(*) AS n_docs,
+             SUM(n_tok) AS n_tokens,
+             (SUM(n_tok) + {P05_SEQ_LEN - 1}) // {P05_SEQ_LEN} AS n_sequences,
+             SUM(CASE WHEN crossings >= 1 THEN 1 ELSE 0 END) AS n_straddling_docs,
+             SUM(crossings) AS n_boundary_crossings
+      FROM per_doc GROUP BY shard
+    )
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_sequences AS BIGINT) AS n_sequences,
+           CAST(n_sequences * {P05_SEQ_LEN} AS BIGINT) AS capacity_tokens,
+           CAST(n_sequences * {P05_SEQ_LEN} - n_tokens AS BIGINT) AS pad_tokens,
+           CAST((n_tokens * 10000) // (n_sequences * {P05_SEQ_LEN}) AS BIGINT) AS util_bp,
+           CAST(n_straddling_docs AS BIGINT) AS n_straddling_docs,
+           CAST(n_boundary_crossings AS BIGINT) AS n_boundary_crossings,
+           CAST(n_docs + n_boundary_crossings AS BIGINT) AS n_fragments
+    FROM shardagg ORDER BY shard
+    """,
+)
+def p07(spark, sf_dir):
+    """PACKING-EFFICIENCY CENSUS over p05's deterministic concat-and-chunk
+    packing (VERDICT r9 item 7): per shard — tokens used vs sequence
+    capacity (utilization in integer basis points, padding waste in the
+    final partial sequence) and fragmentation (documents cut at a
+    {P05_SEQ_LEN}-token boundary, total boundary crossings — a long doc
+    can cross several — and the fragment count the chunker emits).  This
+    is the throughput/waste dashboard a training-data pipeline actually
+    monitors: rising pad_tokens means shards are too small, rising
+    n_fragments means documents are long relative to the sequence length.
+
+    Scale shape (p05's discipline): the ONLY non-map operator is the
+    shard-partitioned window cumsum — shards pack independently, so
+    parallelism = n_shards and no global sort or single-partition window
+    exists; the census itself is a 16-group hash aggregate with map-side
+    partials.  Every derived metric is integer arithmetic over the
+    per-shard sums (utilization = n_tokens*10000 div capacity), so the
+    gate is float-free end to end.  Reference scope note: the reference
+    engine has no packing surface (SURVEY.md §2 — LLM-pipeline operators
+    are this repo's extension family)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id", n_tok.alias("n_tok"), h.alias("h"), (h % P05_N_SHARDS).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select("shard", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    per_doc = packed.select(
+        "shard",
+        "n_tok",
+        (
+            F.expr(f"(cum - 1) div {P05_SEQ_LEN}")
+            - F.expr(f"(cum - n_tok) div {P05_SEQ_LEN}")
+        ).alias("crossings"),
+    )
+    agg = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.when(F.col("crossings") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling_docs"),
+        F.sum("crossings").alias("n_boundary_crossings"),
+    )
+    return (
+        agg.withColumn(
+            "n_sequences", F.expr(f"(n_tokens + {P05_SEQ_LEN - 1}) div {P05_SEQ_LEN}")
+        )
+        .withColumn("capacity_tokens", F.col("n_sequences") * P05_SEQ_LEN)
+        .withColumn("pad_tokens", F.col("capacity_tokens") - F.col("n_tokens"))
+        .withColumn("util_bp", F.expr("(n_tokens * 10000) div capacity_tokens"))
+        .withColumn("n_fragments", F.col("n_docs") + F.col("n_boundary_crossings"))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_sequences",
+            "capacity_tokens",
+            "pad_tokens",
+            "util_bp",
+            "n_straddling_docs",
+            "n_boundary_crossings",
+            "n_fragments",
+        )
+        .orderBy("shard")
+    )

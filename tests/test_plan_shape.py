@@ -162,6 +162,17 @@ class TestJoinStrategy:
         # ORDER BY may range-partition)
         assert p.count("rangepartitioning") <= 1, p
 
+    def test_p07_census_window_is_shard_partitioned(self, spark):
+        # the efficiency census inherits p05's packing: same
+        # shard-partitioned cumsum window, no global sort (the final
+        # 16-row ORDER BY may range-partition once), and integer-only
+        # derived metrics keep it JVM-side
+        p = plan(spark, "p07_packing_efficiency_census")
+        assert "windowspecdefinition(shard" in p, p
+        assert re.search(r"hashpartitioning\(shard", p), p
+        assert p.count("rangepartitioning") <= 1, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
     def test_q42_compaction_shuffles_state_not_history(self, spark):
         # changelog compaction must be the aggregate plan, not the window
         # plan: no Window node anywhere, and the partial max_by sits BELOW
