@@ -107,6 +107,7 @@ HEADLINE_STREAMING = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
 ]
 
 HEADLINE = HEADLINE_BATCH + HEADLINE_STREAMING

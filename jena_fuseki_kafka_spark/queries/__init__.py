@@ -94,10 +94,9 @@ _CHECK_PRIORITY = [
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    # (names appended as each lands this round; planned additionally:
-    #  st11 foreachBatch MERGE gate)
     "d11_fuzzy_decontamination",
     "p07_packing_efficiency_census",
+    "st11_foreachbatch_merge_exactly_once",
     # ---- r7-green, untouched: age 3 at the r10 check if skipped — MUST
     # lead (VERDICT r9 item 1a, the tripwire's demand) ----
     "r03_graph_quantification",

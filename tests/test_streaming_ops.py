@@ -205,3 +205,57 @@ class TestStageCache:
         tds = [td for td, _ in sg._STAGE_CACHE.values()]
         sg._cleanup_stage_cache()
         assert all(not os.path.exists(td) for td in tds)
+
+
+class TestSt11ForeachBatchMerge:
+    def test_gate_pins_exactly_once_and_matches_batch(self, spark, sf_dir):
+        import duckdb
+
+        from jena_fuseki_kafka_spark.queries import ORACLES, QUERIES
+
+        rows = QUERIES["st11_foreachbatch_merge_exactly_once"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.rerun_added == 0, "checkpoint restart re-applied batches"
+            assert r.replay_delta == 0, "ledger failed to skip a replayed batch id"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        oracle = con.execute(ORACLES["st11_foreachbatch_merge_exactly_once"]).fetchall()
+        assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)
+
+    def test_ledger_skips_same_id_and_merges_new_id(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from jena_fuseki_kafka_spark.queries.streaming_gate import (
+            _st11_apply_batch,
+            _st11_read_state,
+        )
+
+        root = str(tmp_path / "merge-root")
+        batch = spark.createDataFrame(
+            [(1, "click", 2.5, "2024-01-01 10:00:00"),
+             (1, "click", 1.5, "2024-01-01 11:00:00"),
+             (2, "purchase", 4.0, "2024-01-01 12:00:00")],
+            ["user_id", "event_type", "value", "ts"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        _st11_apply_batch(spark, root, batch, 0)
+        state, applied = _st11_read_state(spark, root)
+        assert applied == [0]
+        totals = {(r.user_id, r.event_type): r.n_events for r in state.collect()}
+        assert totals == {(1, "click"): 2, (2, "purchase"): 1}
+
+        # same batch id again: no-op (no new version, counts unchanged)
+        _st11_apply_batch(spark, root, batch, 0)
+        state, applied = _st11_read_state(spark, root)
+        assert applied == [0]
+        assert {(r.user_id, r.event_type): r.n_events for r in state.collect()} == totals
+
+        # new batch id: MERGE updates matched keys and inserts new ones
+        _st11_apply_batch(spark, root, batch.filter(F.col("user_id") == 1), 1)
+        state, applied = _st11_read_state(spark, root)
+        assert applied == [0, 1]
+        got = {(r.user_id, r.event_type): (r.n_events, float(r.sum_value)) for r in state.collect()}
+        assert got[(1, "click")] == (4, 8.0)
+        assert got[(2, "purchase")] == (1, 4.0)
