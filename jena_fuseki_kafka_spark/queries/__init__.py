@@ -88,9 +88,12 @@ _CHECK_PRIORITY = [
     # these and take slots off the end of the window).
     # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
     # against "no verdict older than 2 rounds at judging".  Window
-    # composition this round: 3 new + 26 mandatory r7-leads + 4 touched
-    # + 17 r8-cohort fill = 50 exactly; the r8-cohort remainder (25)
-    # becomes r11's mandatory set (<= 26, per VERDICT r9 item 2).
+    # composition this round: 3 new + 26 mandatory r7-leads + 6 touched
+    # + 15 r8-cohort fill = 50 exactly; the r8-cohort remainder (27)
+    # becomes r11's mandatory set (one over VERDICT r9 item 2's <=26
+    # target — the trade accepted so that BOTH queries whose code this
+    # round touched, d05 and st10, re-verify now instead of riding
+    # changed-but-unchecked).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -129,14 +132,16 @@ _CHECK_PRIORITY = [
     # convergence check folded into the jump join (VERDICT r9 item 3:
     # shared by d06/s06/p04), d10 oracle re-rendered via _minhash_cte_sql
     # (ADVICE r9 item 2), d05 benchmark predicate factored out to share
-    # with the new d11 ----
+    # with the new d11, st10 sink cache re-keyed by staged dir
+    # (ADVICE r9 item 3) ----
     "d06_dedup_clusters",
     "s06_embedding_dup_clusters",
     "p04_leakage_safe_split",
     "d10_incremental_corpus_dedup",
     "d05_decontamination",
+    "st10_streaming_file_sink_exactly_once",
     # ---- r8-green rotation fill (age 2 at r10 judging — legal — but
-    # checking 17 of the 42 now cuts r11's mandatory load to 25) ----
+    # checking 15 of the 42 now cuts r11's mandatory load to 27) ----
     "d02_minhash_lsh",
     "d07_minhash_estimator_fidelity",
     "m06_audio_vad_segments",
@@ -152,10 +157,10 @@ _CHECK_PRIORITY = [
     "q17_string_functions",
     "q19_disjunctive_predicate_join",
     "q20_tumbling_window_hourly",
-    "q21_sessionization",
-    # ---- window boundary here (50 above once st11/p07 land) ----
-    # r8-green remainder: age 3 at the r11 check if skipped — these 26
+    # ---- window boundary here (50 above) ----
+    # r8-green remainder: age 3 at the r11 check if skipped — these 27
     # MUST lead the r11 window (rotate to the very top next round)
+    "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
     "q24_exact_percentiles",
@@ -193,7 +198,6 @@ _CHECK_PRIORITY = [
     "q43_scd2_validity_intervals",
     "q44_incremental_agg_merge",
     "p06_time_embargo_split",
-    "st10_streaming_file_sink_exactly_once",
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",

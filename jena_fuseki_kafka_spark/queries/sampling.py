@@ -322,6 +322,33 @@ P05_SEQ_LEN = 2048
 P05_N_SHARDS = 16
 
 
+def _packed_cum(spark, sf_dir):
+    """The ONE definition of the packing both p05 (what was packed) and
+    p07 (how efficiently) describe: whitespace token counts, documents
+    ordered by a stable per-doc md5 hash (the deterministic shuffle),
+    concatenated within hash shards via a shard-partitioned window
+    cumsum.  Returns (shard, n_tok, cum) rows — the census operators
+    derive everything from this frame, so an edit to the token split,
+    the hash, the shard count, or the pack order changes BOTH gates
+    together (their oracles pin the same CTE shape)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id", n_tok.alias("n_tok"), h.alias("h"), (h % P05_N_SHARDS).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select("shard", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+
+
 @query(
     "p05_sequence_packing",
     oracle=f"""
@@ -363,22 +390,7 @@ def p05(spark, sf_dir):
     single-partition window exists.  The deterministic hash order makes
     the packing reproducible under retries and re-runs, which a
     random-shuffle packer is not."""
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
-    toks = d.select(
-        "doc_id", n_tok.alias("n_tok"), h.alias("h"), (h % P05_N_SHARDS).alias("shard")
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.select("shard", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    packed = _packed_cum(spark, sf_dir)
     straddle = (
         ((F.col("cum") - F.col("n_tok")) / P05_SEQ_LEN).cast("long")
         != ((F.col("cum") - 1) / P05_SEQ_LEN).cast("long")
@@ -586,22 +598,7 @@ def p07(spark, sf_dir):
     gate is float-free end to end.  Reference scope note: the reference
     engine has no packing surface (SURVEY.md §2 — LLM-pipeline operators
     are this repo's extension family)."""
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
-    toks = d.select(
-        "doc_id", n_tok.alias("n_tok"), h.alias("h"), (h % P05_N_SHARDS).alias("shard")
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.select("shard", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    packed = _packed_cum(spark, sf_dir)
     per_doc = packed.select(
         "shard",
         "n_tok",

@@ -91,6 +91,15 @@ def test_check_window_satisfies_staleness_rule():
     if os.path.exists(round_marker):
         with open(round_marker) as f:
             current = int(f.read().strip())
+        # Deliberately >= and not >: with `>` the suite would go red at
+        # every judging again (ROUND=N with CORRECTNESS_rN.json on disk is
+        # the normal judging state).  The residual blind spot — round N+1
+        # work proceeding without the bump — is undetectable from files
+        # alone (indistinguishable from round N's judging); it surfaces
+        # here one round later, when round N+1's own artifact lands and
+        # N+1 > N fails.  The bump-first discipline is the builder's
+        # start-of-round protocol, enforced by checklist, not by file
+        # state.
         assert current >= max(rounds), (
             f"ROUND marker says {current} but CORRECTNESS_r{max(rounds)}.json "
             f"exists: a new round started without bumping ROUND — bump it "
