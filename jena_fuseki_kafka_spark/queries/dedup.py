@@ -1236,18 +1236,33 @@ def d10(spark, sf_dir):
 D11_NGRAM = 8
 
 # one normalization, rendered identically on both engines: lower, then
-# every non-[a-z0-9] RUN -> single space, then trim.  A single space is
-# the only separator left, so both engines split on ' ' (no regex-split
-# semantics in play).
+# combining marks (\p{Mn}) DELETED, then every non-[a-z0-9] RUN -> single
+# space, then trim.  A single space is the only separator left, so both
+# engines split on ' ' (no regex-split semantics in play).  The mark
+# deletion closes the one cross-engine divergence class: Java's
+# toLowerCase maps characters with multi-codepoint lowercase forms (e.g.
+# U+0130 'İ' -> 'i' + combining dot) while DuckDB's utf8proc maps them to
+# the bare base letter, so without the strip one engine splits mid-word
+# where the other doesn't — and it keeps diacritic marks on decomposed
+# text from acting as bogus word boundaries (tests/test_dedup.py pins the
+# three-engine parity on an adversarial corpus).
 _D11_NORM_SQL = (
-    "regexp_split_to_array(trim(regexp_replace(lower(text),"
+    "regexp_split_to_array(trim(regexp_replace("
+    "regexp_replace(lower(text), '\\p{Mn}', '', 'g'),"
     " '[^a-z0-9]+', ' ', 'g')), ' ')"
 )
 
 
 def _d11_norm_words_spark():
     return F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
+                "[^a-z0-9]+",
+                " ",
+            )
+        ),
+        " ",
     )
 
 

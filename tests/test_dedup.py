@@ -147,3 +147,65 @@ class TestD11FuzzyDecontamination:
         for r in rows:
             assert 0 < r.contam_tokens <= r.n_tokens
             assert r.n_spans >= 1 and r.n_benchmark_docs >= 1
+
+    # adversarial unicode: one case per known cross-engine hazard class —
+    # multi-codepoint lowercase mappings (U+0130 İ is the live divergence:
+    # Java lowers to i+combining-dot, utf8proc to bare i), decomposed
+    # diacritics, ligatures/digraphs whose lowercase has no [a-z] image,
+    # exotic whitespace, and tokens that normalize to empty
+    _NORM_PARITY_CORPUS = [
+        "Hello, World!",
+        "İstanbul i̇stanbul",  # İ + pre-decomposed i+U+0307
+        "café vs café",  # decomposed vs precomposed é
+        "STRASSE ß",
+        "ĲSSELMEER ǅungla ﬁligature",
+        "tab\tnl\nnbsp thin ",
+        "emoji \U0001f642 mid",
+        "V̶I̶E̶T̶ struck-through",
+        "",
+        " !!! ",
+        "mixed123abc 456",
+    ]
+
+    def test_normalization_parity_spark_duckdb_python(self, spark):
+        """Three-engine differential: the d11 tokenizer must agree
+        byte-for-byte between Spark (Java regex), DuckDB (RE2/utf8proc —
+        the oracle side) and a plain-Python reference, on a corpus chosen
+        to hit every known divergence class.  Guards the oracle gate
+        against engine-dependent unicode drift that ASCII testdata can
+        never catch."""
+        import unicodedata
+
+        from jena_fuseki_kafka_spark.queries.dedup import (
+            _D11_NORM_SQL,
+            _d11_norm_words_spark,
+        )
+
+        cases = self._NORM_PARITY_CORPUS
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+        )
+        got_spark = [
+            r.w
+            for r in df.select("doc_id", _d11_norm_words_spark().alias("w"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {_D11_NORM_SQL.replace('text', '?')}", [c]
+            ).fetchone()[0]
+            for c in cases
+        ]
+        import re as _re
+
+        def py_ref(s):
+            lowered = "".join(
+                ch for ch in s.lower() if unicodedata.category(ch) != "Mn"
+            )
+            return _re.sub(r"[^a-z0-9]+", " ", lowered).strip().split(" ")
+
+        got_py = [py_ref(c) for c in cases]
+        for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
+            assert a == b == p, f"{c!r}: spark={a} duck={b} py={p}"
