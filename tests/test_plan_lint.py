@@ -1,0 +1,105 @@
+"""Registry-wide physical-plan lint: the automatic 100 TB safeguard.
+
+``test_plan_shape.py`` pins the plans of individually-audited queries;
+this module sweeps EVERY registered batch query — including ones added in
+future rounds that nobody remembered to pin — and rejects the three plan
+patterns that are always fatal at scale:
+
+* ``CartesianProduct``        — |left| × |right| rows, never acceptable.
+* ``BatchEvalPython``         — row-at-a-time Python eval (the slow path;
+                                 Arrow/Pandas eval is the sanctioned one).
+* ``BroadcastNestedLoopJoin`` — acceptable ONLY when the broadcast side is
+                                 provably bounded (a collected query set, a
+                                 centroid table, a scalar subquery row);
+                                 every such case must be allowlisted below
+                                 WITH its boundedness argument, so an
+                                 unbounded theta-join can't slip in under
+                                 an old exemption.
+
+A new query that legitimately needs a bounded nested-loop join must add an
+allowlist entry here — the reason string is the review artifact.
+"""
+
+import pytest
+
+from jena_fuseki_kafka_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# name -> why the BroadcastNestedLoopJoin side is bounded.  Keep reasons
+# concrete: what relation broadcasts and what bounds its size.
+BNLJ_ALLOWED = {
+    "q12_subquery_above_avg": "scalar AVG subquery: broadcast side is one row",
+    "r16_from_named_dataset": "SPARQL MINUS domain-overlap join over two "
+    "small graph-restricted binding sets; overlap predicate is a theta-join "
+    "by construction (§18.5), inputs bounded by the FROM NAMED selection",
+    "r17_minus_compat": "SPARQL MINUS §18.5 domain-overlap theta-join; "
+    "right side is the MINUS pattern's bindings (dimension-scale)",
+    "r18_negated_property_set": "negated-property-set complement join "
+    "against the bounded predicate vocabulary of the dataset",
+    "p03_mixture_rebalance": "per-source target-share table (one row per "
+    "source label, ≤ distinct sources) broadcast against documents",
+    "p04_leakage_safe_split": "straddle audit joins the ≤16-row split "
+    "summary back; broadcast side bounded by split arity",
+    "s01_ann_bruteforce_topk": "broadcast side is the collected query "
+    "vector set (fixed query batch), fanned out per corpus row",
+    "s03_embedding_near_dup": "IVF-cell candidate pairs: broadcast side is "
+    "the bounded centroid table (n_cells fixed)",
+    "s03b_embedding_near_dup_lowt": "same centroid broadcast as s03",
+    "s04_ann_ivf": "broadcast centroid table (n_cells fixed) for cell "
+    "assignment; probe join bounded by n_probe × queries",
+    "s05_ann_recall_gate": "recall gate joins IVF results against the "
+    "brute-force truth for the fixed query batch (both bounded)",
+    "s08_prefix_dim_rerank": "coarse top-k candidate ids (k × queries rows) "
+    "broadcast back for exact rerank",
+    "s09_semdedup_prune": "broadcast centroid table for cell assignment "
+    "(n_cells fixed); pair join is a cell equi-join",
+}
+
+# Queries whose construction executes driver-side iterative jobs (fixpoint
+# loops, staged model fits) — sweeping them here would re-run those jobs on
+# every test session.  Each has an individual plan pin in test_plan_shape.py
+# or an algorithm-level bound documented in PLANS.md.
+EXPENSIVE_ITERATIVE = {
+    "d06_dedup_clusters",
+    "s06_embedding_dup_clusters",
+    "p04_leakage_safe_split",
+    "d11_fuzzy_decontamination",
+    "r05_property_path_closure",
+    "t11_bigram_lm_perplexity",
+}
+
+# Streaming gates run an actual micro-batch stream when invoked (their
+# plans are stateful-operator plans pinned by their own tests); u01 drives
+# a live HTTP update sequence.
+_SKIP = lambda n: n.startswith("st") or n == "u01_update_sequence" or n in EXPENSIVE_ITERATIVE
+
+BATCH_QUERIES = sorted(n for n in QUERIES if not _SKIP(n))
+
+
+def _physical_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_fatal_plan_patterns(spark, name):
+    p = _physical_plan(spark, name)
+    assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
+    assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python eval\n{p}"
+    if "BroadcastNestedLoopJoin" in p:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: BroadcastNestedLoopJoin without an allowlist entry — "
+            f"either bound the broadcast side and document it in "
+            f"BNLJ_ALLOWED, or rewrite as an equi-join\n{p}"
+        )
+
+
+def test_allowlist_has_no_dead_entries():
+    """An allowlist entry whose query no longer produces a BNLJ (or no
+    longer exists) is a stale exemption a future unbounded join could hide
+    behind — prune it."""
+    for name in BNLJ_ALLOWED:
+        assert name in QUERIES, f"allowlisted query {name} not registered"
