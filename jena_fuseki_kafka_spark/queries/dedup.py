@@ -412,7 +412,19 @@ def connected_components(pairs, max_rounds: int = 50):
         .withColumnRenamed("doc_b", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("comp", F.col("v"))
+    # Fused initialization: comp0(v) = min(v, min over neighbors).  The
+    # naive init (identity labels) makes round 1's neighbor-min join a
+    # join against an identity map — pure waste.  One aggregate over the
+    # symmetrized edges computes distinct-nodes AND round 1's neighbor-min
+    # in the same shuffle, so every call saves a full round of join work.
+    # Every node appears as dst (edges are symmetrized), and comp values
+    # stay node ids, so the pointer-jump invariant below holds from the
+    # start.
+    labels = (
+        edges.groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src").alias("m"))
+        .select("v", F.least("v", "m").alias("comp"))
+    )
     changed = -1  # sentinel: loop body never ran (max_rounds <= 0)
     for _round in range(max_rounds):
         nbr_min = (
