@@ -77,16 +77,25 @@ _SKIP = lambda n: n.startswith("st") or n == "u01_update_sequence" or n in EXPEN
 BATCH_QUERIES = sorted(n for n in QUERIES if not _SKIP(n))
 
 
-def _physical_plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+# name -> (spark column names, physical plan).  Built once per query and
+# shared by the lint and the column-parity test so the sweep's DataFrame
+# construction cost is paid once, not per-test.
+_INFO: dict[str, tuple[list, str]] = {}
+
+
+def _info(spark, name: str) -> tuple[list, str]:
+    if name not in _INFO:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        _INFO[name] = (df.columns, plan)
+    return _INFO[name]
 
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_no_fatal_plan_patterns(spark, name):
-    p = _physical_plan(spark, name)
+    _, p = _info(spark, name)
     assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
     assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python eval\n{p}"
     if "BroadcastNestedLoopJoin" in p:
@@ -95,6 +104,40 @@ def test_no_fatal_plan_patterns(spark, name):
             f"either bound the broadcast side and document it in "
             f"BNLJ_ALLOWED, or rewrite as an equi-join\n{p}"
         )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_oracle_column_names_match_spark(spark, duck, name):
+    """The driver's compare sorts columns BY NAME before hashing, so a
+    Spark/oracle alias drift is a guaranteed hash-mismatch even with
+    identical values.  ``DESCRIBE <sql>`` binds the oracle without
+    executing it, so this catches alias drift in queries far outside the
+    current rotation window — where it would otherwise sit undetected
+    until the query's check slot comes up rounds later."""
+    from jena_fuseki_kafka_spark.queries import ORACLES
+
+    if name not in ORACLES:
+        pytest.skip("rows-only gate (no SQL oracle)")
+    spark_cols, _ = _info(spark, name)
+    oracle_cols = [r[0] for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()]
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"{name}: Spark columns {sorted(spark_cols)} != oracle columns "
+        f"{sorted(oracle_cols)} — the driver hash-compare will fail on this"
+    )
 
 
 def test_allowlist_has_no_dead_entries():
