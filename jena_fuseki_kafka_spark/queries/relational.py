@@ -304,7 +304,17 @@ def q09(spark, sf_dir):
            CAST(MIN(c.c_acctbal) AS DOUBLE) AS min_bal,
            CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_bal,
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_bal,
-           string_agg(c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments
+           string_agg(c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           bool_or(c.c_acctbal < 0) AS has_debt,
+           ROUND((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)) * CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 4) AS var_bal,
+           ROUND(SQRT((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)) * CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1)), 4) AS std_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     HAVING COUNT(*) > 10
@@ -313,9 +323,26 @@ def q09(spark, sf_dir):
 )
 def q10(spark, sf_dir):
     """Full aggregate set + GROUP_CONCAT + HAVING (SPARQL aggregates;
-    GROUP_CONCAT = sorted collect_list for determinism)."""
+    GROUP_CONCAT = sorted collect_list for determinism; ARQ's extended
+    statistical aggregates — afn:stdev/afn:variance — covered as
+    moment-based forms over DECIMAL(28,6) sums so both engines feed
+    bit-identical doubles into the final divide/sqrt, then ROUND(4)
+    pins the hash).  All moments ride the SAME partial aggregate —
+    adding them costs no extra shuffle (one hash-agg exchange on
+    n_name either way).  COUNT(DISTINCT) is deliberately
+    size(collect_set(..)) rather than F.count_distinct: the segment
+    domain is tiny, so a set-union aggregate stays in the single
+    exchange, where count_distinct's Expand rewrite would add a second
+    aggregate phase + exchange — the right trade flips only when the
+    distinct domain is unbounded (then: Expand two-phase, or HLL approx
+    as in q32)."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    dbal = F.col("c_acctbal").cast("decimal(28,6)")
+    cnt = F.count("*")
+    dsum = F.sum(dbal).cast("double")
+    dsum2 = F.sum(dbal * dbal).cast("double")
+    var = (dsum2 - dsum * dsum / cnt) / (cnt - F.lit(1))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
@@ -329,6 +356,10 @@ def q10(spark, sf_dir):
                 / F.count("c_acctbal")
             ).alias("avg_bal"),
             F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias("segments"),
+            F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("has_debt"),
+            F.round(var, 4).alias("var_bal"),
+            F.round(F.sqrt(var), 4).alias("std_bal"),
         )
         .filter(F.col("n_cust") > 10)
         .orderBy("n_name")
