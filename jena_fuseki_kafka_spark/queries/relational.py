@@ -519,14 +519,29 @@ def q16(spark, sf_dir):
            length(p_name) AS name_len,
            substr(p_type, 1, 5) AS type_prefix,
            md5(p_name) AS name_md5,
-           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS material
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS material,
+           lower(p_type) AS type_lc,
+           replace(p_name, 'a', '@') AS name_subst,
+           sha256(p_name) AS name_sha256,
+           starts_with(p_name, 'a') AS starts_a,
+           split_part(p_type, ' ', 2) AS type_mid,
+           levenshtein(p_brand, 'Brand#11') AS brand_dist,
+           instr(p_name, 'le') AS le_pos,
+           reverse(p_type) AS type_rev,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_brand, '#', '-') AS brand_tr
     FROM part WHERE p_size BETWEEN 10 AND 20 AND regexp_matches(p_name, 'a.*e')
     ORDER BY p_partkey LIMIT 50
     """,
 )
 def q17(spark, sf_dir):
-    """SPARQL builtin-function surface: UCASE/STRLEN/SUBSTR/REGEX/MD5/IF
-    (SURVEY §2B builtins row) as JVM-side column expressions."""
+    """SPARQL builtin-function surface (SURVEY §2B builtins row) as
+    JVM-side column expressions: UCASE/LCASE/STRLEN/SUBSTR/REGEX/MD5/
+    SHA256/IF/REPLACE/STRSTARTS/CONTAINS-position/LEVENSHTEIN plus the
+    split/reverse/pad/translate forms ARQ exposes via its fn: library.
+    All row-local, zero shuffles beyond the final ORDER BY; p_* strings
+    here are ASCII so lower() is engine-parity-safe (the non-ASCII
+    lower() boundary is probed by tools/unicode_parity_probe.py)."""
     p = load(spark, sf_dir, "part")
     return (
         p.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 20) & F.col("p_name").rlike("a.*e"))
@@ -537,6 +552,16 @@ def q17(spark, sf_dir):
             F.substring("p_type", 1, 5).alias("type_prefix"),
             F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
             F.when(F.col("p_type").like("%BRASS%"), "brass").otherwise("other").alias("material"),
+            F.lower("p_type").alias("type_lc"),
+            F.regexp_replace("p_name", "a", "@").alias("name_subst"),
+            F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+            F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+            F.instr(F.col("p_name"), "le").alias("le_pos"),
+            F.reverse("p_type").alias("type_rev"),
+            F.lpad(F.col("p_brand"), 12, "*").alias("brand_pad"),
+            F.translate(F.col("p_brand"), "#", "-").alias("brand_tr"),
         )
         .orderBy("p_partkey")
         .limit(50)
