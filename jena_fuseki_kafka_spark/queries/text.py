@@ -340,11 +340,25 @@ _PII_AUG_SQL = """
             THEN ' cc admin' || doc_id::VARCHAR || '@corp.example.net' ELSE '' END
     || ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
     || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0199' ELSE '' END
+    || ' via fe80::1:' || (doc_id % 999)::VARCHAR
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ssn 219-09-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' card 4111 1111 1111 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
 """
 
+# Patterns are deliberately collision-free over the augmented block:
+# IPv4 needs dots (never matches SSN/card), SSN needs the 3-2-4 dash
+# shape (never matches the 555- phone), card needs space-grouped 4x4
+# digits, IPv6 is anchored on the fe80:: hex prefix.  All constructs
+# (classes, \b, \d, bounded repetition, groups) mean the same thing to
+# Java's regex and DuckDB's RE2, which is what keeps the oracle exact.
 _RE_EMAIL = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}"
 _RE_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 _RE_PHONE = r"\b555-\d{4}\b"
+_RE_IPV6 = r"\bfe80::[0-9a-f:]+"
+_RE_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_RE_CARD = r"\b4\d{3}( \d{4}){3}\b"
 
 
 @query(
@@ -355,10 +369,17 @@ _RE_PHONE = r"\b555-\d{4}\b"
            CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS BIGINT) AS n_ipv4,
            CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
-           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+           CAST(len(regexp_extract_all(t, '{_RE_IPV6}')) AS BIGINT) AS n_ipv6,
+           CAST(len(regexp_extract_all(t, '{_RE_SSN}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '{_RE_CARD}')) AS BIGINT) AS n_cards,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(t,
                 '{_RE_EMAIL}', '<EMAIL>', 'g'),
                 '{_RE_IPV4}', '<IP>', 'g'),
-                '{_RE_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+                '{_RE_PHONE}', '<PHONE>', 'g'),
+                '{_RE_IPV6}', '<IP6>', 'g'),
+                '{_RE_SSN}', '<SSN>', 'g'),
+                '{_RE_CARD}', '<CARD>', 'g')) AS BIGINT) AS redacted_len
     FROM aug ORDER BY doc_id
     """,
 )
@@ -376,16 +397,22 @@ def t08(spark, sf_dir):
         " ' contact: user', cast(doc_id as string), '@mail.example.com',"
         " if(doc_id % 3 = 0, concat(' cc admin', cast(doc_id as string), '@corp.example.net'), ''),"
         " ' from 10.', cast(doc_id % 200 as string), '.0.', cast(doc_id % 250 as string),"
-        " if(doc_id % 5 = 0, ' call 555-0199', ''))"
+        " if(doc_id % 5 = 0, ' call 555-0199', ''),"
+        " ' via fe80::1:', cast(doc_id % 999 as string),"
+        " if(doc_id % 7 = 0, concat(' ssn 219-09-', lpad(cast(doc_id % 10000 as string), 4, '0')), ''),"
+        " if(doc_id % 11 = 0, concat(' card 4111 1111 1111 ', lpad(cast(doc_id % 10000 as string), 4, '0')), ''))"
     )
     d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", aug.alias("t"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), _RE_EMAIL, "<EMAIL>"),
-            _RE_IPV4, "<IP>",
-        ),
-        _RE_PHONE, "<PHONE>",
-    )
+    redacted = F.col("t")
+    for pat, tag in (
+        (_RE_EMAIL, "<EMAIL>"),
+        (_RE_IPV4, "<IP>"),
+        (_RE_PHONE, "<PHONE>"),
+        (_RE_IPV6, "<IP6>"),
+        (_RE_SSN, "<SSN>"),
+        (_RE_CARD, "<CARD>"),
+    ):
+        redacted = F.regexp_replace(redacted, pat, tag)
     def n_matches(pattern: str):
         # column-function form: SQL-literal escaping would eat the \d \b
         return F.size(F.regexp_extract_all(F.col("t"), F.lit(pattern), F.lit(0))).cast("long")
@@ -395,6 +422,9 @@ def t08(spark, sf_dir):
         n_matches(_RE_EMAIL).alias("n_emails"),
         n_matches(_RE_IPV4).alias("n_ipv4"),
         n_matches(_RE_PHONE).alias("n_phones"),
+        n_matches(_RE_IPV6).alias("n_ipv6"),
+        n_matches(_RE_SSN).alias("n_ssn"),
+        n_matches(_RE_CARD).alias("n_cards"),
         F.length(redacted).cast("long").alias("redacted_len"),
     ).orderBy("doc_id")
 
