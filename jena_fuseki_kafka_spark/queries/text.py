@@ -448,7 +448,10 @@ _RE_DOMAIN = r"https?://([a-z0-9.-]+)"
     )
     SELECT regexp_extract(url, '{_RE_DOMAIN}', 1) AS domain,
            CAST(COUNT(*) AS BIGINT) AS n_urls,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+           CAST(SUM(length(url) - length(replace(url, '/', '')) - 2) AS BIGINT) AS total_path_depth,
+           regexp_extract(regexp_extract(url, '{_RE_DOMAIN}', 1), '([a-z0-9-]+\.[a-z]+)$', 1) AS apex
     FROM urls
     GROUP BY domain
     ORDER BY n_urls DESC, domain
@@ -474,11 +477,21 @@ def t09(spark, sf_dir):
         "doc_id", F.explode(F.expr(f"regexp_extract_all(t, '{_RE_URL}', 0)")).alias("url")
     )
     return (
-        urls.select("doc_id", F.regexp_extract("url", _RE_DOMAIN, 1).alias("domain"))
+        urls.select("doc_id", "url", F.regexp_extract("url", _RE_DOMAIN, 1).alias("domain"))
         .groupBy("domain")
         .agg(
             F.count("*").alias("n_urls"),
             F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.when(F.col("url").startswith("https://"), 1).otherwise(0)).alias("n_https"),
+            F.sum(
+                F.length("url") - F.length(F.regexp_replace("url", "/", "")) - 2
+            ).alias("total_path_depth"),
+            # apex (registered-domain heuristic): last two dot-labels —
+            # grouping-key-derived, so first() inside the same aggregate
+            # (identical for every row of the group) keeps it one exchange
+            F.first(
+                F.regexp_extract("domain", r"([a-z0-9-]+\.[a-z]+)$", 1)
+            ).alias("apex"),
         )
         .orderBy(F.desc("n_urls"), "domain")
         .limit(15)
