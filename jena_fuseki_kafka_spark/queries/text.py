@@ -274,13 +274,21 @@ REP_MAX_DUP_RATIO = 0.30  # Gopher-style duplicate-3-gram gate
             FROM documents),
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {REP_N - 1}, 0))) AS i)
     ),
+    gram_counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM ngrams GROUP BY doc_id, g
+    ),
     stats AS (
-      SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT g) AS n_distinct
-      FROM ngrams GROUP BY doc_id
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_gram_count
+      FROM gram_counts GROUP BY doc_id
     )
     SELECT d.doc_id,
            COALESCE(s.n_ngrams, 0) AS n_ngrams,
            COALESCE(s.n_distinct, 0) AS n_distinct,
+           COALESCE(s.max_gram_count, 0) AS max_gram_count,
+           ROUND(CASE WHEN COALESCE(s.n_ngrams, 0) = 0 THEN 0.0
+                      ELSE CAST(s.max_gram_count AS DOUBLE) / s.n_ngrams END, 4)
+             AS top_gram_frac,
            ROUND(CASE WHEN COALESCE(s.n_ngrams, 0) = 0 THEN 0.0
                       ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_ngrams END, 4)
              AS dup_ratio,
@@ -293,8 +301,11 @@ REP_MAX_DUP_RATIO = 0.30  # Gopher-style duplicate-3-gram gate
 )
 def t07(spark, sf_dir):
     """Within-document repetition scoring (the Gopher duplicate-n-gram
-    quality gate): duplicate-3-gram ratio per doc plus a pass flag.  One
-    explode + one partial-aggregated count per doc — the window-free shape
+    quality gates): duplicate-3-gram ratio AND top-3-gram share per doc
+    plus a pass flag.  Two stacked partial-aggregated hash aggregates
+    ((doc_id, gram) counts, then per-doc moments) — this also replaces
+    the former countDistinct Expand rewrite, and the max/sum/count
+    moments all ride the second aggregate for free.  Window-free shape
     that scales to any corpus; docs too short for an n-gram pass by
     definition."""
     d = load(spark, sf_dir, "documents")
@@ -307,12 +318,22 @@ def t07(spark, sf_dir):
         fan_out(d.select("doc_id", "text"))
         .select("doc_id", words.alias("w"))
         .select("doc_id", F.explode(F.expr(expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_ngrams"), F.countDistinct("g").alias("n_distinct"))
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("max_gram_count"),
+        )
     )
     joined = d.select("doc_id").join(stats, "doc_id", "left")
     n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0))
     n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0))
+    max_gram = F.coalesce(F.col("max_gram_count"), F.lit(0))
+    top_frac = F.when(n_ngrams == 0, F.lit(0.0)).otherwise(
+        max_gram.cast("double") / n_ngrams
+    )
     ratio = F.when(n_ngrams == 0, F.lit(0.0)).otherwise(
         1.0 - n_distinct.cast("double") / n_ngrams
     )
@@ -320,6 +341,8 @@ def t07(spark, sf_dir):
         "doc_id",
         n_ngrams.alias("n_ngrams"),
         n_distinct.alias("n_distinct"),
+        max_gram.alias("max_gram_count"),
+        F.round(top_frac, 4).alias("top_gram_frac"),
         F.round(ratio, 4).alias("dup_ratio"),
         F.when((n_ngrams == 0) | (ratio <= REP_MAX_DUP_RATIO), 1).otherwise(0).alias(
             "passes_repetition"
