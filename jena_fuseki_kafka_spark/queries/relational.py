@@ -466,6 +466,7 @@ def q14(spark, sf_dir):
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -473,14 +474,22 @@ def q14(spark, sf_dir):
     """,
 )
 def q15(spark, sf_dir):
-    """ROLLUP grouping sets (engine-grade, SURVEY §2C)."""
+    """ROLLUP grouping sets + GROUPING() level indicator (engine-grade,
+    SURVEY §2C).  gid disambiguates a genuine NULL group key from a
+    rollup subtotal row — the standard way consumers tell the two apart
+    without string sentinels."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(_dsum(F.col("l_extendedprice"), "total"))
+        .agg(
+            _dsum(F.col("l_extendedprice"), "total"),
+            (F.grouping("l_returnflag").cast("long") * 2
+             + F.grouping("l_linestatus").cast("long")).alias("gid"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
             "total",
         )
         .orderBy("returnflag", "linestatus")
