@@ -14,10 +14,23 @@ them with the same recipe when they ride it.
 
 Builds a small documents table whose rows hit each known hazard class
 (multi-codepoint lowers, decomposed accents, ligatures/digraphs, overlay
-marks, PII/URL shapes interleaved with İ), copies the sf0.001 fixtures
+marks, PII/URL shapes interleaved with İ), symlinks the sf0.001 fixtures
 for every other table, and runs tools/check_correctness.py over the text
 gates.  A FAIL here on a gate that is green on the driver's testdata is a
 LATENT unicode divergence, not a wrong answer on the graded corpus.
+
+Two d05/d11 requirements are load-bearing and easy to break silently:
+- doc_ids 20 and 52 sit in the gates' 1-in-20 md5 benchmark sample
+  (``_BENCH_PRED_SQL``); without sampled docs both decontamination gates
+  return zero rows on both engines and their "parity" is vacuous.
+- the bench-sampled docs share verbatim ≥8-token runs (with İ inside the
+  run) with train docs, so the contamination joins actually fire and the
+  lowercase path is exercised on comparable output.
+
+Exit code 0 iff the measured PASS/FAIL partition matches EXPECTED_FAIL
+exactly — a clean gate newly failing OR an expected-fail gate silently
+passing both exit 1 and print an UNEXPECTED line, so the probe works as
+an automated tripwire even while known latent divergences remain.
 
 Usage: python tools/unicode_parity_probe.py [gate ...]
 """
@@ -25,30 +38,53 @@ Usage: python tools/unicode_parity_probe.py [gate ...]
 from __future__ import annotations
 
 import os
-import shutil
+import re
 import subprocess
 import sys
 import tempfile
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURES = os.environ.get("SPARK_GRAFT_FIXTURE_SF", "/root/testdata/sf0.001")
+FIXTURES = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# one row per hazard class; keep İ in several shapes since it is the
-# class with a measured live divergence (t03: +2 bpe-ish tokens per İ on
-# the Spark side)
-TEXTS = [
-    "İstanbul normal words follow here for the gate to chew on",
-    "café vs café decomposed é and precomposed é mixed tokens",
-    "STRASSE ß ĲSSELMEER ǅungla ﬁligature upper lower mix",
-    "plain ascii control text one two three four five six seven eight",
-    "email test@example.com phone 555-123-4567 ssn 123-45-6789 İ drift",
-    "repeat repeat repeat repeat repeat repeat repeat repeat",
-    "https://EXAMPLE.com/Path?q=1 and http://sub.İstanbul.example.org/x visit",
+# A ≥8-token verbatim run with the İ hazard inside it, shared between
+# bench-sampled docs (20, 52) and train docs, so d05's exact 8-gram join
+# and d11's normalized-shingle join both produce rows.  d11 additionally
+# needs the re-cased/re-punctuated variant to STILL collide after its
+# normalization.
+SHARED_RUN = "the İstanbul lecture notes cover eight shared tokens exactly here"
+SHARED_RECASED = "The İSTANBUL lecture, notes cover eight shared tokens exactly here!"
+
+# (doc_id, text): ids 20 and 52 are in the 1-in-20 md5 benchmark sample
+# (verified against _BENCH_PRED_SQL); every other id is train-side.
+DOCS = [
+    (1, "İstanbul normal words follow here for the gate to chew on"),
+    (2, "café vs café decomposed é and precomposed é mixed tokens"),
+    (3, "STRASSE ß ĲSSELMEER ǅungla ﬁligature upper lower mix"),
+    (4, "plain ascii control text one two three four five six seven eight"),
+    (5, "email test@example.com phone 555-123-4567 ssn 123-45-6789 İ drift"),
+    (6, "repeat repeat repeat repeat repeat repeat repeat repeat"),
+    (7, "https://EXAMPLE.com/Path?q=1 and http://sub.İstanbul.example.org/x visit"),
+    (8, f"train doc quoting verbatim {SHARED_RUN} plus trailing context"),
+    (9, f"another train doc with drift {SHARED_RECASED} and more words"),
+    (20, f"benchmark sampled doc containing {SHARED_RUN} inside it"),
+    (52, f"second sampled benchmark doc {SHARED_RUN} again for overlap"),
 ]
+
+# gate -> why it is EXPECTED to fail on this corpus today (latent
+# Java-vs-utf8proc lower() divergence, r11 fix list).  Everything else
+# run by default is expected to PASS.  Measured 2026-08-15; re-measure
+# (and shrink this dict) as the \\p{Mn}-after-lower recipe lands.
+EXPECTED_FAIL = {
+    "d05_decontamination": "lowercases before 8-gram hashing, no mark strip",
+    "t03_token_count": "bpe-ish regex tokenize after lower()",
+    "t04_fingerprint": "md5 over lowered text",
+    "t05_feature_hash_embedding": "token hash after lower()",
+    "t06_topk_bigrams_per_lang": "bigram keys after lower()",
+    "t11_bigram_lm_perplexity": "char bigrams after lower()",
+}
 
 DEFAULT_GATES = [
     "d05_decontamination",
@@ -69,32 +105,75 @@ DEFAULT_GATES = [
 
 def main() -> int:
     gates = sys.argv[1:] or DEFAULT_GATES
+    unknown = [g for g in gates if g not in DEFAULT_GATES]
+    if unknown:
+        # catch typos BEFORE the subprocess silently filters them away
+        # (check_correctness's `only` filter skips unregistered names);
+        # non-default registered gates are fine to probe explicitly, so
+        # only reject names the registry itself does not know
+        names = subprocess.run(
+            [sys.executable, "-c",
+             "from jena_fuseki_kafka_spark.queries import QUERIES;"
+             "print('\\n'.join(QUERIES))"],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.split()
+        bad = [g for g in unknown if g not in names]
+        if bad:
+            print(f"unknown gate name(s): {bad}", file=sys.stderr)
+            return 2
     tmp = tempfile.mkdtemp(prefix="unicode_parity_")
     try:
-        df = pd.DataFrame(
-            {
-                "doc_id": range(1, len(TEXTS) + 1),
-                "text": TEXTS,
-                "lang": ["en"] * len(TEXTS),
-                "source": ["web"] * len(TEXTS),
-                "n_chars": [len(t) for t in TEXTS],
-            }
-        )
+        ids = [i for i, _ in DOCS]
+        texts = [t for _, t in DOCS]
         pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False),
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": texts,
+                    "lang": ["en"] * len(DOCS),
+                    "source": ["web"] * len(DOCS),
+                    "n_chars": [len(t) for t in texts],
+                }
+            ),
             os.path.join(tmp, "documents.parquet"),
         )
         for t in (
             "region nation customer supplier part orders lineitem events embeddings"
         ).split():
-            src = os.path.join(FIXTURES, f"{t}.parquet")
-            dst = os.path.join(tmp, f"{t}.parquet")
-            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
-        return subprocess.call(
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), tmp]
-            + gates
+            + gates,
+            capture_output=True,
+            text=True,
         )
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        print(proc.stdout, end="")
+        measured = {
+            m.group(2): m.group(1)
+            for m in re.finditer(r"^(PASS|FAIL) (\S+?):?\s", proc.stdout, flags=re.M)
+        }
+        ok = True
+        for g in gates:
+            got = measured.get(g)
+            want = "FAIL" if g in EXPECTED_FAIL else "PASS"
+            if got is None:
+                print(f"UNEXPECTED: {g} produced no verdict")
+                ok = False
+            elif got != want:
+                why = EXPECTED_FAIL.get(g, "expected parity-clean")
+                print(f"UNEXPECTED: {g} {got} (expected {want}: {why})")
+                ok = False
+        if ok:
+            print(f"partition as expected ({len(gates)} gates, "
+                  f"{sum(1 for g in gates if g in EXPECTED_FAIL)} known-latent)")
+        return 0 if ok else 1
     finally:
+        import shutil
+
         shutil.rmtree(tmp, ignore_errors=True)
 
 
