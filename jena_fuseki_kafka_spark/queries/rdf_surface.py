@@ -466,16 +466,22 @@ def r11(spark, sf_dir):
     oracle="""
     SELECT 'http://example.org/region/' || CAST(n_regionkey AS VARCHAR) AS region,
            string_agg(n_name, ',' ORDER BY n_name) AS names,
+           string_agg(DISTINCT substr(n_name, 1, 1), ';' ORDER BY substr(n_name, 1, 1)) AS initials,
+           MIN(n_name) AS sample_name,
            COUNT(*) AS n
     FROM nation GROUP BY n_regionkey ORDER BY region
     """,
 )
 def r12(spark, sf_dir):
-    """GROUP_CONCAT aggregate through the SPARQL engine (SURVEY.md §2B
-    aggregates row): nation names per region, sorted inside the group so
-    the concatenation is deterministic on any partitioning (the engine
-    sort_array's the collected set — order-independence is what makes the
-    aggregate safe at 1000 executors)."""
+    """GROUP_CONCAT / GROUP_CONCAT(DISTINCT) / SAMPLE aggregates through
+    the SPARQL engine (SURVEY.md §2B aggregates row): nation names per
+    region, sorted inside the group so the concatenation is deterministic
+    on any partitioning (the engine sort_array's the collected set —
+    order-independence is what makes the aggregate safe at 1000
+    executors).  The DISTINCT facet concatenates first letters (which
+    genuinely repeat within a region, so set-vs-list is observable) and
+    SAMPLE is pinned to MIN — the engine's documented deterministic
+    choice, mirrored in the oracle."""
     from ..sparql import SparqlEngine
 
     n = load(spark, sf_dir, "nation")
@@ -502,14 +508,18 @@ def r12(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?r (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) (COUNT(*) AS ?c)
-        WHERE { ?x ex:region ?r . ?x ex:name ?n }
+        SELECT ?r (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names)
+               (GROUP_CONCAT(DISTINCT ?i; SEPARATOR=";") AS ?initials)
+               (SAMPLE(?n) AS ?s) (COUNT(*) AS ?c)
+        WHERE { ?x ex:region ?r . ?x ex:name ?n . BIND(SUBSTR(?n, 1, 1) AS ?i) }
         GROUP BY ?r ORDER BY ?r
         """
     )
     return df.select(
         F.col("r")["value"].alias("region"),
         F.col("names")["value"].alias("names"),
+        F.col("initials")["value"].alias("initials"),
+        F.col("s")["value"].alias("sample_name"),
         F.col("c")["value"].cast("long").alias("n"),
     )
 
