@@ -123,7 +123,8 @@ def r02(spark, sf_dir):
 @query(
     "r04_sparql_engine_group_by",
     oracle="""
-    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user, COUNT(*) AS n
+    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user, COUNT(*) AS n,
+           COUNT(DISTINCT event_type) AS ng
     FROM events
     WHERE value > 50
     GROUP BY user_id
@@ -134,7 +135,11 @@ def r02(spark, sf_dir):
 def r04(spark, sf_dir):
     """End-to-end SPARQL execution: a real SPARQL string (GRAPH + BGP join
     + FILTER + GROUP BY/COUNT + ORDER/LIMIT) parsed and translated by the
-    SparqlEngine into a DataFrame plan over the quad table."""
+    SparqlEngine into a DataFrame plan over the quad table.  The
+    COUNT(DISTINCT ?g) facet drives the engine's distinct-aggregate path
+    through an oracle gate (graphs-per-user — integer-deterministic,
+    unlike a distinct sum over doubles, which neither engine can
+    hash-stably order)."""
     from ..sparql import SparqlEngine
 
     quads = events_to_quads(load(spark, sf_dir, "events"))
@@ -142,7 +147,7 @@ def r04(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?user (COUNT(*) AS ?n) WHERE {
+        SELECT ?user (COUNT(*) AS ?n) (COUNT(DISTINCT ?g) AS ?ng) WHERE {
           GRAPH ?g { ?e ex:user ?user . ?e ex:value ?v }
           FILTER(?v > 50)
         } GROUP BY ?user ORDER BY DESC(?n) ?user LIMIT 10
@@ -151,6 +156,7 @@ def r04(spark, sf_dir):
     return df.select(
         F.col("user")["value"].alias("user"),
         F.col("n")["value"].cast("long").alias("n"),
+        F.col("ng")["value"].cast("long").alias("ng"),
     )
 
 
