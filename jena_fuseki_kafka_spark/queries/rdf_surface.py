@@ -269,7 +269,8 @@ def r05(spark, sf_dir):
     "r06_optional_bind_coalesce",
     oracle="""
     SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS nbound
     FROM orders GROUP BY 1 ORDER BY size
     """,
 )
@@ -277,14 +278,17 @@ def r06(spark, sf_dir):
     """OPTIONAL + BIND + COALESCE over genuinely-unbound solutions — the
     reference's own config-lookup SPARQL shape
     (KafkaConnectorAssembler.java:380-390 uses OPTIONAL/BIND/COALESCE);
-    unbound ?bt coalesces to the literal 'small'."""
+    unbound ?bt coalesces to the literal 'small'.  The SUM(IF(BOUND()))
+    facet drives IF and BOUND through an oracle gate (previously
+    unit-test-only paths) — integer-exact per group."""
     from ..sparql import SparqlEngine
 
     engine = SparqlEngine(_order_quads(spark, sf_dir))
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?size (COUNT(*) AS ?n) WHERE {
+        SELECT ?size (COUNT(*) AS ?n) (SUM(IF(BOUND(?bt), 1, 0)) AS ?nbound)
+        WHERE {
           ?o ex:customer ?c .
           OPTIONAL { ?o ex:bigtotal ?bt }
           BIND(COALESCE(?bt, "small") AS ?size)
@@ -294,6 +298,7 @@ def r06(spark, sf_dir):
     return df.select(
         F.col("size")["value"].alias("size"),
         F.col("n")["value"].cast("long").alias("n"),
+        F.col("nbound")["value"].cast("long").alias("nbound"),
     )
 
 
