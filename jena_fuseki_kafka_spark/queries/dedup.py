@@ -636,7 +636,10 @@ def _decon_oracle() -> str:
     return f"""
     WITH ngrams AS (
       SELECT DISTINCT doc_id, {_hash60_sql(f"({ngram})")} AS ng
-      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(
+                     trim(regexp_replace(lower(text), '\\p{{Mn}}', '', 'g')),
+                     '\\s+') AS w
             FROM documents),
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS i)
     ),
@@ -657,12 +660,27 @@ def d05(spark, sf_dir):
     8-gram with any benchmark doc.  N-grams are hashed to 8-byte keys
     before the join (strings never shuffle) and the collision check is a
     plain equi-join on the hash — shuffle is proportional to corpus
-    n-grams, never all-pairs, so the op scales like d02's banded join."""
+    n-grams, never all-pairs, so the op scales like d02's banded join.
+
+    Tokens are lowered with combining marks (\\p{Mn}) stripped AFTER the
+    lower — same recipe as d11's normalization and for the same reason:
+    Java's toLowerCase maps U+0130-class characters to base letter +
+    combining mark while DuckDB's utf8proc maps to the bare base letter,
+    so without the strip the two engines hash different 8-grams on such
+    text (tools/unicode_parity_probe.py measures this class)."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", "")), r"\s+"
+    )
+    # guard, don't greatest(): sequence(1, 0) in Spark DESCENDS to [1, 0]
+    # and slice(w, 0, n) then errors, so docs under DECON_N tokens must
+    # short-circuit to an empty array (= the oracle's generate_series(1,
+    # 0) producing no rows)
     expr = (
-        f"transform(sequence(1, greatest(size(w) - {DECON_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {DECON_N})))"
+        f"CASE WHEN size(w) >= {DECON_N} THEN "
+        f"transform(sequence(1, size(w) - {DECON_N - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {DECON_N}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     ngrams = (
         fan_out(d.select("doc_id", "text"))

@@ -7,10 +7,10 @@ hazard class is case mapping: Java's ``toLowerCase`` maps characters with
 multi-codepoint lowercase forms (U+0130 'İ' -> 'i' + combining dot
 U+0307) while DuckDB's utf8proc maps them to the bare base letter, so any
 gate that lowercases before a regex tokenize counts/splits differently on
-the two engines for such text.  d11 closes it by deleting ``\\p{Mn}``
-after lowering on BOTH engines (dedup.py, r10); this probe measures which
-other gates still carry the latent divergence, so the r11 window can fix
-them with the same recipe when they ride it.
+the two engines for such text.  d11 and d05 close it by deleting
+``\\p{Mn}`` after lowering on BOTH engines (dedup.py, r10); this probe
+measures which other gates still carry the latent divergence, so the r11
+window can fix them with the same recipe when they ride it.
 
 Builds a small documents table whose rows hit each known hazard class
 (multi-codepoint lowers, decomposed accents, ligatures/digraphs, overlay
@@ -78,7 +78,6 @@ DOCS = [
 # run by default is expected to PASS.  Measured 2026-08-15; re-measure
 # (and shrink this dict) as the \\p{Mn}-after-lower recipe lands.
 EXPECTED_FAIL = {
-    "d05_decontamination": "lowercases before 8-gram hashing, no mark strip",
     "t03_token_count": "bpe-ish regex tokenize after lower()",
     "t04_fingerprint": "md5 over lowered text",
     "t05_feature_hash_embedding": "token hash after lower()",
