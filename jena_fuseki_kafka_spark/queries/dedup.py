@@ -53,9 +53,14 @@ def _shingles_spark(d):
     with_words = fan_out(d.select("doc_id", F.col("text"))).select(
         "doc_id", words.alias("w")
     )
+    # docs under 3 words must short-circuit: sequence(1, 0) DESCENDS in
+    # Spark and the subscripts then index out of bounds (an error under
+    # ANSI mode); the oracle's generate_series(1, 0) is empty, so an
+    # empty array is also the parity-correct result
     sh = F.expr(
-        "transform(sequence(1, greatest(size(w) - 2, 0)), "
-        "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
+        "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return (
         with_words.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))

@@ -310,9 +310,14 @@ def t07(spark, sf_dir):
     definition."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # short docs must short-circuit to an empty array: sequence(1, 0)
+    # DESCENDS in Spark, so slice(w, 0, n) errors — and the oracle's
+    # generate_series(1, 0) yields no rows for such docs
     expr = (
-        f"transform(sequence(1, greatest(size(w) - {REP_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {REP_N})))"
+        f"CASE WHEN size(w) >= {REP_N} THEN "
+        f"transform(sequence(1, size(w) - {REP_N - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {REP_N}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     stats = (
         fan_out(d.select("doc_id", "text"))

@@ -209,3 +209,52 @@ class TestD11FuzzyDecontamination:
         got_py = [py_ref(c) for c in cases]
         for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
             assert a == b == p, f"{c!r}: spark={a} duck={b} py={p}"
+
+
+class TestShortDocRobustness:
+    """Docs shorter than an operator's n-gram/shingle width must produce
+    zero grams — NOT crash.  sequence(1, 0) DESCENDS in Spark, so the
+    former greatest(..., 0) bounds fed slice() a 0 start (d05/t07) or
+    indexed past the array (shingles) — an error under ANSI mode — while
+    the DuckDB oracles' generate_series(1, 0) quietly yields no rows.
+    The corpus here mixes 1-, 2- and 7-token docs (below every width in
+    play) with long docs both inside and outside d05's 1-in-20 benchmark
+    sample (doc 20 is in-sample)."""
+
+    _RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _sf(self, spark, tmp_path):
+        rows = [
+            (1, "solo"),
+            (2, "two words"),
+            (3, "seven little words are not quite enough"),
+            (20, self._RUN),
+            (4, f"train doc quoting {self._RUN} verbatim in full"),
+            (5, "a completely unrelated long document with many distinct words here"),
+        ]
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def _oracle(self, sf, name):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{sf}/documents.parquet/*.parquet')"
+        )
+        return con.execute(ORACLES[name]).fetchall()
+
+    def test_short_docs_match_oracle_not_crash(self, spark, tmp_path):
+        sf = self._sf(spark, tmp_path)
+        for name in (
+            "d05_decontamination",
+            "t07_repetition_ratio",
+            "d02_minhash_lsh",
+        ):
+            got = sorted(tuple(r) for r in QUERIES[name](spark, sf).collect())
+            want = sorted(tuple(r) for r in self._oracle(sf, name))
+            assert got == want, f"{name}: {got} != {want}"
+        # d05 must still flag the long-doc contamination on this corpus
+        d05 = QUERIES["d05_decontamination"](spark, sf).collect()
+        assert [r.doc_id for r in d05] == [4], d05
