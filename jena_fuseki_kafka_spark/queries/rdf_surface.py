@@ -227,17 +227,40 @@ def _customer_quads(spark, sf_dir) -> DataFrame:
       SELECT u, p AS a FROM edges
       UNION
       SELECT anc.u, e.p FROM anc JOIN edges e ON anc.a = e.u
-    )
-    SELECT 'http://example.org/user/' || CAST(a AS VARCHAR) AS ancestor, COUNT(*) AS n
+    ),
+    -- explicit DISTINCT over UNION ALL: in a WITH RECURSIVE block DuckDB
+    -- does NOT dedup plain UNION in sibling (non-recursive) CTEs
+    nodes AS (SELECT DISTINCT n
+              FROM (SELECT u AS n FROM edges UNION ALL SELECT p AS n FROM edges) t)
+    SELECT 'http://example.org/user/' || CAST(a AS VARCHAR) AS ancestor, COUNT(*) AS n,
+           (SELECT COUNT(*) FROM anc) + (SELECT COUNT(*) FROM nodes) AS c_star,
+           (SELECT COUNT(*) FROM edges) + (SELECT COUNT(*) FROM nodes) AS c_opt,
+           (SELECT COUNT(*) FROM edges e1 JOIN edges e2 ON e1.p = e2.u) AS c_seq,
+           2 * (SELECT COUNT(*) FROM edges) AS c_alt
     FROM anc GROUP BY a ORDER BY n DESC, ancestor LIMIT 20
     """,
 )
 def r05(spark, sf_dir):
-    """Property-path transitive closure (SPARQL ``p+``) — the one operator
-    SURVEY.md §7.3 marks as genuinely custom: a distributed semi-naive
-    fixpoint (translate.py:_closure_pattern).  The parent forest u -> u//2
-    over event users gives log-depth chains; the DuckDB oracle is the
-    equivalent recursive CTE."""
+    """Property paths over the parent forest u -> u//2 (log-depth chains).
+
+    The main result is the transitive closure (SPARQL ``p+``) — the one
+    operator SURVEY.md §7.3 marks as genuinely custom: a distributed
+    semi-naive fixpoint (translate.py:_closure_pattern); the DuckDB
+    oracle is the equivalent recursive CTE.  Four scalar facets drive
+    the remaining path operators through the oracle gate (previously
+    unit-test-only):
+
+    - c_star (``p*``): zero-length solutions bind every node in the
+      graph to itself (ARQ semantics), so the count is |closure| +
+      |nodes| — a closure that misses the zero-length row set or
+      dedups it against real pairs hashes differently;
+    - c_opt (``p?``): |edges| + |nodes|;
+    - c_seq (``p/p``): grandparent pairs, the edges-join-edges count;
+    - c_alt (``p|^p``): alternation is a BAG union per the spec — the
+      translator must NOT dedup the two branches — so forward plus
+      reversed edges count exactly 2x|edges| (no (u,u//2) pair can
+      coincide with a reversed one since u >= 2 > u//2's child role).
+    """
     from ..sparql import SparqlEngine
 
     ev = load(spark, sf_dir, "events")
@@ -255,13 +278,23 @@ def r05(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?a (COUNT(*) AS ?n) WHERE { ?u ex:parent+ ?a }
-        GROUP BY ?a ORDER BY DESC(?n) ?a LIMIT 20
+        SELECT ?a ?n ?c_star ?c_opt ?c_seq ?c_alt WHERE {
+          { SELECT ?a (COUNT(*) AS ?n) WHERE { ?u ex:parent+ ?a }
+            GROUP BY ?a }
+          { SELECT (COUNT(*) AS ?c_star) WHERE { ?u2 ex:parent* ?a2 } }
+          { SELECT (COUNT(*) AS ?c_opt) WHERE { ?u3 ex:parent? ?a3 } }
+          { SELECT (COUNT(*) AS ?c_seq) WHERE { ?u4 ex:parent/ex:parent ?g4 } }
+          { SELECT (COUNT(*) AS ?c_alt) WHERE { ?u5 (ex:parent|^ex:parent) ?v5 } }
+        } ORDER BY DESC(?n) ?a LIMIT 20
         """
     )
     return df.select(
         F.col("a")["value"].alias("ancestor"),
         F.col("n")["value"].cast("long").alias("n"),
+        F.col("c_star")["value"].cast("long").alias("c_star"),
+        F.col("c_opt")["value"].cast("long").alias("c_opt"),
+        F.col("c_seq")["value"].cast("long").alias("c_seq"),
+        F.col("c_alt")["value"].cast("long").alias("c_alt"),
     )
 
 

@@ -555,13 +555,17 @@ def t10(spark, sf_dir):
     ~n_chars rows per document instead.
     """
     d = fan_out(load(spark, sf_dir, "documents"))
+    # N is the split-element count, not length(text): both engines treat
+    # the EMPTY string as one ''-element (entropy 0.0), where log2(
+    # length(text)) would be log2(0) = NULL; the two agree for any
+    # non-empty text
     expr = (
         "round("
-        "  log2(length(text)) - aggregate("
+        "  log2(size(split(text, ''))) - aggregate("
         "    transform(array_distinct(split(text, '')),"
         "              c -> size(filter(split(text, ''), x -> x = c))),"
         "    0D, (acc, c) -> acc + c * log2(c)"
-        "  ) / length(text), 4)"
+        "  ) / size(split(text, '')), 4)"
     )
     return d.select(
         "doc_id",
