@@ -124,7 +124,15 @@ def r02(spark, sf_dir):
     "r04_sparql_engine_group_by",
     oracle="""
     SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user, COUNT(*) AS n,
-           COUNT(DISTINCT event_type) AS ng
+           COUNT(DISTINCT event_type) AS ng,
+           CAST(COUNT(*) * length(CAST(user_id AS VARCHAR)) AS BIGINT) AS sl,
+           CAST(COUNT(*) * 18 AS BIGINT) AS sb,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           CAST(SUM(CAST(FLOOR(ABS(value - 100)) AS BIGINT)) AS BIGINT) AS va,
+           COUNT(*) AS nt,
+           CAST(SUM(month(ts)) AS BIGINT) AS sm,
+           CAST(SUM(day(ts)) AS BIGINT) AS sd,
+           CAST(SUM(hour(ts)) AS BIGINT) AS sh
     FROM events
     WHERE value > 50
     GROUP BY user_id
@@ -137,9 +145,25 @@ def r04(spark, sf_dir):
     + FILTER + GROUP BY/COUNT + ORDER/LIMIT) parsed and translated by the
     SparqlEngine into a DataFrame plan over the quad table.  The
     COUNT(DISTINCT ?g) facet drives the engine's distinct-aggregate path
-    through an oracle gate (graphs-per-user — integer-deterministic,
-    unlike a distinct sum over doubles, which neither engine can
-    hash-stably order)."""
+    (graphs-per-user — integer-deterministic, unlike a distinct sum over
+    doubles, which neither engine can hash-stably order).  Five more
+    integer-exact facets drive previously unit-test-only builtins through
+    the oracle gate:
+
+    - ?sl: STR + STRAFTER + STRLEN (uid digits per row, summed = n x len);
+    - ?sb: STRBEFORE (the scheme+host prefix is constant, so 18 x n);
+    - ?np: UCASE + CONTAINS over the graph IRI (purchase-graph row count);
+    - ?va: ABS + FLOOR + xsd:integer cast on the double ?v (FLOOR, unlike
+      ROUND, has no tie semantics to diverge on; ?v - 100 is the same
+      exactly-rounded IEEE double on both engines);
+    - ?nt: DATATYPE equality to xsd:double plus the isIRI / isLiteral /
+      isBlank term-kind tests and && / ! — all-true per row, so = n;
+    - ?sm/?sd/?sh: MONTH / DAY / HOURS on the xsd:dateTime ?t (one ts
+      quad per event, so the extra pattern keeps solutions 1:1) — the
+      engine's date-accessor path (try_cast to timestamp, type error ->
+      unbound) summed integer-exact against DuckDB reading the raw
+      timestamp column.
+    """
     from ..sparql import SparqlEngine
 
     quads = events_to_quads(load(spark, sf_dir, "events"))
@@ -147,8 +171,19 @@ def r04(spark, sf_dir):
     df = engine.query(
         """
         PREFIX ex: <http://example.org/>
-        SELECT ?user (COUNT(*) AS ?n) (COUNT(DISTINCT ?g) AS ?ng) WHERE {
-          GRAPH ?g { ?e ex:user ?user . ?e ex:value ?v }
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?user (COUNT(*) AS ?n) (COUNT(DISTINCT ?g) AS ?ng)
+               (SUM(STRLEN(STRAFTER(STR(?user), "user/"))) AS ?sl)
+               (SUM(STRLEN(STRBEFORE(STR(?user), "/user/"))) AS ?sb)
+               (SUM(IF(CONTAINS(UCASE(STR(?g)), "PURCHASE"), 1, 0)) AS ?np)
+               (SUM(xsd:integer(FLOOR(ABS(?v - 100)))) AS ?va)
+               (SUM(IF(DATATYPE(?v) = xsd:double && isIRI(?user) &&
+                       isLiteral(?v) && !isBlank(?user), 1, 0)) AS ?nt)
+               (SUM(MONTH(?t)) AS ?sm)
+               (SUM(DAY(?t)) AS ?sd)
+               (SUM(HOURS(?t)) AS ?sh)
+        WHERE {
+          GRAPH ?g { ?e ex:user ?user . ?e ex:value ?v . ?e ex:ts ?t }
           FILTER(?v > 50)
         } GROUP BY ?user ORDER BY DESC(?n) ?user LIMIT 10
         """
@@ -157,6 +192,14 @@ def r04(spark, sf_dir):
         F.col("user")["value"].alias("user"),
         F.col("n")["value"].cast("long").alias("n"),
         F.col("ng")["value"].cast("long").alias("ng"),
+        F.col("sl")["value"].cast("long").alias("sl"),
+        F.col("sb")["value"].cast("long").alias("sb"),
+        F.col("np")["value"].cast("long").alias("np"),
+        F.col("va")["value"].cast("long").alias("va"),
+        F.col("nt")["value"].cast("long").alias("nt"),
+        F.col("sm")["value"].cast("long").alias("sm"),
+        F.col("sd")["value"].cast("long").alias("sd"),
+        F.col("sh")["value"].cast("long").alias("sh"),
     )
 
 
