@@ -42,10 +42,13 @@ from .rdf_surface import EX, _customer_quads
            (SELECT MIN(s) FROM subj WHERE seg <> 'BUILDING') AS min_subject,
            (SELECT MAX(s) FROM subj WHERE seg <> 'BUILDING') AS max_subject
     UNION ALL
-    SELECT 'http://example.org/loaded', 3, 3,
+    SELECT 'http://example.org/copied', 3, 3,
            'http://example.org/l0', 'http://example.org/l2'
     UNION ALL
-    SELECT 'http://example.org/meta', 1, 1,
+    SELECT 'http://example.org/loaded', 2, 2,
+           'http://example.org/l1', 'http://example.org/l2'
+    UNION ALL
+    SELECT 'http://example.org/moved', 1, 1,
            'http://example.org/ds', 'http://example.org/ds'
     UNION ALL
     SELECT 'http://example.org/seg',
@@ -57,12 +60,23 @@ from .rdf_surface import EX, _customer_quads
     """,
 )
 def u01(spark, sf_dir):
-    """INSERT DATA -> DELETE/INSERT WHERE (graph move) -> INSERT WHERE ->
-    LOAD, executed through the UpdateEngine against a store seeded from
-    ``customer``; returns one row PER GRAPH with quad count, distinct
-    subject count, and min/max subject samples (widened per VERDICT r6
-    item 6 — a 1x5 count row couldn't discriminate which quads landed in
-    which graph; lexicographic subject extremes pin actual contents)."""
+    """The full SPARQL 1.1 Update grammar through one oracle gate:
+    INSERT DATA -> DELETE/INSERT WHERE (graph move) -> INSERT WHERE ->
+    LOAD, then (r10, each previously unit-test-only) COPY / ADD / MOVE as
+    one multi-statement sequential request, DELETE DATA + DELETE WHERE as
+    another, and a COPY/CREATE/CLEAR/DROP scratch cycle whose net effect
+    must be NOTHING — in the quad-table model an empty graph is an absent
+    graph, so a leaked scratch row would add a group to the per-graph
+    output and fail the hash.  Executed through the UpdateEngine against
+    a store seeded from ``customer``; returns one row PER GRAPH with quad
+    count, distinct subject count, and min/max subject samples (widened
+    per VERDICT r6 item 6 — a 1x5 count row couldn't discriminate which
+    quads landed in which graph; lexicographic subject extremes pin
+    actual contents).  Expected end state: (default) unchanged minus the
+    BUILDING move, ex:copied = the 3 loaded subjects (its ADDed ex:meta
+    quad DELETE-WHEREd away), ex:loaded = 2 after DELETE DATA removed l0,
+    ex:moved = the metadata quad (ex:meta gone after MOVE), ex:seg = the
+    BUILDING segment quads."""
     from ..sparql.update import UpdateEngine
     from ..store import QuadStore
 
@@ -94,6 +108,28 @@ def u01(spark, sf_dir):
     upd.update(
         "PREFIX ex: <http://example.org/> "
         f"LOAD <file://{nt_path}> INTO GRAPH ex:loaded"
+    )
+    # graph management as ONE sequential multi-statement request (SPARQL
+    # 1.1 §3.1.4 order matters: ADD sees COPY's result, MOVE drops ex:meta)
+    upd.update(
+        "PREFIX ex: <http://example.org/> "
+        "COPY ex:loaded TO ex:copied ; "
+        "ADD ex:meta TO ex:copied ; "
+        "MOVE ex:meta TO ex:moved"
+    )
+    # ground-quad removal + pattern removal, sequentially
+    upd.update(
+        "PREFIX ex: <http://example.org/> "
+        'DELETE DATA { GRAPH ex:loaded { ex:l0 ex:p "x0" } } ; '
+        "DELETE WHERE { GRAPH ex:copied { ex:ds ?p ?o } }"
+    )
+    # scratch lifecycle: the net effect must be invisible in the output
+    upd.update(
+        "PREFIX ex: <http://example.org/> "
+        "COPY ex:loaded TO ex:scratch ; "
+        "CREATE GRAPH ex:scratchb ; "
+        "CLEAR GRAPH ex:scratch ; "
+        "DROP GRAPH ex:scratchb"
     )
 
     quads = store.read(spark)

@@ -91,9 +91,13 @@ class _UpdateParser(SparqlParser):
                 elif self.peek_kw("where"):
                     self.next()
                     pattern = self._group_graph_pattern()
-                    if not isinstance(pattern, BGP):
-                        raise RdfParseError("DELETE WHERE requires a plain BGP")
-                    ops.append(("modify", pattern.triples, None, pattern, None, (), ()))
+                    quads = _quad_pattern_quads(pattern)
+                    if quads is None:
+                        raise RdfParseError(
+                            "DELETE WHERE requires a quad pattern "
+                            "(triples and GRAPH groups only)"
+                        )
+                    ops.append(("modify", quads, None, pattern, None, (), ()))
                 else:
                     ops.append(self._modify(self._quad_template()))
             elif t == "load":
@@ -219,6 +223,33 @@ class _UpdateParser(SparqlParser):
                     self.next()
         self.expect("}")
         return out
+
+
+def _quad_pattern_quads(pattern):
+    """Flatten a DELETE WHERE group into its quad list, or None.
+
+    SPARQL 1.1 Update §3.1.3.3: the DELETE WHERE shorthand takes a
+    QuadPattern — plain triples plus GRAPH groups (the graph may be a
+    variable, which then binds per matched quad) — and the SAME pattern
+    doubles as both the WHERE clause and the delete template.  Any other
+    operator in the group (FILTER, OPTIONAL, UNION, subselect) means it
+    is not a QuadPattern and the shorthand does not apply."""
+    from .ast import GraphPattern, Join
+
+    if isinstance(pattern, BGP):
+        return list(pattern.triples)
+    if isinstance(pattern, GraphPattern):
+        inner = _quad_pattern_quads(pattern.pattern)
+        if inner is None or any(g is not None for _, _, _, g in inner):
+            return None
+        return [(s, p, o, pattern.graph) for s, p, o, _ in inner]
+    if isinstance(pattern, Join):
+        left = _quad_pattern_quads(pattern.left)
+        right = _quad_pattern_quads(pattern.right)
+        if left is None or right is None:
+            return None
+        return left + right
+    return None
 
 
 def _filter_expr_bounds(expr) -> bool:

@@ -57,6 +57,47 @@ class TestUpdate:
         upd.update("PREFIX ex: <http://e/> DELETE WHERE { ?s ex:old ?o }")
         assert all_quads(spark, store) == {(DEFAULT_GRAPH, EX + "c", EX + "new", "z")}
 
+    def test_delete_where_graph_groups(self, spark, store, upd):
+        # SPARQL 1.1 Update §3.1.3.3: DELETE WHERE takes a QuadPattern —
+        # GRAPH groups included.  A constant graph restricts the match;
+        # GRAPH ?g deletes each matched quad from its own graph.
+        upd.update(
+            "PREFIX ex: <http://e/> INSERT DATA { "
+            'ex:keep ex:p "d" . '
+            'GRAPH ex:g1 { ex:a ex:p "x" . ex:a ex:q "y" } '
+            'GRAPH ex:g2 { ex:a ex:p "x" } }'
+        )
+        upd.update("PREFIX ex: <http://e/> DELETE WHERE { GRAPH ex:g1 { ex:a ex:p ?o } }")
+        assert all_quads(spark, store) == {
+            (DEFAULT_GRAPH, EX + "keep", EX + "p", "d"),
+            (EX + "g1", EX + "a", EX + "q", "y"),
+            (EX + "g2", EX + "a", EX + "p", "x"),
+        }
+        upd.update("PREFIX ex: <http://e/> DELETE WHERE { GRAPH ?g { ex:a ?p ?o } }")
+        assert all_quads(spark, store) == {
+            (DEFAULT_GRAPH, EX + "keep", EX + "p", "d"),
+        }
+
+    def test_delete_where_mixed_default_and_graph(self, spark, store, upd):
+        upd.update(
+            "PREFIX ex: <http://e/> INSERT DATA { "
+            'ex:a ex:tag "t" . GRAPH ex:g1 { ex:a ex:p "x" } }'
+        )
+        # joint pattern: only quads whose subject ALSO has the default-
+        # graph tag match; both the tag quad and the graph quad delete
+        upd.update(
+            "PREFIX ex: <http://e/> "
+            'DELETE WHERE { ?s ex:tag "t" . GRAPH ex:g1 { ?s ex:p ?o } }'
+        )
+        assert all_quads(spark, store) == set()
+
+    def test_delete_where_rejects_non_quad_pattern(self, upd):
+        with pytest.raises(RdfParseError, match="quad pattern"):
+            upd.update(
+                "PREFIX ex: <http://e/> "
+                'DELETE WHERE { ?s ex:p ?o FILTER(?o = "x") }'
+            )
+
     def test_delete_insert_where(self, spark, store, upd):
         # rename predicate p -> q for objects > 2
         upd.update("PREFIX ex: <http://e/> INSERT DATA { ex:a ex:p 1 . ex:b ex:p 5 }")
