@@ -333,7 +333,10 @@ def _packed_cum(spark, sf_dir):
     together (their oracles pin the same CTE shape)."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    # NULL-text docs carry nothing to pack and their NULL n_tok would
+    # poison shard sums (SUM(NULL straddle flags) diverges cross-engine
+    # too) — drop them, mirrored in both gates' oracle CTEs
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
@@ -356,7 +359,7 @@ def _packed_cum(spark, sf_dir):
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sharded AS (
       SELECT doc_id, n_tok, h, h % {P05_N_SHARDS} AS shard FROM toks
@@ -540,7 +543,7 @@ def p06(spark, sf_dir):
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sharded AS (
       SELECT doc_id, n_tok, h, h % {P05_N_SHARDS} AS shard FROM toks

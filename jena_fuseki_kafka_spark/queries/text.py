@@ -554,7 +554,10 @@ def t10(spark, sf_dir):
     At 100 TB this is scan-bound; the explode formulation would shuffle
     ~n_chars rows per document instead.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
+    # NULL-text docs have no character distribution: omit the row (the
+    # oracle's unnest over a NULL split yields no rows for them, and a
+    # NULL-metrics row is useless to a quality filter anyway)
+    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     # N is the split-element count, not length(text): both engines treat
     # the EMPTY string as one ''-element (entropy 0.0), where log2(
     # length(text)) would be log2(0) = NULL; the two agree for any

@@ -77,6 +77,7 @@ EDGE_DOCS = [
     (9, "visit https://example.com/a/b mail a@b.com card 4111-1111-1111-1111", "en", "src0"),
     (11, f"train doc quoting {SHARED_RUN} verbatim in full", "en", "src1"),
     (12, "a perfectly ordinary document with enough distinct words to pass every gate", "en", "src2"),
+    (13, None, "en", "src3"),  # NULL text: inevitable in any 100 TB corpus
     (20, f"benchmark sampled doc containing {SHARED_RUN} inside it", "en", "src3"),
     (52, f"second sampled benchmark doc {SHARED_RUN} again for overlap", "en", "src0"),
 ]
@@ -173,7 +174,7 @@ def build_corpus(kind: str, tmp: str) -> None:
                 "text": texts,
                 "lang": [d[2] for d in EDGE_DOCS],
                 "source": [d[3] for d in EDGE_DOCS],
-                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                "n_chars": pa.array([len(t) if t is not None else None for t in texts], type=pa.int64()),
             }
         ),
         os.path.join(tmp, "documents.parquet"),
