@@ -635,16 +635,44 @@ def _bench_pred_spark():
     ) == 0
 
 
+# d05's tokenizer, one definition per engine: lower, combining marks
+# (\p{Mn}) stripped AFTER the lower (d11's recipe — Java's toLowerCase
+# maps U+0130-class characters to base letter + combining mark where
+# DuckDB's utf8proc maps to the bare base letter), then split on an
+# EXPLICIT ASCII separator class.  The `\s` shorthand and `trim()` are
+# both engine-dependent on exotic whitespace (DuckDB's trim strips
+# U+2009 where Spark's doesn't; Python's \s matches NBSP where Java's
+# and RE2's don't), so the separator set is spelled out and the edge
+# strip uses the same class — non-ASCII whitespace is token CONTENT for
+# the exact matcher (d11's normalization handles it as drift).
+# tests/test_dedup.py pins three-engine parity.
+_D05_SEP = " \\t\\n\\r\\f\\x0b"
+_D05_WORDS_SQL = (
+    "regexp_split_to_array("
+    f"regexp_replace(regexp_replace(lower(text), '\\p{{Mn}}', '', 'g'),"
+    f" '^[{_D05_SEP}]+|[{_D05_SEP}]+$', '', 'g'), '[{_D05_SEP}]+')"
+)
+
+
+def _d05_words_spark():
+    sep = f"[{_D05_SEP}]"
+    return F.split(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
+            f"^{sep}+|{sep}+$",
+            "",
+        ),
+        f"{sep}+",
+    )
+
+
 def _decon_oracle() -> str:
     ngram = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
     bench = _BENCH_PRED_SQL
     return f"""
     WITH ngrams AS (
       SELECT DISTINCT doc_id, {_hash60_sql(f"({ngram})")} AS ng
-      FROM (SELECT doc_id,
-                   regexp_split_to_array(
-                     trim(regexp_replace(lower(text), '\\p{{Mn}}', '', 'g')),
-                     '\\s+') AS w
+      FROM (SELECT doc_id, {_D05_WORDS_SQL} AS w
             FROM documents),
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS i)
     ),
@@ -674,9 +702,7 @@ def d05(spark, sf_dir):
     so without the strip the two engines hash different 8-grams on such
     text (tools/unicode_parity_probe.py measures this class)."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", "")), r"\s+"
-    )
+    words = _d05_words_spark()
     # guard, don't greatest(): sequence(1, 0) in Spark DESCENDS to [1, 0]
     # and slice(w, 0, n) then errors, so docs under DECON_N tokens must
     # short-circuit to an empty array (= the oracle's generate_series(1,

@@ -167,6 +167,51 @@ class TestD11FuzzyDecontamination:
         "mixed123abc 456",
     ]
 
+    def test_d05_tokenizer_parity_spark_duckdb_python(self, spark):
+        """Same three-engine differential for d05's tokenizer (lower ->
+        strip \\p{Mn} -> split on whitespace runs) — the exact-match
+        sibling of d11's normalization, fixed with the same recipe in
+        r10 after the unicode probe unmasked its vacuous pass."""
+        import unicodedata
+
+        from jena_fuseki_kafka_spark.queries.dedup import (
+            _D05_WORDS_SQL,
+            _d05_words_spark,
+        )
+
+        cases = self._NORM_PARITY_CORPUS
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+        )
+        got_spark = [
+            r.w
+            for r in df.select("doc_id", _d05_words_spark().alias("w"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {_D05_WORDS_SQL.replace('text', '?')}", [c]
+            ).fetchone()[0]
+            for c in cases
+        ]
+        import re as _re
+
+        def py_ref(s):
+            lowered = "".join(
+                ch for ch in s.lower() if unicodedata.category(ch) != "Mn"
+            )
+            # the explicit ASCII separator class — Python's \s would
+            # also match NBSP/thin-space, which the operator treats as
+            # token content
+            sep = "[ \t\n\r\f\x0b]"
+            return _re.split(f"{sep}+", _re.sub(f"^{sep}+|{sep}+$", "", lowered))
+
+        got_py = [py_ref(c) for c in cases]
+        for c, a, b, pr in zip(cases, got_spark, got_duck, got_py):
+            assert a == b == pr, f"{c!r}: spark={a} duck={b} py={pr}"
+
     def test_normalization_parity_spark_duckdb_python(self, spark):
         """Three-engine differential: the d11 tokenizer must agree
         byte-for-byte between Spark (Java regex), DuckDB (RE2/utf8proc —
