@@ -43,6 +43,32 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Explicit ASCII whitespace separator class for tokenizers.  The `\s`
+# shorthand and `trim()` are engine-dependent on exotic whitespace
+# (DuckDB's trim strips U+2009/NBSP where Spark's strips only ' ';
+# Python's \s matches NBSP where Java's and RE2's don't), so every
+# whitespace tokenizer that feeds an oracle gate spells the separator
+# set out and strips edges with the SAME class — non-ASCII whitespace
+# is token content.  tests/test_dedup.py pins three-engine parity.
+ASCII_WS = " \\t\\n\\r\\f\\x0b"
+
+
+def ws_words_spark(col):
+    """Edge-strip + split a string column on the explicit ASCII class."""
+    from pyspark.sql import functions as F
+
+    sep = f"[{ASCII_WS}]"
+    return F.split(F.regexp_replace(col, f"^{sep}+|{sep}+$", ""), f"{sep}+")
+
+
+def ws_words_sql(expr: str) -> str:
+    """DuckDB twin of ws_words_spark over an arbitrary SQL expression."""
+    return (
+        f"regexp_split_to_array(regexp_replace({expr},"
+        f" '^[{ASCII_WS}]+|[{ASCII_WS}]+$', '', 'g'), '[{ASCII_WS}]+')"
+    )
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input over all cores BEFORE heavy per-row compute
     (regex tokenize, shingle explode, md5).  Only fires when the scan

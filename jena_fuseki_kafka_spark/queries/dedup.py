@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, load, query
+from . import fan_out, load, query, ws_words_spark, ws_words_sql
 
 N_HASHES = 16
 N_BANDS = 4
@@ -49,7 +49,7 @@ def _shingles_spark(d):
     """doc_id -> exploded distinct 3-word shingles (JVM-side arrays).
     Words are materialized once per row; the shingle build is a single
     transform over index positions (no repeated splits)."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = ws_words_spark(F.col("text"))
     with_words = fan_out(d.select("doc_id", F.col("text"))).select(
         "doc_id", words.alias("w")
     )
@@ -68,9 +68,9 @@ def _shingles_spark(d):
     )
 
 
-_SHINGLES_SQL = r"""
+_SHINGLES_SQL = f"""
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  FROM (SELECT doc_id, {ws_words_sql('text')} AS w FROM documents),
        LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
 """
 
@@ -638,32 +638,16 @@ def _bench_pred_spark():
 # d05's tokenizer, one definition per engine: lower, combining marks
 # (\p{Mn}) stripped AFTER the lower (d11's recipe — Java's toLowerCase
 # maps U+0130-class characters to base letter + combining mark where
-# DuckDB's utf8proc maps to the bare base letter), then split on an
-# EXPLICIT ASCII separator class.  The `\s` shorthand and `trim()` are
-# both engine-dependent on exotic whitespace (DuckDB's trim strips
-# U+2009 where Spark's doesn't; Python's \s matches NBSP where Java's
-# and RE2's don't), so the separator set is spelled out and the edge
-# strip uses the same class — non-ASCII whitespace is token CONTENT for
-# the exact matcher (d11's normalization handles it as drift).
-# tests/test_dedup.py pins three-engine parity.
-_D05_SEP = " \\t\\n\\r\\f\\x0b"
-_D05_WORDS_SQL = (
-    "regexp_split_to_array("
-    f"regexp_replace(regexp_replace(lower(text), '\\p{{Mn}}', '', 'g'),"
-    f" '^[{_D05_SEP}]+|[{_D05_SEP}]+$', '', 'g'), '[{_D05_SEP}]+')"
-)
+# DuckDB's utf8proc maps to the bare base letter), then the shared
+# explicit-ASCII-class whitespace split (see queries.ws_words_spark —
+# \s and trim() are engine-dependent on exotic whitespace, which is
+# token CONTENT for the exact matcher; d11's normalization handles it
+# as drift).  tests/test_dedup.py pins three-engine parity.
+_D05_WORDS_SQL = ws_words_sql("regexp_replace(lower(text), '\\p{Mn}', '', 'g')")
 
 
 def _d05_words_spark():
-    sep = f"[{_D05_SEP}]"
-    return F.split(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
-            f"^{sep}+|{sep}+$",
-            "",
-        ),
-        f"{sep}+",
-    )
+    return ws_words_spark(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""))
 
 
 def _decon_oracle() -> str:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from . import load, query
+from . import load, query, ws_words_spark, ws_words_sql
 
 # per-mille keep thresholds by language: downsample dominant en, keep
 # most of the tail
@@ -321,6 +321,9 @@ def p04(spark, sf_dir):
 P05_SEQ_LEN = 2048
 P05_N_SHARDS = 16
 
+# the oracle twin of the shared explicit-class whitespace tokenizer
+_WS_TOKS_SQL = ws_words_sql("text")
+
 
 def _packed_cum(spark, sf_dir):
     """The ONE definition of the packing both p05 (what was packed) and
@@ -337,7 +340,7 @@ def _packed_cum(spark, sf_dir):
     # poison shard sums (SUM(NULL straddle flags) diverges cross-engine
     # too) — drop them, mirrored in both gates' oracle CTEs
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tok = F.size(ws_words_spark(F.col("text")))
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
@@ -357,7 +360,7 @@ def _packed_cum(spark, sf_dir):
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             len({_WS_TOKS_SQL}) AS n_tok,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents WHERE text IS NOT NULL
     ),
@@ -541,7 +544,7 @@ def p06(spark, sf_dir):
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             len({_WS_TOKS_SQL}) AS n_tok,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents WHERE text IS NOT NULL
     ),

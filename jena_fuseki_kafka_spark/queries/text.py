@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, load, query
+from . import fan_out, load, query, ws_words_spark, ws_words_sql
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # chosen to be expressible identically in Spark and DuckDB SQL
@@ -270,7 +270,7 @@ REP_MAX_DUP_RATIO = 0.30  # Gopher-style duplicate-3-gram gate
     oracle=rf"""
     WITH ngrams AS (
       SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM (SELECT doc_id, {ws_words_sql('lower(text)')} AS w
             FROM documents),
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {REP_N - 1}, 0))) AS i)
     ),
@@ -309,7 +309,7 @@ def t07(spark, sf_dir):
     that scales to any corpus; docs too short for an n-gram pass by
     definition."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = ws_words_spark(F.lower(F.col("text")))
     # short docs must short-circuit to an empty array: sequence(1, 0)
     # DESCENDS in Spark, so slice(w, 0, n) errors — and the oracle's
     # generate_series(1, 0) yields no rows for such docs

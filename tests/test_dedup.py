@@ -10,6 +10,8 @@ test corpus and the union matches the DuckDB oracle exactly.
 
 import duckdb
 
+from pyspark.sql import functions as F
+
 from jena_fuseki_kafka_spark.queries import ORACLES, QUERIES, _CHECK_PRIORITY
 from jena_fuseki_kafka_spark.queries.dedup import D04_MAX_BLOCK_DOCS
 
@@ -166,6 +168,39 @@ class TestD11FuzzyDecontamination:
         " !!! ",
         "mixed123abc 456",
     ]
+
+    def test_ws_tokenizer_parity_spark_duckdb_python(self, spark):
+        """The shared explicit-class whitespace tokenizer (queries.
+        ws_words_spark / ws_words_sql — shingles, t07, p05/p07, d05's
+        base) must agree across Spark, DuckDB and a Python reference.
+        This is the tokenizer that replaced trim() + \\s+, whose
+        semantics differ per engine on exotic whitespace (DuckDB's trim
+        strips U+2009/NBSP; Spark's strips only ' ')."""
+        from jena_fuseki_kafka_spark.queries import ws_words_spark, ws_words_sql
+
+        cases = self._NORM_PARITY_CORPUS + ["\u2009leading thin", "\xa0 nbsp space mix \u2009"]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+        )
+        got_spark = [
+            r.w
+            for r in df.select("doc_id", ws_words_spark(F.col("text")).alias("w"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(f"SELECT {ws_words_sql('?')}", [c]).fetchone()[0]
+            for c in cases
+        ]
+        import re as _re
+
+        sep = "[ \t\n\r\f\x0b]"
+        got_py = [
+            _re.split(f"{sep}+", _re.sub(f"^{sep}+|{sep}+$", "", c)) for c in cases
+        ]
+        for c, a, b, pr in zip(cases, got_spark, got_duck, got_py):
+            assert a == b == pr, f"{c!r}: spark={a} duck={b} py={pr}"
 
     def test_d05_tokenizer_parity_spark_duckdb_python(self, spark):
         """Same three-engine differential for d05's tokenizer (lower ->
