@@ -69,6 +69,22 @@ def ws_words_sql(expr: str) -> str:
     )
 
 
+def grams_expr(n: int, body: str) -> str:
+    """ANSI-safe n-gram transform over a tokenized column ``w``.
+
+    ``sequence(1, 0)`` DESCENDS in Spark, so a ``greatest(..., 0)``
+    upper bound feeds ``slice``/subscripts invalid indices (an error
+    under ANSI mode) on docs shorter than the gram width — every gram
+    builder must short-circuit those to an empty array, matching the
+    oracles' ``generate_series(1, 0)`` yielding no rows.  ``body`` is
+    the per-position SQL lambda body over index ``i`` (1-based)."""
+    return (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> {body}) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input over all cores BEFORE heavy per-row compute
     (regex tokenize, shingle explode, md5).  Only fires when the scan

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, load, query, ws_words_spark, ws_words_sql
+from . import fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
 
 N_HASHES = 16
 N_BANDS = 4
@@ -53,15 +53,7 @@ def _shingles_spark(d):
     with_words = fan_out(d.select("doc_id", F.col("text"))).select(
         "doc_id", words.alias("w")
     )
-    # docs under 3 words must short-circuit: sequence(1, 0) DESCENDS in
-    # Spark and the subscripts then index out of bounds (an error under
-    # ANSI mode); the oracle's generate_series(1, 0) is empty, so an
-    # empty array is also the parity-correct result
-    sh = F.expr(
-        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
-        "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
-        "ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
+    sh = F.expr(grams_expr(3, "concat(w[i-1], ' ', w[i], ' ', w[i+1])"))
     return (
         with_words.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
@@ -687,16 +679,7 @@ def d05(spark, sf_dir):
     text (tools/unicode_parity_probe.py measures this class)."""
     d = load(spark, sf_dir, "documents")
     words = _d05_words_spark()
-    # guard, don't greatest(): sequence(1, 0) in Spark DESCENDS to [1, 0]
-    # and slice(w, 0, n) then errors, so docs under DECON_N tokens must
-    # short-circuit to an empty array (= the oracle's generate_series(1,
-    # 0) producing no rows)
-    expr = (
-        f"CASE WHEN size(w) >= {DECON_N} THEN "
-        f"transform(sequence(1, size(w) - {DECON_N - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {DECON_N}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
+    expr = grams_expr(DECON_N, f"concat_ws(' ', slice(w, i, {DECON_N}))")
     ngrams = (
         fan_out(d.select("doc_id", "text"))
         .select("doc_id", words.alias("w"))

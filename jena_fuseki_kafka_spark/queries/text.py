@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, load, query, ws_words_spark, ws_words_sql
+from . import fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # chosen to be expressible identically in Spark and DuckDB SQL
@@ -310,15 +310,7 @@ def t07(spark, sf_dir):
     definition."""
     d = load(spark, sf_dir, "documents")
     words = ws_words_spark(F.lower(F.col("text")))
-    # short docs must short-circuit to an empty array: sequence(1, 0)
-    # DESCENDS in Spark, so slice(w, 0, n) errors — and the oracle's
-    # generate_series(1, 0) yields no rows for such docs
-    expr = (
-        f"CASE WHEN size(w) >= {REP_N} THEN "
-        f"transform(sequence(1, size(w) - {REP_N - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {REP_N}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
+    expr = grams_expr(REP_N, f"concat_ws(' ', slice(w, i, {REP_N}))")
     stats = (
         fan_out(d.select("doc_id", "text"))
         .select("doc_id", words.alias("w"))

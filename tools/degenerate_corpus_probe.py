@@ -285,7 +285,7 @@ def build_corpus(kind: str, tmp: str) -> None:
 
 
 def default_gates() -> list[str]:
-    out = subprocess.run(
+    proc = subprocess.run(
         [
             sys.executable,
             "-c",
@@ -295,7 +295,14 @@ def default_gates() -> list[str]:
         cwd=REPO,
         capture_output=True,
         text=True,
-    ).stdout.split()
+    )
+    out = proc.stdout.split()
+    if proc.returncode != 0 or not out:
+        # an empty gate list would make the tripwire exit 0 vacuously
+        # (and pass zero names to check_correctness, which then runs
+        # EVERYTHING including the excluded streaming gates)
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        raise SystemExit("could not enumerate registry gates — refusing a vacuous run")
     # streaming gates stage their own inputs and spin multi-batch
     # queries; u01 drives the HTTP update sequence — both out of scope
     # for a table-shape probe
