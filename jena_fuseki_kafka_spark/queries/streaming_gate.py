@@ -674,13 +674,33 @@ def st10(spark, sf_dir):
         )
         q.awaitTermination()
 
+    # empty-input robustness: when the staged source has zero rows the
+    # availableNow run commits no batch, so the sink dir has no files and
+    # no _spark_metadata — schema inference would fail.  Read with the
+    # shaped schema explicitly (partition column included); a missing
+    # sink dir is an empty frame.
+    sink_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def read_sink():
+        if not os.path.isdir(sink):
+            return spark.createDataFrame([], sink_schema)
+        return spark.read.schema(sink_schema).parquet(sink)
+
     run_once()
-    n_first = spark.read.parquet(sink).count()
+    n_first = read_sink().count()
     run_once()  # same checkpoint, no new input: must be a no-op
-    n_second = spark.read.parquet(sink).count()
+    n_second = read_sink().count()
 
     return (
-        spark.read.parquet(sink)
+        read_sink()
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -713,6 +733,18 @@ def _cleanup_merge_cache() -> None:
 
 
 atexit.register(_cleanup_merge_cache)
+
+
+_ST11_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DecimalType(28, 6)),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
 
 
 def _st11_read_state(spark, root: str):
@@ -864,17 +896,29 @@ def st11(spark, sf_dir):
     state, applied_second = _st11_read_state(spark, root)
     rerun_added = len(applied_second) - len(applied_first)
 
+    # SUM over an all-empty state is NULL; an absent ledger (source
+    # staged zero files) has no state at all — both count as 0 so the
+    # gate survives an empty input instead of crashing on None arithmetic
+    def total_events(st) -> int:
+        if st is None:
+            return 0
+        v = st.agg(F.sum("n_events")).first()[0]
+        return int(v) if v is not None else 0
+
     # abort-and-replay: re-apply a staged file under the LAST recorded
     # batch id; the ledger must make it a no-op
-    before = state.agg(F.sum("n_events")).first()[0]
-    replay = (
-        spark.read.schema(schema)
-        .parquet(os.path.join(td, "f0"))
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    _st11_apply_batch(spark, root, replay, max(applied_second))
+    before = total_events(state)
+    if applied_second:
+        replay = (
+            spark.read.schema(schema)
+            .parquet(os.path.join(td, "f0"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        _st11_apply_batch(spark, root, replay, max(applied_second))
     state_after, _ = _st11_read_state(spark, root)
-    after = state_after.agg(F.sum("n_events")).first()[0]
+    if state_after is None:
+        state_after = spark.createDataFrame([], _ST11_STATE_SCHEMA)
+    after = total_events(state_after)
     replay_delta = int(after - before)
 
     return (

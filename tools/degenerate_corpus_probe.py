@@ -304,8 +304,11 @@ def default_gates() -> list[str]:
         sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
         raise SystemExit("could not enumerate registry gates — refusing a vacuous run")
     # streaming gates stage their own inputs and spin multi-batch
-    # queries; u01 drives the HTTP update sequence — both out of scope
-    # for a table-shape probe
+    # queries; u01 drives the HTTP update sequence — both out of the
+    # DEFAULT sweep, but any can be probed by passing its name
+    # explicitly (the r10 empty-corpus run of all 11 st gates found and
+    # fixed two first-deploy crashes: st10's sink read had no files to
+    # infer a schema from, st11's ledger arithmetic hit None - None)
     return [g for g in out if not g.startswith("st") and g != "u01_update_sequence"]
 
 
