@@ -126,82 +126,20 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r10 window (first 50; unlisted queries sort ahead of all of
+    # ---- r11 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
     # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
     # against "no verdict older than 2 rounds at judging".  Window
-    # composition this round: 3 new + 26 mandatory r7-leads + 6 touched
-    # + 15 r8-cohort fill = 50 exactly; the r8-cohort remainder (27)
-    # becomes r11's mandatory set (one over VERDICT r9 item 2's <=26
-    # target — the trade accepted so that BOTH queries whose code this
-    # round touched, d05 and st10, re-verify now instead of riding
-    # changed-but-unchecked).
+    # composition this round: 27 mandatory r8-cohort leads (the exact
+    # set tools/rotation_planner.py prints) + 22 touched by the hazard
+    # burn-down (VERDICT r10 items 1-4, 6 + ADVICE) + 1 r9-cohort fill
+    # = 50 exactly.  15 of the 22 touched are themselves r9-cohort, so
+    # r12's mandatory floor lands at ~29 of the 44 r9-green queries.
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    "d11_fuzzy_decontamination",
-    "p07_packing_efficiency_census",
-    "st11_foreachbatch_merge_exactly_once",
-    # ---- r7-green, untouched: age 3 at the r10 check if skipped — MUST
-    # lead (VERDICT r9 item 1a, the tripwire's demand) ----
-    "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r13_subselect",
-    "r15_optional_unbound_compat",
-    "r18_negated_property_set",
-    "d04_ngram_jaccard_blocked",
-    "m01_image_features",
-    "m02_audio_features",
-    "m05_scene_changes",
-    "p05_sequence_packing",
-    "s07_int8_quantization",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t09_url_domain_stats",
-    "t10_char_entropy",
-    "u01_update_sequence",
-    # ---- TOUCHED THIS ROUND -> re-verify: connected_components
-    # convergence check folded into the jump join (VERDICT r9 item 3:
-    # shared by d06/s06/p04), d10 oracle re-rendered via _minhash_cte_sql
-    # (ADVICE r9 item 2), d05 benchmark predicate factored out to share
-    # with the new d11, st10 sink cache re-keyed by staged dir
-    # (ADVICE r9 item 3) ----
-    "d06_dedup_clusters",
-    "s06_embedding_dup_clusters",
-    "p04_leakage_safe_split",
-    "d10_incremental_corpus_dedup",
-    "d05_decontamination",
-    "st10_streaming_file_sink_exactly_once",
-    # ---- r8-green rotation fill (age 2 at r10 judging — legal — but
-    # checking 15 of the 42 now cuts r11's mandatory load to 27) ----
-    "d02_minhash_lsh",
-    "d07_minhash_estimator_fidelity",
-    "m06_audio_vad_segments",
-    "q01_pricing_summary",
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q19_disjunctive_predicate_join",
-    "q20_tumbling_window_hourly",
-    # ---- window boundary here (50 above) ----
-    # r8-green remainder: age 3 at the r11 check if skipped — these 27
-    # MUST lead the r11 window (rotate to the very top next round)
+    # ---- r8-green, untouched: age 3 at the r11 check if skipped — MUST
+    # lead (staleness rule; rotation_planner's mandatory set) ----
     "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
@@ -229,36 +167,56 @@ _CHECK_PRIORITY = [
     "st04_streaming_first_seen",
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
-    # ---- r9-green, code untouched -> tail (fine until r12) ----
-    "q41_pivot_wide_metrics",
-    "t11_bigram_lm_perplexity",
+    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r10 hazard list):
+    # zero-norm try_divide cosines (similarity.py shared helpers) touch
+    # s01/s04/s05/s06/s08/s09 beyond the mandatory s02/s03/s03b;
+    # events_to_quads NULL-component drop touches r01/r03/r04/r13 beyond
+    # r14/r16; q44 NULL type group; \p{Mn}-after-lower on t03/t04/t11
+    # beyond t05/t06; ws_words tokenizer migration on d03/d08/d09/p02/
+    # t02; span-merge refactor on d11 (d08/d09 above); d10 oracle via
+    # _minhash_cte_sql; t09 rf-string (ADVICE) ----
+    "s01_ann_bruteforce_topk",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "s06_embedding_dup_clusters",
+    "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
-    "m07_image_phash_neardup",
+    "r01_sparql_acceptance_count",
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r13_subselect",
+    "q44_incremental_agg_merge",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t11_bigram_lm_perplexity",
+    "d03_simhash",
+    "d08_substring_span_dedup",
     "d09_duplication_fraction",
+    "p02_curation_pipeline",
+    "t02_quality_score",
+    "d11_fuzzy_decontamination",
+    "d10_incremental_corpus_dedup",
+    "t09_url_domain_stats",
+    # ---- r9-green rotation fill (1 slot; every fill cuts r12's
+    # mandatory floor) ----
+    "d01_exact_dedup",
+    # ---- window boundary here (50 above) ----
+    # r9-green remainder: age 3 at the r12 check if skipped — these lead
+    # r12's mandatory set (rotate to the very top next round)
+    "q41_pivot_wide_metrics",
+    "m07_image_phash_neardup",
     "q42_changelog_latest_compaction",
     "m08_image_resize_facets",
     "q43_scd2_validity_intervals",
-    "q44_incremental_agg_merge",
     "p06_time_embargo_split",
     "q29_asof_join",
     "q30_interval_join",
     "q35_salted_skew_agg",
     "p01_stratified_sample",
-    "p02_curation_pipeline",
     "p03_mixture_rebalance",
     "m03_video_frame_sample",
     "m04_frame_dedup",
-    "d01_exact_dedup",
-    "d03_simhash",
-    "s01_ann_bruteforce_topk",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
     "t01_language_id",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "d08_substring_span_dedup",
-    "s08_prefix_dim_rerank",
     "st07_stream_stream_join",
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
@@ -272,8 +230,51 @@ _CHECK_PRIORITY = [
     "q18_multi_join_part_supplier_stats",
     "q26_cohort_retention",
     "q39_correlated_scalar_subquery",
-    "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
+    # ---- r10-green, code untouched -> tail (fine until r13) ----
+    "p07_packing_efficiency_census",
+    "st11_foreachbatch_merge_exactly_once",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r15_optional_unbound_compat",
+    "r18_negated_property_set",
+    "d04_ngram_jaccard_blocked",
+    "m01_image_features",
+    "m02_audio_features",
+    "m05_scene_changes",
+    "p05_sequence_packing",
+    "s07_int8_quantization",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t10_char_entropy",
+    "u01_update_sequence",
+    "d06_dedup_clusters",
+    "p04_leakage_safe_split",
+    "d05_decontamination",
+    "st10_streaming_file_sink_exactly_once",
+    "d02_minhash_lsh",
+    "d07_minhash_estimator_fidelity",
+    "m06_audio_vad_segments",
+    "q01_pricing_summary",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q19_disjunctive_predicate_join",
+    "q20_tumbling_window_hourly",
 ]
 
 
