@@ -131,10 +131,10 @@ _CHECK_PRIORITY = [
     # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
     # against "no verdict older than 2 rounds at judging".  Window
     # composition this round: 27 mandatory r8-cohort leads (the exact
-    # set tools/rotation_planner.py prints) + 22 touched by the hazard
-    # burn-down (VERDICT r10 items 1-4, 6 + ADVICE) + 1 r9-cohort fill
-    # = 50 exactly.  15 of the 22 touched are themselves r9-cohort, so
-    # r12's mandatory floor lands at ~29 of the 44 r9-green queries.
+    # set tools/rotation_planner.py prints) + 23 touched by the hazard
+    # burn-down (VERDICT r10 items 1-4, 6 + ADVICE) = 50 exactly.
+    # 16 of the 23 touched are themselves r9-cohort, so r12's mandatory
+    # floor lands at ~28 of the 44 r9-green queries.
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands — unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
@@ -182,6 +182,7 @@ _CHECK_PRIORITY = [
     "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
     "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
     "r03_graph_quantification",
     "r04_sparql_engine_group_by",
     "r13_subselect",
@@ -197,9 +198,8 @@ _CHECK_PRIORITY = [
     "d11_fuzzy_decontamination",
     "d10_incremental_corpus_dedup",
     "t09_url_domain_stats",
-    # ---- r9-green rotation fill (1 slot; every fill cuts r12's
-    # mandatory floor) ----
-    "d01_exact_dedup",
+    # (the planned d01 fill slot went to r02 instead — its oracle gained
+    # the events_to_quads IS NOT NULL mirror, making it touched)
     # ---- window boundary here (50 above) ----
     # r9-green remainder: age 3 at the r12 check if skipped — these lead
     # r12's mandatory set (rotate to the very top next round)
@@ -230,7 +230,7 @@ _CHECK_PRIORITY = [
     "q18_multi_join_part_supplier_stats",
     "q26_cohort_retention",
     "q39_correlated_scalar_subquery",
-    "r02_bgp_join_filter",
+    "d01_exact_dedup",
     # ---- r10-green, code untouched -> tail (fine until r13) ----
     "p07_packing_efficiency_census",
     "st11_foreachbatch_merge_exactly_once",

@@ -43,19 +43,26 @@ def q20(spark, sf_dir):
     )
 
 
+# ts ordering pins NULLS LAST explicitly: Spark windows default ASC
+# NULLS FIRST where DuckDB defaults NULLS LAST, so a NULL-ts event (no
+# event time recorded — inevitable in a 100 TB log) would otherwise
+# open the session run in one engine and close it in the other.
 _SESSION_SQL = """
     WITH marked AS (
       SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts NULLS LAST, event_id)
                        > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS LAST, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
       FROM events
     ),
     sessions AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS LAST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -80,19 +87,33 @@ def q21(spark, sf_dir):
 @query(
     "q22_json_props_extract",
     oracle="""
+    WITH ok AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(28,6))) AS DOUBLE) AS sum_k
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+           CAST(SUM(CAST(k AS DECIMAL(28,6))) AS DOUBLE) AS sum_k
+    FROM ok
+    WHERE k IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
 )
 def q22(spark, sf_dir):
     """Semi-structured extraction: JSON props column -> typed value
-    (get_json_object is JVM-side, no Python UDF)."""
+    (get_json_object is JVM-side, no Python UDF).  Spark's
+    get_json_object is lenient (malformed JSON -> NULL -> filtered)
+    where DuckDB's json() family ERRORS on malformed input, so the
+    oracle guards extraction behind json_valid() inside a CASE (CASE
+    guarantees conditional evaluation; a bare AND does not) — the same
+    rows fall out of both engines on a corpus with junk props.  The
+    value cast is try-semantics on BOTH engines: a non-numeric k is an
+    unusable row, not a job abort."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.filter(k.isNotNull())
         .groupBy("event_type")
@@ -214,6 +235,7 @@ def q26(spark, sf_dir):
         to_timestamp(CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT))
       ]) AS win_start
       FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
@@ -225,8 +247,11 @@ def q27(spark, sf_dir):
     """Sliding event-time windows (1 h window, 30 min slide): each event
     lands in exactly two windows; Spark's window() expands them inline (a
     projection, no shuffle beyond the aggregate).  The streaming twin is the
-    same expression under a watermark."""
-    ev = load(spark, sf_dir, "events")
+    same expression under a watermark.  An event with no event time
+    cannot land in a time window — NULL ts is filtered explicitly on
+    BOTH engines (Spark's window() would group it under a NULL window
+    where the oracle's epoch arithmetic yields a NULL win_start row)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     win = F.window("ts", "1 hour", "30 minutes")
     return (
         ev.groupBy(win.alias("win"))
@@ -491,7 +516,13 @@ def q44(spark, sf_dir):
             F.count("value").alias("n_values"),
         )
 
-    base = partial(ev.filter(F.col("ts") < cutoff))
+    # the two cutoff predicates must PARTITION the table — a NULL ts
+    # satisfies neither `<` nor `>=` (NULL comparisons are NULL), so
+    # without the IS NULL arm such rows would silently vanish from the
+    # merged view while the full-recompute oracle keeps them under a
+    # NULL day.  Route them to the base leg; IS NULL pushes down to
+    # parquet the same as the range predicate.
+    base = partial(ev.filter((F.col("ts") < cutoff) | F.col("ts").isNull()))
     delta = partial(ev.filter(F.col("ts") >= cutoff))
     merged = (
         base.unionByName(delta)

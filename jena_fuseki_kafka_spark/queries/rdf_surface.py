@@ -35,7 +35,16 @@ def events_to_quads(ev: DataFrame) -> DataFrame:
 
     Single narrow transform + union — no shuffle at all: each union branch
     is a projection of the same scan, and Spark unions are no-ops at the
-    partition level."""
+    partition level.
+
+    RDF has no nulls: a quad whose graph, subject or object would be NULL
+    (a NULL event column on real data) is DROPPED, the same malformed-row
+    DLQ philosophy the ingest path applies (ingest/projector.py) — never
+    emitted with a NULL component, which would fall out of GRAPH patterns
+    while grouping as a NULL key elsewhere, incoherently.  The gate
+    oracles mirror the drop with explicit IS NOT NULL predicates.  The
+    filter sits on the union, so Catalyst pushes it into each branch's
+    projection — still a single pass, no shuffle."""
     subj = F.concat(F.lit(EX + "event/"), F.col("event_id").cast("string"))
     graph = F.concat(F.lit(EX + "graph/"), F.col("event_type"))
 
@@ -60,18 +69,37 @@ def events_to_quads(ev: DataFrame) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # object_datatype/object_lang are legitimately NULL (plain literals);
+    # the three term positions are not.
+    return out.filter(
+        F.col("graph").isNotNull()
+        & F.col("subject").isNotNull()
+        & F.col("object_value").isNotNull()
+    )
 
 
 @query(
     "r01_sparql_acceptance_count",
     oracle="""
-    SELECT 1 * COUNT(*) + 4 * COUNT(*) AS C FROM events
+    SELECT CAST(
+        2 * COUNT(CASE WHEN event_id IS NOT NULL
+                        AND event_type IS NOT NULL THEN 1 END)
+      + COUNT(CASE WHEN event_id IS NOT NULL AND event_type IS NOT NULL
+                    AND user_id IS NOT NULL THEN 1 END)
+      + COUNT(CASE WHEN event_id IS NOT NULL AND event_type IS NOT NULL
+                    AND value IS NOT NULL THEN 1 END)
+      + COUNT(CASE WHEN event_id IS NOT NULL AND event_type IS NOT NULL
+                    AND ts IS NOT NULL THEN 1 END)
+      AS BIGINT) AS C FROM events
     """,
 )
 def r01(spark, sf_dir):
     """The reference's acceptance query: count over default graph UNION all
-    named graphs.  1 default-graph quad + 4 named-graph quads per event."""
+    named graphs.  1 default-graph quad + 4 named-graph quads per fully
+    populated event; events_to_quads drops any quad with a NULL component
+    (RDF has no nulls), so the oracle counts per-quad eligibility — the
+    type and id quads need (event_id, event_type), the user/value/ts
+    quads additionally need their own column."""
     quads = events_to_quads(load(spark, sf_dir, "events"))
     default_g = quads.filter(F.col("graph") == DEFAULT_GRAPH).select("subject", "predicate", "object_value")
     named_g = quads.filter(F.col("graph") != DEFAULT_GRAPH).select("subject", "predicate", "object_value")
@@ -86,6 +114,7 @@ def r01(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events
     WHERE event_type = 'purchase' AND value > 10
+      AND user_id IS NOT NULL AND event_id IS NOT NULL
     GROUP BY user_id
     ORDER BY total_value DESC, user_iri
     LIMIT 20
@@ -135,6 +164,8 @@ def r02(spark, sf_dir):
            CAST(SUM(hour(ts)) AS BIGINT) AS sh
     FROM events
     WHERE value > 50
+      AND user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL AND event_id IS NOT NULL
     GROUP BY user_id
     ORDER BY n DESC, user
     LIMIT 10
@@ -206,8 +237,12 @@ def r04(spark, sf_dir):
 @query(
     "r03_graph_quantification",
     oracle="""
-    SELECT 'http://example.org/graph/' || event_type AS graph, 4 * COUNT(*) AS n_quads
-    FROM events GROUP BY event_type ORDER BY graph
+    SELECT 'http://example.org/graph/' || event_type AS graph,
+           CAST(COUNT(*) + COUNT(user_id) + COUNT(value) + COUNT(ts)
+                AS BIGINT) AS n_quads
+    FROM events
+    WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    GROUP BY event_type ORDER BY graph
     """,
 )
 def r03(spark, sf_dir):
@@ -616,12 +651,15 @@ def r12(spark, sf_dir):
     oracle="""
     WITH top5 AS (
       SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n
-      FROM events GROUP BY user_id ORDER BY n DESC, u LIMIT 5
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL
+      GROUP BY user_id ORDER BY n DESC, u LIMIT 5
     )
     SELECT t.u AS user, COUNT(*) AS m
     FROM top5 t
     JOIN events e ON 'http://example.org/user/' || CAST(e.user_id AS VARCHAR) = t.u
-    WHERE e.value > 50
+    WHERE e.value > 50 AND e.event_type IS NOT NULL AND e.event_id IS NOT NULL
     GROUP BY t.u ORDER BY t.u
     """,
 )
@@ -656,7 +694,10 @@ def r13(spark, sf_dir):
 @query(
     "r14_degree_histogram",
     oracle="""
-    WITH deg AS (SELECT user_id, COUNT(*) AS d FROM events GROUP BY user_id),
+    WITH deg AS (SELECT user_id, COUNT(*) AS d FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                   AND event_id IS NOT NULL
+                 GROUP BY user_id),
     hist AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d)
     SELECT CAST(d AS VARCHAR) AS d, n FROM hist ORDER BY n DESC, hist.d LIMIT 20
     """,
@@ -871,14 +912,19 @@ def r18(spark, sf_dir):
     oracle="""
     WITH merged AS (
       SELECT DISTINCT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS s
-      FROM events WHERE event_type IN ('click', 'view')
+      FROM events
+      WHERE event_type IN ('click', 'view') AND event_id IS NOT NULL
     ),
     g AS (
-      SELECT 'http://example.org/graph/purchase' AS g, 4 * COUNT(*) AS named_quads
-      FROM events WHERE event_type = 'purchase'
+      SELECT 'http://example.org/graph/purchase' AS g,
+             CAST(COUNT(*) + COUNT(user_id) + COUNT(value) + COUNT(ts)
+                  AS BIGINT) AS named_quads
+      FROM events WHERE event_type = 'purchase' AND event_id IS NOT NULL
       UNION ALL
-      SELECT 'http://example.org/graph/signup' AS g, 4 * COUNT(*) AS named_quads
-      FROM events WHERE event_type = 'signup'
+      SELECT 'http://example.org/graph/signup' AS g,
+             CAST(COUNT(*) + COUNT(user_id) + COUNT(value) + COUNT(ts)
+                  AS BIGINT) AS named_quads
+      FROM events WHERE event_type = 'signup' AND event_id IS NOT NULL
     )
     SELECT g.g AS g, g.named_quads,
            (SELECT COUNT(*) FROM merged) AS default_subjects

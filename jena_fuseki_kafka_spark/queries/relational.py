@@ -868,9 +868,9 @@ def q33(spark, sf_dir):
       SELECT user_id, event_id, value, ts,
              LAG(value) OVER w AS prev_value,
              LEAD(value) OVER w AS next_value,
-             NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+             NTILE(4) OVER w AS quartile
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     )
     SELECT user_id, event_id,
            ROUND(COALESCE(value - prev_value, 0), 4) AS delta_prev,
@@ -884,11 +884,16 @@ def q33(spark, sf_dir):
 def q34(spark, sf_dir):
     """Sequential window functions LAG/LEAD/NTILE over per-user event
     streams: one shuffle on user_id serves all three functions (same
-    window frame), the shape session-feature pipelines rely on."""
+    window frame), the shape session-feature pipelines rely on.  The ts
+    ordering pins NULLS LAST on both engines — Spark defaults ASC NULLS
+    FIRST where DuckDB defaults NULLS LAST, which would place a NULL-ts
+    event at opposite ends of its user's sequence."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     seq = ev.filter(F.col("user_id") < 50).select(
         "user_id",
         "event_id",
@@ -946,10 +951,10 @@ def q36(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id,
            CAST(SUM(CAST(value AS DECIMAL(28,6)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
            CAST(AVG(CAST(value AS DECIMAL(28,6)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS moving_avg3
     FROM events
@@ -963,12 +968,17 @@ def q37(spark, sf_dir):
     shape.  Both frames share ONE window sort, so the plan is a single
     shuffle on user_id + one in-partition sort; decimal accumulation
     keeps the running values order-exact so both engines agree at every
-    prefix, not just the final row."""
+    prefix, not just the final row.  NULLS LAST is pinned on the ts
+    ordering (both engines) — a NULL-ts row would otherwise lead the
+    frame in Spark and trail it in DuckDB, shifting every running
+    prefix after it."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     vd = F.col("value").cast("decimal(28,6)")
-    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov3 = base.rowsBetween(-2, Window.currentRow)
     return ev.select(

@@ -106,7 +106,7 @@ def q35(spark, sf_dir):
     "q40_salted_fact_dim_join",
     oracle="""
     WITH e AS (
-      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
+      SELECT event_type, CAST(value AS DECIMAL(28,6)) AS v FROM events
     ),
     dim AS (
       SELECT event_type, SUM(v) AS type_sum, COUNT(*) AS type_n
@@ -136,9 +136,12 @@ def q40(spark, sf_dir):
     The above-type-mean predicate is expressed division-free
     (v * n > sum, all DECIMAL) so both engines compare exact values —
     a double AVG would differ in the last ulp between engines and flip
-    boundary rows."""
+    boundary rows.  The value cast is decimal(28,6) like every other
+    revenue gate — the (18,6) it first shipped with overflows (an ANSI
+    job abort, not a wrong answer) on values >= 1e12, which a 100 TB
+    corpus will contain."""
     ev = load(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+        "event_type", F.col("value").cast("decimal(28,6)").alias("v")
     )
     dim = ev.groupBy("event_type").agg(
         F.sum("v").alias("type_sum"), F.count("*").alias("type_n")

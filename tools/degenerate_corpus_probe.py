@@ -151,42 +151,18 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
     "t06_topk_bigrams_per_lang": "1-word doc crashes bigram transform + unicode lower() (r11 fix)",
 }
 
-# Measured 2026-08-15 (r10).  Two root-cause families, both r11 work:
-#
-# (1) events_to_quads (queries/rdf_surface.py) maps NULL event columns
-#     into quads with NULL components — but RDF has no nulls, so the
-#     engine's behavior goes incoherent downstream: a NULL graph falls
-#     out of GRAPH patterns while the oracles' GROUP BYs keep the NULL
-#     group, and a NULL ?user term joins/groups differently per engine.
-#     Fix: drop a quad when any of its components is NULL (the ingest
-#     path's malformed-row DLQ philosophy), mirror `WHERE col IS NOT
-#     NULL` in the gate oracles.  Touches r01/r03/r04/r13/r14/r16 —
-#     r14/r16 are r11-mandatory; add r01 (r9 tail) to the r11 window as
-#     touched.
-# (2) NULL ordering and NULL/extreme arithmetic in the relational event
-#     gates: Spark windows default ASC NULLS FIRST where DuckDB uses
-#     NULLS LAST (q21/q27/q34/q37 diverge when ts/user_id are NULL),
-#     DuckDB's strict json() errors on malformed props where Spark's
-#     get_json_object returns NULL (q22 — the oracle needs try-semantics
-#     or the gate a validity pre-filter), q44's per-type groups count a
-#     NULL type group only in the oracle, and q40 CRASHES: its salted
-#     revenue cast is Decimal(18,6), which 1e12 overflows under ANSI —
-#     widen to the decimal(28,6) the other revenue gates use.  All are
-#     r11-mandatory gates except q44 (r9 tail; ride it as a fill).
-EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {
-    "r01_sparql_acceptance_count": "NULL event_type -> NULL-graph quads (events_to_quads, r11 fix)",
-    "r03_graph_quantification": "NULL event_type -> NULL-graph quads (events_to_quads, r11 fix)",
-    "r04_sparql_engine_group_by": "NULL user/type -> NULL-component quads (events_to_quads, r11 fix)",
-    "r13_subselect": "NULL user joins/groups diverge (events_to_quads, r11 fix)",
-    "r14_degree_histogram": "NULL user degree group only in oracle (events_to_quads, r11 fix)",
-    "q21_sessionization": "NULL ts: Spark NULLS FIRST vs DuckDB NULLS LAST window order (r11 fix)",
-    "q22_json_props_extract": "DuckDB json() errors on malformed props; Spark returns NULL (r11 fix)",
-    "q27_sliding_window": "NULL ts window row only in oracle (r11 fix)",
-    "q34_lead_lag_ntile": "NULL ts: window NULL-order divergence (r11 fix)",
-    "q37_running_frames": "NULL ts: frame NULL-order divergence (r11 fix)",
-    "q40_salted_fact_dim_join": "1e12 value overflows Decimal(18,6) cast under ANSI (r11 fix)",
-    "q44_incremental_agg_merge": "NULL event_type group only in oracle (r11 fix)",
-}
+# Measured 2026-08-15 (r10); r11 burned the list down.  FIXED in r11:
+# the relational event gates (q21/q34/q37 pin ts NULLS LAST on both
+# engines; q27 filters NULL ts on both — no event time, no time window;
+# q22 guards extraction behind json_valid() in a CASE and try-casts the
+# value on both engines; q40's salt cast widened to the decimal(28,6)
+# every other revenue gate uses — 1e12 overflowed (18,6) as an ANSI job
+# abort; q44 routes NULL-ts rows to the base leg so the two cutoff
+# predicates PARTITION the table) and events_to_quads, which now drops
+# any quad with a NULL component (RDF has no nulls — the ingest path's
+# malformed-row DLQ philosophy) with `IS NOT NULL` mirrored in the
+# r01/r03/r04/r13/r14/r16 gate oracles.
+EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {}
 
 
 def _edge_events():
