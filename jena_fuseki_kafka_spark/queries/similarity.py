@@ -49,8 +49,16 @@ def _cos_spark(a, b):
     Only used where one side is per-row unique; when the same vector meets
     many partners (every join below), precompute the norms per ROW and pay
     only the dot per PAIR — the norms are the same doubles either way, so
-    rounding is unaffected."""
-    return _dot_spark(a, b) / (_norm_spark(a) * _norm_spark(b))
+    rounding is unaffected.
+
+    try_divide, not ``/``: a ZERO-NORM vector (all-zeros embedding —
+    inevitable in a real corpus: failed encoder call, padded row) makes
+    the denominator 0, which is a JOB ABORT under ANSI mode.  A NULL
+    cosine instead falls out of every ``>= threshold`` filter and sorts
+    NULLS LAST in every ranking window on both engines — DuckDB's
+    ``x / 0.0`` already yields NULL, so _COS_SQL needs no twin change.
+    Every inline dot/(na*nb) site below uses the same try_divide."""
+    return F.try_divide(_dot_spark(a, b), _norm_spark(a) * _norm_spark(b))
 
 
 _COS_SQL = (
@@ -73,7 +81,7 @@ _COS_SQL = (
     ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rk
+                                ORDER BY cosine DESC NULLS LAST, vec_id) AS rk
       FROM scored
     )
     SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
@@ -90,12 +98,12 @@ def s01(spark, sf_dir):
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
-    cos = _dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    cos = F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
@@ -194,7 +202,7 @@ def _bucket_spark(vec):
     ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rk
+                                ORDER BY cosine DESC NULLS LAST, vec_id) AS rk
       FROM scored
     )
     SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
@@ -218,9 +226,9 @@ def s02(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket", F.col("nrm").alias("qn")
     )
     cands = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    cos = F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
     scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
@@ -241,7 +249,7 @@ def _near_dup_oracle(threshold: float) -> str:
     ),
     cell AS (
       SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
@@ -278,8 +286,8 @@ def _near_dup(spark, sf_dir, threshold: float):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
     blocks = (
         e.crossJoin(F.broadcast(c))
         .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
@@ -295,7 +303,7 @@ def _near_dup(spark, sf_dir, threshold: float):
         F.col("vec_id").alias("vec_b"), F.col("cid"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
-    cos = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = F.try_divide(_dot_spark(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb"))
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -374,7 +382,7 @@ def s06(spark, sf_dir):
     ),
     cell AS (
       SELECT vec_id, embedding, cid, sim, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
@@ -394,7 +402,7 @@ def s06(spark, sf_dir):
       SELECT query_id, vec_id,
              ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) AS cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-               ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) DESC, vec_id) AS rk
+               ROUND({_COS_SQL.format(a='qv', b='embedding')}, 4) DESC NULLS LAST, vec_id) AS rk
       FROM cands
     )
     SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
@@ -416,7 +424,7 @@ def s04(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
     scored_c = e.crossJoin(F.broadcast(c)).select(
         "vec_id", "embedding", "nrm", "cid", sim.alias("sim")
     )
@@ -430,7 +438,7 @@ def s04(spark, sf_dir):
     )
     # probe ranking needs top-N_PROBE only for the query vectors: window
     # over a 5-row-per-query slice, not the whole table
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
     probes = (
         scored_c.filter(F.col("vec_id") < N_QUERY_VECS)
         .withColumn("crk", F.row_number().over(wc))
@@ -443,8 +451,8 @@ def s04(spark, sf_dir):
         .select("query_id", "qv", "qn", "vec_id", "embedding", "nrm")
         .distinct()
     )
-    cos = F.round(_dot_spark(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 4)
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cos = F.round(F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm")), 4)
+    wq = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     return (
         cands.select("query_id", "vec_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(wq))
@@ -597,7 +605,7 @@ COARSE_C = 50
     cand AS (
       SELECT query_id, vec_id, embedding, qv, coarse_cos,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY coarse_cos DESC, vec_id) AS crk
+                                ORDER BY coarse_cos DESC NULLS LAST, vec_id) AS crk
       FROM coarse
     ),
     rerank AS (
@@ -608,7 +616,7 @@ COARSE_C = 50
     ranked AS (
       SELECT query_id, vec_id, coarse_cos, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rk
+                                ORDER BY cosine DESC NULLS LAST, vec_id) AS rk
       FROM rerank
     )
     SELECT query_id, vec_id, coarse_cos, cosine, rk
@@ -650,18 +658,19 @@ def s08(spark, sf_dir):
     )
     qpre = F.slice(F.col("qv"), 1, PREFIX_DIM)
     epre = F.slice(F.col("embedding"), 1, PREFIX_DIM)
-    coarse_cos = _dot_spark(qpre, epre) / (_norm_spark(qpre) * _norm_spark(epre))
+    coarse_cos = F.try_divide(_dot_spark(qpre, epre), _norm_spark(qpre) * _norm_spark(epre))
     coarse = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", "vec_id", F.round(coarse_cos, 4).alias("coarse_cos")
     )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("coarse_cos"), F.asc("vec_id"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("coarse_cos"), F.asc("vec_id"))
     cand = (
         coarse.withColumn("crk", F.row_number().over(wc))
         .filter(F.col("crk") <= COARSE_C)
         .select("query_id", "vec_id", "coarse_cos")
     )
-    full_cos = _dot_spark(F.col("qv"), F.col("embedding")) / (
-        _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding"))
+    full_cos = F.try_divide(
+        _dot_spark(F.col("qv"), F.col("embedding")),
+        _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding")),
     )
     rerank = (
         e.select("vec_id", "embedding")
@@ -669,7 +678,7 @@ def s08(spark, sf_dir):
         .join(F.broadcast(q), "query_id")
         .select("query_id", "vec_id", "coarse_cos", F.round(full_cos, 4).alias("cosine"))
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     return (
         rerank.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= TOP_K)
@@ -693,7 +702,7 @@ SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
     ),
     cell AS (
       SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC, cid) AS crk
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {{cos_ec}} AS sim
@@ -746,7 +755,7 @@ def s09(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = _dot_spark(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
     assign = (
         e.crossJoin(F.broadcast(c))
         .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
@@ -765,7 +774,7 @@ def s09(spark, sf_dir):
         F.col("vec_id").alias("v"), "cid",
         F.col("embedding").alias("ev"), F.col("nrm").alias("nv"),
     )
-    pair_cos = _dot_spark(F.col("eu"), F.col("ev")) / (F.col("nu") * F.col("nv"))
+    pair_cos = F.try_divide(_dot_spark(F.col("eu"), F.col("ev")), F.col("nu") * F.col("nv"))
     cover = (
         a.join(b, "cid")
         .filter((F.col("u") < F.col("v")) & (pair_cos >= SEMDEDUP_T))
@@ -776,7 +785,7 @@ def s09(spark, sf_dir):
         F.col("vec_id").alias("covered_by"),
         F.col("embedding").alias("ru"), F.col("nrm").alias("rn"),
     )
-    cover_cos = _dot_spark(F.col("embedding"), F.col("ru")) / (F.col("nrm") * F.col("rn"))
+    cover_cos = F.try_divide(_dot_spark(F.col("embedding"), F.col("ru")), F.col("nrm") * F.col("rn"))
     return (
         assign.join(cover, assign.vec_id == cover.v, "left")
         .join(reps, "covered_by", "left")

@@ -122,21 +122,14 @@ EXPECTED_FAIL_EMPTY: dict[str, str] = {
 }
 
 EXPECTED_FAIL_EDGE: dict[str, str] = {
-    # The zero-norm embedding (vec_id 0 — also a centroid under the
-    # vec_id % CENTROID_MOD quantizer) makes every cosine against it
-    # divide by zero, an error under ANSI mode.  The cosine helpers
-    # (_dot/_norm/_cos, similarity.py) are SHARED across s01-s09, so the
-    # fix (null cosine for zero norms, mirrored in _COS_SQL) must land
-    # when those gates ride the r11 check window — s02/s03/s03b are r11
-    # mandatory and the rest are r9-cohort fills.
-    "s01_ann_bruteforce_topk": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s03_embedding_near_dup": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s03b_embedding_near_dup_lowt": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s04_ann_ivf": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s05_ann_recall_gate": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s06_embedding_dup_clusters": "zero-norm embedding via s03's shared _near_dup (r11 fix)",
-    "s08_prefix_dim_rerank": "zero-norm embedding: cosine divides by zero (r11 fix)",
-    "s09_semdedup_prune": "zero-norm embedding: cosine divides by zero (r11 fix)",
+    # FIXED r11: the zero-norm embedding (vec_id 0 — also a centroid
+    # under the vec_id % CENTROID_MOD quantizer) made every cosine
+    # against it divide by zero, an ANSI job abort.  All cosine sites in
+    # similarity.py (the shared _cos_spark AND every inline dot/(na*nb))
+    # now use F.try_divide — a NULL cosine falls out of >= threshold
+    # filters and sorts NULLS LAST in every ranking window, explicitly
+    # pinned on both engines (DuckDB's x/0.0 already yielded NULL, so
+    # _COS_SQL needed no change).  s01-s09 all parity-clean here.
     # the unicode_parity_probe.py EXPECTED_FAIL set — same root cause
     # (Java vs utf8proc lower() on U+0130-class codepoints), same r11
     # \\p{Mn}-after-lower fix list
