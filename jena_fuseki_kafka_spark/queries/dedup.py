@@ -484,7 +484,7 @@ def _simhash_oracle() -> str:
     rot = "(((s.simhash << t.r) | (s.simhash >> (32 - t.r))) & 4294967295)"
     return f"""
     WITH tokens AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      SELECT doc_id, unnest({ws_words_sql('text')}) AS w
       FROM documents
     ),
     sims AS (
@@ -518,7 +518,7 @@ def d03(spark, sf_dir):
     one table and went quadratic within hot prefixes)."""
     d = load(spark, sf_dir, "documents")
     tokens = fan_out(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        "doc_id", F.explode(ws_words_spark(F.col("text"))).alias("w")
     )
     # hash every occurrence and aggregate straight on doc_id — ONE shuffle.
     # The former (doc_id, token)-distinct pre-aggregation halved the md5
@@ -922,11 +922,57 @@ def d07(spark, sf_dir):
 D08_NGRAM = 8
 
 
+def _merge_spans(pos_df, ngram: int):
+    """Doc-partitioned gaps-and-islands merge of flagged n-gram positions
+    (doc_id, pos) into maximal token spans (doc_id, island, s, e) — the
+    shared back half of d08 (span listing), d09 (duplication fraction)
+    and d11 (contamination census).  Both windows share ONE doc_id
+    partition + pos sort: parallelism = documents, per-partition work =
+    that doc's flagged positions, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (ngram - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ni = F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
+    isl = pos_df.withColumn("ni", ni).withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + (ngram - 1)).alias("e")
+    )
+
+
+def _spans_cte_sql(src: str, ngram: int) -> str:
+    """DuckDB twin of ``_merge_spans``: renders the marked -> isl -> spans
+    CTE chain over a (doc_id, pos) relation named ``src``; the final CTE
+    is ``spans(doc_id, island, s, e)``.  One definition keeps the three
+    oracle copies (d08/d09/d11) from drifting."""
+    return f"""marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {ngram - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{ngram}) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM {src}
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + {ngram - 1}) AS e
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
 def _d08_oracle() -> str:
     gram = "array_to_string(w[i:i+7], ' ')"
     return f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, {ws_words_sql('text')} AS w FROM documents
     ),
     ngrams AS (
       SELECT doc_id, i AS pos, {_hash60_sql(gram)} AS h
@@ -935,32 +981,23 @@ def _d08_oracle() -> str:
     ),
     shared AS (SELECT h FROM ngrams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
     dup AS (SELECT n.doc_id, n.pos FROM ngrams n JOIN shared s ON n.h = s.h),
-    marked AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + {D08_NGRAM - 1}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{D08_NGRAM}) + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM dup
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-      FROM marked
-    )
+    {_spans_cte_sql('dup', D08_NGRAM)}
     SELECT doc_id,
-           MIN(pos) AS span_start,
-           MAX(pos + {D08_NGRAM - 1}) AS span_end,
-           MAX(pos + {D08_NGRAM - 1}) - MIN(pos) + 1 AS span_tokens
-    FROM isl GROUP BY doc_id, island
+           s AS span_start,
+           e AS span_end,
+           e - s + 1 AS span_tokens
+    FROM spans
     ORDER BY doc_id, span_start
     """
 
 
 def _tokenized_docs(spark, sf_dir):
-    """documents -> (doc_id, w: array of whitespace tokens), all docs."""
+    """documents -> (doc_id, w: array of whitespace tokens), all docs.
+    Explicit-ASCII-class split (ws_words_spark) so the d08/d09 span token
+    positions agree with the oracles on exotic whitespace — trim() strips
+    U+2009/NBSP in DuckDB but not Spark."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = ws_words_spark(F.col("text"))
     return fan_out(d.select("doc_id", "text")).select("doc_id", words.alias("w"))
 
 
@@ -1013,27 +1050,15 @@ def d08(spark, sf_dir):
       positions) — never a global sort.
     The DuckDB oracle computes the identical algorithm (shared md5-60bit
     hash helper), so spans match to the exact token index."""
-    from pyspark.sql import Window
-
     dup = _cross_doc_flagged_positions(_tokenized_docs(spark, sf_dir))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(
-        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
-    ).otherwise(0)
-    isl = dup.withColumn("ni", new_island).withColumn(
-        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
     return (
-        isl.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.max(F.col("pos") + (D08_NGRAM - 1)).alias("span_end"),
+        _merge_spans(dup, D08_NGRAM)
+        .select(
+            "doc_id",
+            F.col("s").alias("span_start"),
+            F.col("e").alias("span_end"),
+            (F.col("e") - F.col("s") + 1).alias("span_tokens"),
         )
-        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
-        .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
 
@@ -1051,7 +1076,7 @@ def _d09_oracle() -> str:
     gram = "array_to_string(w[i:i+7], ' ')"
     return f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, {ws_words_sql('text')} AS w FROM documents
     ),
     ngrams AS (
       SELECT doc_id, i AS pos, {_hash60_sql(gram)} AS h
@@ -1060,23 +1085,7 @@ def _d09_oracle() -> str:
     ),
     shared AS (SELECT h FROM ngrams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
     dup AS (SELECT n.doc_id, n.pos FROM ngrams n JOIN shared s ON n.h = s.h),
-    marked AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + {D08_NGRAM - 1}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{D08_NGRAM}) + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM dup
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-      FROM marked
-    ),
-    spans AS (
-      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + {D08_NGRAM - 1}) AS e
-      FROM isl GROUP BY doc_id, island
-    ),
+    {_spans_cte_sql('dup', D08_NGRAM)},
     cover AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id),
     dupg AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dup GROUP BY doc_id)
     SELECT t.doc_id,
@@ -1113,8 +1122,6 @@ def d09(spark, sf_dir):
     documents, never a global sort.  The keep gate compares integers
     (dup_tokens*10 <= n_tokens*3), so no float-boundary ambiguity between
     engines."""
-    from pyspark.sql import Window
-
     # tokenize ONCE: both the n_tokens branch and the n-gram branch read
     # the same materialized frame (lazy localCheckpoint — first action
     # tokenizes and caches executor-side, the same trade d06 makes for its
@@ -1122,19 +1129,7 @@ def d09(spark, sf_dir):
     tokenized = _tokenized_docs(spark, sf_dir).localCheckpoint(eager=False)
     toks = tokenized.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
     dup = _cross_doc_flagged_positions(tokenized)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + (D08_NGRAM - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(
-        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
-    ).otherwise(0)
-    isl = dup.withColumn("ni", new_island).withColumn(
-        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"), F.max(F.col("pos") + (D08_NGRAM - 1)).alias("e")
-    )
+    spans = _merge_spans(dup, D08_NGRAM)
     cover = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
     )
@@ -1313,23 +1308,7 @@ def _d11_oracle() -> str:
       SELECT t.doc_id, t.pos, b.bench_doc FROM train t JOIN bench b ON t.h = b.h
     ),
     pos_hits AS (SELECT DISTINCT doc_id, pos FROM hits),
-    marked AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + {D11_NGRAM - 1}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{D11_NGRAM}) + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM pos_hits
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-      FROM marked
-    ),
-    spans AS (
-      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + {D11_NGRAM - 1}) AS e
-      FROM isl GROUP BY doc_id, island
-    ),
+    {_spans_cte_sql('pos_hits', D11_NGRAM)},
     per_doc AS (
       SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS contam_tokens
       FROM spans GROUP BY doc_id
@@ -1378,8 +1357,6 @@ def d11(spark, sf_dir):
     Reference scope note: the reference engine has no dedup surface
     (SURVEY.md §2 — LLM-pipeline operators are this repo's extension
     family)."""
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     toks = fan_out(d.select("doc_id", "text")).select(
         "doc_id", _d11_norm_words_spark().alias("w")
@@ -1401,21 +1378,19 @@ def d11(spark, sf_dir):
     is_bench = _bench_pred_spark()
     bench = ng.filter(is_bench).select("h", F.col("doc_id").alias("bench_doc")).distinct()
     train = ng.filter(~is_bench)
-    # hits feeds BOTH the span merge and the benchmark-doc census — persist
-    # so the n-gram generation + collision join run once
-    hits = train.join(bench, "h").select("doc_id", "pos", "bench_doc").persist()
+    # hits feeds BOTH the span merge and the benchmark-doc census — a lazy
+    # localCheckpoint (the d09/d03 idiom) materializes the n-gram
+    # generation + collision join once on first action and is released
+    # with the RDD when the query's references drop, unlike persist(),
+    # which pinned cached partitions across bench repeats until LRU
+    # eviction (ADVICE r10)
+    hits = (
+        train.join(bench, "h")
+        .select("doc_id", "pos", "bench_doc")
+        .localCheckpoint(eager=False)
+    )
     pos_hits = hits.select("doc_id", "pos").distinct()
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + (D11_NGRAM - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ni = F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
-    isl = pos_hits.withColumn("ni", ni).withColumn(
-        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"), F.max(F.col("pos") + (D11_NGRAM - 1)).alias("e")
-    )
+    spans = _merge_spans(pos_hits, D11_NGRAM)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("contam_tokens"),

@@ -334,10 +334,14 @@ def r05(spark, sf_dir):
       dedups it against real pairs hashes differently;
     - c_opt (``p?``): |edges| + |nodes|;
     - c_seq (``p/p``): grandparent pairs, the edges-join-edges count;
-    - c_alt (``p|^p``): alternation is a BAG union per the spec — the
-      translator must NOT dedup the two branches — so forward plus
-      reversed edges count exactly 2x|edges| (no (u,u//2) pair can
-      coincide with a reversed one since u >= 2 > u//2's child role).
+    - c_alt (``p|^p``): forward plus reversed edges, 2x|edges|.  On
+      this forest the forward and reversed pair sets are DISJOINT
+      (u >= 2 > u//2's child role), so the count comes out 2x|edges|
+      under either bag or set semantics — the facet pins the
+      translator's branch arithmetic, not the spec's no-dedup bag-union
+      rule (which test_sparql.py::test_alternative_path_is_bag_union
+      pins directly on a symmetric edge reachable through both
+      branches).
     """
     from ..sparql import SparqlEngine
 

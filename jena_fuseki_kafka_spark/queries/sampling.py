@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from . import load, query, ws_words_spark, ws_words_sql
+from . import canon_text_spark, canon_text_sql, load, query, ws_words_spark, ws_words_sql
 
 # per-mille keep thresholds by language: downsample dominant en, keep
 # most of the tail
@@ -78,7 +78,7 @@ def p01(spark, sf_dir):
     "p02_curation_pipeline",
     oracle=f"""
     WITH hashed AS (
-      SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+      SELECT *, md5({canon_text_sql('text')}) AS h
       FROM documents
     ),
     deduped AS (
@@ -88,7 +88,7 @@ def p01(spark, sf_dir):
     ),
     quality AS (
       SELECT * FROM deduped
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 1000
+      WHERE len({ws_words_sql('text')}) BETWEEN 20 AND 1000
         AND length(text) >= 100
     ),
     sampled AS (
@@ -105,13 +105,17 @@ def p02(spark, sf_dir):
     choice is a min-window over the content hash (one shuffle on h);
     the quality gate and sample decision are row-local, so the whole
     pipeline is two exchanges end-to-end (dedup window + final agg) no
-    matter the corpus size."""
+    matter the corpus size.  The dedup key is the shared canonical
+    fingerprint form (canon_text_spark: lower + \\p{Mn} strip +
+    explicit-ASCII whitespace collapse) and the quality tokenizer the
+    shared explicit-class split, so both decisions agree with the
+    oracle on exotic casing/whitespace."""
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary"))
+    h = F.md5(canon_text_spark(F.col("text")).cast("binary"))
     hashed = d.withColumn("h", h)
     keeper = F.min("doc_id").over(Window.partitionBy("h"))
     deduped = hashed.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
-    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_words = F.size(ws_words_spark(F.col("text")))
     quality = deduped.filter((n_words >= 20) & (n_words <= 1000) & (F.length("text") >= 100))
     sampled = quality.filter(_bucket_spark(F.col("doc_id").cast("string")) < _rate_spark())
     return (

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
+from . import canon_text_spark, canon_text_sql, fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # chosen to be expressible identically in Spark and DuckDB SQL
@@ -80,25 +80,25 @@ def t01(spark, sf_dir):
 
 @query(
     "t02_quality_score",
-    oracle=r"""
+    oracle="""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           len({WS}) AS n_words,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
            ROUND(CAST(length(text) AS DOUBLE)
-                 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
-           CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 20 AND 1000
+                 / len({WS}), 4) AS avg_word_len,
+           CASE WHEN len({WS}) BETWEEN 20 AND 1000
                      AND length(text) >= 100
                 THEN 1 ELSE 0 END AS passes_quality
     FROM documents ORDER BY doc_id
-    """,
+    """.replace("{WS}", ws_words_sql("text")),
 )
 def t02(spark, sf_dir):
     """Quality scoring: length / punctuation / word-shape features + a
     pass/fail gate (the Gopher-style rule shape used by training-data
     pipelines)."""
     d = load(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_words = F.size(ws_words_spark(F.col("text")))
     n_chars = F.length("text")
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)"))
     return d.select(
@@ -113,23 +113,47 @@ def t02(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_T03_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]"
+
+# DuckDB-side "lower then strip combining marks" (d11's cross-engine
+# case-fold recipe); hoisted because f-string expressions cannot carry
+# the backslash on this Python version
+_LOWER_MARKSTRIP_SQL = "regexp_replace(lower(text), '\\p{Mn}', '', 'g')"
+
+
 @query(
     "t03_token_count",
-    oracle=r"""
+    oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
-           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_ish_tokens
+           CAST(SUM(len({ws_words_sql('text')})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(
+                regexp_replace(lower(text), '\\p{{Mn}}', '', 'g'),
+                '{_T03_BPE_PAT}'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
 )
 def t03(spark, sf_dir):
     """Token counting: whitespace tokens + a BPE-ish regex tokenization
     (letters / digits / punctuation runs), aggregated per source —
-    the 'how many tokens is this corpus' pipeline primitive."""
+    the 'how many tokens is this corpus' pipeline primitive.  Both
+    facets tokenize with the shared cross-engine recipe: explicit-ASCII
+    whitespace class (ws_words; trim()/\\s are engine-dependent on
+    exotic whitespace) and \\p{Mn} stripped after lower() (Java maps
+    U+0130-class codepoints to letter + combining mark, utf8proc to the
+    bare letter — without the strip the mark lands in the punctuation
+    alternative on one engine only)."""
     d = load(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    ws = F.size(ws_words_spark(F.col("text")))
+    # the pattern rides F.lit, not F.expr — Spark SQL string literals
+    # unescape backslashes, which would corrupt the explicit \\t\\n class
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
+            F.lit(_T03_BPE_PAT),
+            F.lit(0),
+        )
+    )
     return (
         d.groupBy("source")
         .agg(
@@ -143,20 +167,22 @@ def t03(spark, sf_dir):
 
 @query(
     "t04_fingerprint",
-    oracle=r"""
+    oracle=f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
-           substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8) AS shard_key
+           md5({canon_text_sql('text')}) AS fingerprint,
+           substr(md5({canon_text_sql('text')}), 1, 8) AS shard_key
     FROM documents ORDER BY doc_id
     """,
 )
 def t04(spark, sf_dir):
     """Document fingerprinting: whitespace-normalized, case-folded content
     hash (the canonical-form fingerprint used for exact-dup detection and
-    sharding)."""
+    sharding).  The canonical form is the shared canon_text recipe —
+    lower, \\p{Mn} stripped after the lower, explicit-ASCII whitespace
+    collapse — so the fingerprints are engine-identical on exotic
+    casing/whitespace, not just ASCII."""
     d = load(spark, sf_dir, "documents")
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = F.md5(normalized.cast("binary"))
+    fp = F.md5(canon_text_spark(F.col("text")).cast("binary"))
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")).orderBy(
         "doc_id"
     )
@@ -169,7 +195,8 @@ EMB_DIM = 64
     "t05_feature_hash_embedding",
     oracle=rf"""
     WITH tokens AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      SELECT doc_id,
+             unnest({ws_words_sql(_LOWER_MARKSTRIP_SQL)}) AS w
       FROM documents
     ),
     hashed AS (
@@ -194,7 +221,12 @@ def t05(spark, sf_dir):
     s01-s04 similarity operators."""
     d = load(spark, sf_dir, "documents")
     tokens = fan_out(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        "doc_id",
+        F.explode(
+            ws_words_spark(
+                F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", "")
+            )
+        ).alias("w"),
     )
     h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
     hashed = tokens.select(
@@ -212,9 +244,9 @@ def t05(spark, sf_dir):
 
 @query(
     "t06_topk_bigrams_per_lang",
-    oracle=r"""
+    oracle=f"""
     WITH words AS (
-      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      SELECT doc_id, lang, {ws_words_sql(_LOWER_MARKSTRIP_SQL)} AS w
       FROM documents
     ),
     bigrams AS (
@@ -239,17 +271,20 @@ def t06(spark, sf_dir):
     next to the corpus — so at 100 TB the only full-data operations are
     the bigram explode and one partial-aggregated count; the window sees
     |distinct bigrams|, not |tokens|.  Deterministic tie-break on the
-    bigram text makes top-k stable across partitionings."""
+    bigram text makes top-k stable across partitionings.  Tokenization
+    is the shared cross-engine recipe (ws_words + \\p{Mn} strip after
+    lower), and the bigram transform rides grams_expr — its size>=2
+    short-circuit is load-bearing: ``sequence(1, 0)`` DESCENDS in
+    Spark, so the old greatest(size-1, 0) bound subscripted w[-1] on
+    1-word documents, an ANSI job abort."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = ws_words_spark(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""))
     with_w = fan_out(d.select("lang", "text")).select("lang", words.alias("w"))
     bigrams = with_w.select(
         "lang",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(size(w) - 1, 0)), i -> concat(w[i-1], ' ', w[i]))")
-        ).alias("bigram"),
+        F.explode(F.expr(grams_expr(2, "concat(w[i-1], ' ', w[i])"))).alias("bigram"),
     )
     counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
@@ -461,7 +496,7 @@ _RE_DOMAIN = r"https?://([a-z0-9.-]+)"
 
 @query(
     "t09_url_domain_stats",
-    oracle=f"""
+    oracle=rf"""
     WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS t FROM documents),
     urls AS (
       SELECT doc_id, unnest(regexp_extract_all(t, '{_RE_URL}')) AS url FROM aug
@@ -570,9 +605,14 @@ def t10(spark, sf_dir):
 
 
 # ------------------------------------------------------- t11 LM perplexity
-# 27-symbol alphabet: a-z + space (everything else normalizes to space)
-_T11_MODEL_SQL = """
-    norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', ' ', 'g') AS t
+# 27-symbol alphabet: a-z + space (everything else normalizes to space).
+# Combining marks are stripped AFTER the lower on both engines (the d11
+# recipe): without it, Java's İ -> i + U+0307 turns into 'i ' (the mark
+# is [^a-z]) while utf8proc's bare 'i' stays mid-word, shifting every
+# downstream bigram.
+_T11_MODEL_SQL = f"""
+    norm AS (SELECT doc_id,
+                    regexp_replace({_LOWER_MARKSTRIP_SQL}, '[^a-z]', ' ', 'g') AS t
              FROM documents),
     big AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
             FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i)),
@@ -636,7 +676,9 @@ def t11(spark, sf_dir):
     import math
 
     d = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " ")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""), "[^a-z]", " "
+    )
     docs = fan_out(d.select("doc_id", norm.alias("t")))
     positions = F.when(
         F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)

@@ -140,9 +140,22 @@ def test_oracle_column_names_match_spark(spark, duck, name):
     )
 
 
-def test_allowlist_has_no_dead_entries():
+def test_allowlist_has_no_dead_entries(spark):
     """An allowlist entry whose query no longer produces a BNLJ (or no
     longer exists) is a stale exemption a future unbounded join could hide
-    behind — prune it."""
+    behind — prune it.  Checking registration alone cannot catch the
+    exemption going stale (ADVICE r10), so each swept allowlist entry's
+    plan is asserted to STILL contain the BNLJ it was exempted for —
+    via the same ``_info`` cache the sweep fills, so no plan is built
+    twice in a full test session."""
     for name in BNLJ_ALLOWED:
         assert name in QUERIES, f"allowlisted query {name} not registered"
+        if name not in BATCH_QUERIES:
+            # e.g. p04: EXPENSIVE_ITERATIVE — excluded from the sweep and
+            # plan-pinned individually in test_plan_shape.py
+            continue
+        _, p = _info(spark, name)
+        assert "BroadcastNestedLoopJoin" in p, (
+            f"{name}: allowlisted but its plan no longer contains a "
+            f"BroadcastNestedLoopJoin — stale exemption; prune the entry"
+        )

@@ -537,6 +537,24 @@ class TestPropertyPaths:
         )
         assert sorted(vals(df, "v")) == ["30", "Alice"]
 
+    def test_alternative_path_is_bag_union(self, spark):
+        """§9.1: alternation is a bag union — a solution reachable through
+        BOTH branches appears TWICE, never deduped.  Here bob is alice's
+        ``knows``-neighbor forward AND inverse (symmetric edge), so
+        ``knows|^knows`` from alice must yield bob twice.  (r05's c_alt
+        facet cannot observe this: on its forest the branches are
+        disjoint, so its 2x|edges| count holds under either semantics.)"""
+        rows = [
+            q("alice", "knows", "bob"),
+            q("bob", "knows", "alice"),
+        ]
+        engine = SparqlEngine(spark.createDataFrame(rows, QUAD_SCHEMA))
+        df = engine.select_values(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?x WHERE { ex:alice ex:knows|^ex:knows ?x }"
+        )
+        assert sorted(vals(df, "x")) == [EX + "bob", EX + "bob"]
+
     def test_plus_path(self, engine):
         df = engine.select_values(
             "PREFIX ex: <http://example.org/> "

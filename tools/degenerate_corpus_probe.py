@@ -130,18 +130,11 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
     # filters and sorts NULLS LAST in every ranking window, explicitly
     # pinned on both engines (DuckDB's x/0.0 already yielded NULL, so
     # _COS_SQL needed no change).  s01-s09 all parity-clean here.
-    # the unicode_parity_probe.py EXPECTED_FAIL set — same root cause
-    # (Java vs utf8proc lower() on U+0130-class codepoints), same r11
-    # \\p{Mn}-after-lower fix list
-    "t03_token_count": "unicode lower() divergence (see unicode_parity_probe)",
-    "t04_fingerprint": "unicode lower() divergence (see unicode_parity_probe)",
-    "t05_feature_hash_embedding": "unicode lower() divergence (see unicode_parity_probe)",
-    "t11_bigram_lm_perplexity": "unicode lower() divergence (see unicode_parity_probe)",
-    # t06 has BOTH hazards: the 1-word doc crashes its bigram transform
-    # (sequence(1,0) descends -> out-of-bounds subscript under ANSI; the
-    # same class fixed for d05/t07/_shingles_spark in r10) and the İ doc
-    # hits the lower() divergence.  r11-mandatory gate; fix both there.
-    "t06_topk_bigrams_per_lang": "1-word doc crashes bigram transform + unicode lower() (r11 fix)",
+    # FIXED r11 (was: the unicode_parity_probe.py EXPECTED_FAIL set —
+    # Java vs utf8proc lower() on U+0130-class codepoints): the
+    # \\p{Mn}-after-lower recipe landed on t03/t04/t05/t06/t11, and
+    # t06's bigram transform now rides grams_expr, whose size>=2
+    # short-circuit fixes the 1-word-doc sequence(1,0) ANSI crash.
 }
 
 # Measured 2026-08-15 (r10); r11 burned the list down.  FIXED in r11:

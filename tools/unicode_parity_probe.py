@@ -73,17 +73,14 @@ DOCS = [
     (52, f"second sampled benchmark doc {SHARED_RUN} again for overlap"),
 ]
 
-# gate -> why it is EXPECTED to fail on this corpus today (latent
-# Java-vs-utf8proc lower() divergence, r11 fix list).  Everything else
-# run by default is expected to PASS.  Measured 2026-08-15; re-measure
-# (and shrink this dict) as the \\p{Mn}-after-lower recipe lands.
-EXPECTED_FAIL = {
-    "t03_token_count": "bpe-ish regex tokenize after lower()",
-    "t04_fingerprint": "md5 over lowered text",
-    "t05_feature_hash_embedding": "token hash after lower()",
-    "t06_topk_bigrams_per_lang": "bigram keys after lower()",
-    "t11_bigram_lm_perplexity": "char bigrams after lower()",
-}
+# gate -> why it is EXPECTED to fail on this corpus today.  EMPTY as of
+# r11: the \\p{Mn}-after-lower recipe landed on every gate that
+# lowercases before tokenizing/hashing (t03's bpe facet via F.lit-carried
+# explicit classes, t04/p02 via the shared canon_text helpers, t05/t06
+# via ws_words over the mark-stripped lower, t11's alphabet normalize) —
+# all 13 default gates are parity-clean.  A new entry here means a
+# REGRESSION (or a new gate shipped without the recipe).
+EXPECTED_FAIL: dict[str, str] = {}
 
 DEFAULT_GATES = [
     "d05_decontamination",
