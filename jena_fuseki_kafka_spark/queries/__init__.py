@@ -69,27 +69,45 @@ def ws_words_sql(expr: str) -> str:
     )
 
 
+def lower_markstrip_spark(col):
+    """Cross-engine case fold: lower, then combining marks (\\p{Mn})
+    stripped AFTER the lower.  Java's toLowerCase maps U+0130-class
+    codepoints to base letter + combining mark where DuckDB's utf8proc
+    maps to the bare letter, so any gate that lowercases before
+    tokenizing/hashing must strip the marks on BOTH engines or the two
+    split/hash differently on such text.  ONE definition per engine —
+    the per-site copies this replaces are exactly the drift class the
+    ws_words/canon_text helpers exist to prevent."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.lower(col), r"\p{Mn}", "")
+
+
+def lower_markstrip_sql(expr: str) -> str:
+    """DuckDB twin of lower_markstrip_spark."""
+    return f"regexp_replace(lower({expr}), '\\p{{Mn}}', '', 'g')"
+
+
 def canon_text_spark(col):
-    """Canonical fingerprint form of a text column: lower, combining
-    marks (\\p{Mn}) stripped AFTER the lower (Java's toLowerCase maps
-    U+0130-class codepoints to base letter + combining mark where
-    DuckDB's utf8proc maps to the bare letter), explicit-ASCII-class
-    edge strip, whitespace runs collapsed to one space.  One definition
-    per engine keeps the md5 fingerprints (t04, p02's dedup key)
-    hash-identical across engines on any input."""
+    """Canonical fingerprint form of a text column: the lower_markstrip
+    case fold, explicit-ASCII-class edge strip, whitespace runs
+    collapsed to one space.  One definition per engine keeps the md5
+    fingerprints (t04, p02's dedup key) hash-identical across engines
+    on any input."""
     from pyspark.sql import functions as F
 
     sep = f"[{ASCII_WS}]"
-    lowered = F.regexp_replace(F.lower(col), r"\p{Mn}", "")
-    stripped = F.regexp_replace(lowered, f"^{sep}+|{sep}+$", "")
+    stripped = F.regexp_replace(
+        lower_markstrip_spark(col), f"^{sep}+|{sep}+$", ""
+    )
     return F.regexp_replace(stripped, f"{sep}+", " ")
 
 
 def canon_text_sql(expr: str) -> str:
     """DuckDB twin of canon_text_spark."""
-    marks = f"regexp_replace(lower({expr}), '\\p{{Mn}}', '', 'g')"
     edges = (
-        f"regexp_replace({marks}, '^[{ASCII_WS}]+|[{ASCII_WS}]+$', '', 'g')"
+        f"regexp_replace({lower_markstrip_sql(expr)},"
+        f" '^[{ASCII_WS}]+|[{ASCII_WS}]+$', '', 'g')"
     )
     return f"regexp_replace({edges}, '[{ASCII_WS}]+', ' ', 'g')"
 

@@ -25,7 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
+from . import (
+    fan_out,
+    grams_expr,
+    load,
+    lower_markstrip_spark,
+    lower_markstrip_sql,
+    query,
+    ws_words_spark,
+    ws_words_sql,
+)
 
 N_HASHES = 16
 N_BANDS = 4
@@ -635,6 +644,10 @@ def _bench_pred_spark():
 # \s and trim() are engine-dependent on exotic whitespace, which is
 # token CONTENT for the exact matcher; d11's normalization handles it
 # as drift).  tests/test_dedup.py pins three-engine parity.
+# NOTE: the case-fold inlined here is byte-identical to
+# queries.lower_markstrip_sql/_spark — reroute through the helpers when
+# d05 next rides a check window (comment-only change would not require
+# re-verification; the reroute does).
 _D05_WORDS_SQL = ws_words_sql("regexp_replace(lower(text), '\\p{Mn}', '', 'g')")
 
 
@@ -1271,8 +1284,8 @@ D11_NGRAM = 8
 # three-engine parity on an adversarial corpus).
 _D11_NORM_SQL = (
     "regexp_split_to_array(trim(regexp_replace("
-    "regexp_replace(lower(text), '\\p{Mn}', '', 'g'),"
-    " '[^a-z0-9]+', ' ', 'g')), ' ')"
+    + lower_markstrip_sql("text")
+    + ", '[^a-z0-9]+', ' ', 'g')), ' ')"
 )
 
 
@@ -1280,7 +1293,7 @@ def _d11_norm_words_spark():
     return F.split(
         F.trim(
             F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
+                lower_markstrip_spark(F.col("text")),
                 "[^a-z0-9]+",
                 " ",
             )

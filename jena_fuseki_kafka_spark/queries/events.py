@@ -84,15 +84,34 @@ def q21(spark, sf_dir):
     return spark.sql(_SESSION_SQL)
 
 
+# Jackson leniencies Spark's JSON readers enable for Hive compat but RFC
+# 8259 (and DuckDB's json_valid) reject — all disabled so "valid JSON"
+# means the same rows on both engines.
+_Q22_STRICT_JSON = {
+    "allowSingleQuotes": "false",
+    "allowUnquotedFieldNames": "false",
+    "allowNumericLeadingZeros": "false",
+    "allowNonNumericNumbers": "false",
+    "allowBackslashEscapingAnyCharacter": "false",
+    "allowComments": "false",
+    "allowUnquotedControlChars": "false",
+}
+
+
 @query(
     "q22_json_props_extract",
     oracle="""
-    WITH ok AS (
+    WITH ks AS (
       SELECT event_type,
              CASE WHEN json_valid(props)
-                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-             END AS k
+                  THEN json_extract_string(props, '$.k') END AS kstr
       FROM events
+    ),
+    ok AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(kstr, '^-?[0-9]+$')
+                  THEN TRY_CAST(kstr AS INTEGER) END AS k
+      FROM ks
     )
     SELECT event_type,
            COUNT(*) AS n,
@@ -103,17 +122,28 @@ def q21(spark, sf_dir):
     """,
 )
 def q22(spark, sf_dir):
-    """Semi-structured extraction: JSON props column -> typed value
-    (get_json_object is JVM-side, no Python UDF).  Spark's
-    get_json_object is lenient (malformed JSON -> NULL -> filtered)
-    where DuckDB's json() family ERRORS on malformed input, so the
-    oracle guards extraction behind json_valid() inside a CASE (CASE
-    guarantees conditional evaluation; a bare AND does not) — the same
-    rows fall out of both engines on a corpus with junk props.  The
-    value cast is try-semantics on BOTH engines: a non-numeric k is an
-    unusable row, not a job abort."""
+    """Semi-structured extraction: JSON props column -> typed integer
+    (JVM-side JSON parse, no Python UDF).  Cross-engine parity needs two
+    deliberate choices on a corpus with junk props:
+
+    - VALIDITY: Spark's get_json_object is lenient in ways DuckDB's
+      json_valid is not (Jackson's ALLOW_SINGLE_QUOTES et al.), so the
+      extraction runs through from_json with those leniencies DISABLED —
+      a malformed document yields a NULL struct on Spark exactly where
+      json_valid(props) is false on DuckDB (which must guard inside a
+      CASE: DuckDB's json() family ERRORS on malformed input and a bare
+      AND does not guarantee conditional evaluation).
+    - VALUE: the facet counts INTEGER-coded k.  Spark's try_cast
+      string->int rejects '3.0' where DuckDB's TRY_CAST rounds it, so
+      both engines gate the raw string on ^-?[0-9]+$ before a try-cast
+      (try, not plain: a valid integer string can still overflow int —
+      NULL on both engines, never a job abort)."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    # schema 'k STRING' captures any scalar k as its raw text (Jackson
+    # writes non-string tokens through verbatim), mirroring DuckDB's
+    # json_extract_string
+    kstr = F.from_json(F.col("props"), "k STRING", _Q22_STRICT_JSON).getField("k")
+    k = F.when(kstr.rlike("^-?[0-9]+$"), kstr).try_cast("int")
     return (
         ev.filter(k.isNotNull())
         .groupBy("event_type")

@@ -8,7 +8,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import canon_text_spark, canon_text_sql, fan_out, grams_expr, load, query, ws_words_spark, ws_words_sql
+from . import (
+    canon_text_spark,
+    canon_text_sql,
+    fan_out,
+    grams_expr,
+    load,
+    lower_markstrip_spark,
+    lower_markstrip_sql,
+    query,
+    ws_words_spark,
+    ws_words_sql,
+)
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # chosen to be expressible identically in Spark and DuckDB SQL
@@ -115,10 +126,10 @@ def t02(spark, sf_dir):
 
 _T03_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]"
 
-# DuckDB-side "lower then strip combining marks" (d11's cross-engine
-# case-fold recipe); hoisted because f-string expressions cannot carry
-# the backslash on this Python version
-_LOWER_MARKSTRIP_SQL = "regexp_replace(lower(text), '\\p{Mn}', '', 'g')"
+# DuckDB-side "lower then strip combining marks" over the text column;
+# hoisted because f-string expressions cannot carry the backslash on
+# this Python version
+_LOWER_MARKSTRIP_SQL = lower_markstrip_sql("text")
 
 
 @query(
@@ -128,7 +139,7 @@ _LOWER_MARKSTRIP_SQL = "regexp_replace(lower(text), '\\p{Mn}', '', 'g')"
            COUNT(*) AS n_docs,
            CAST(SUM(len({ws_words_sql('text')})) AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(
-                regexp_replace(lower(text), '\\p{{Mn}}', '', 'g'),
+                {_LOWER_MARKSTRIP_SQL},
                 '{_T03_BPE_PAT}'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -149,7 +160,7 @@ def t03(spark, sf_dir):
     # unescape backslashes, which would corrupt the explicit \\t\\n class
     bpe = F.size(
         F.regexp_extract_all(
-            F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""),
+            lower_markstrip_spark(F.col("text")),
             F.lit(_T03_BPE_PAT),
             F.lit(0),
         )
@@ -223,9 +234,7 @@ def t05(spark, sf_dir):
     tokens = fan_out(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
-            ws_words_spark(
-                F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", "")
-            )
+            ws_words_spark(lower_markstrip_spark(F.col("text")))
         ).alias("w"),
     )
     h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
@@ -280,7 +289,7 @@ def t06(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    words = ws_words_spark(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""))
+    words = ws_words_spark(lower_markstrip_spark(F.col("text")))
     with_w = fan_out(d.select("lang", "text")).select("lang", words.alias("w"))
     bigrams = with_w.select(
         "lang",
@@ -676,9 +685,7 @@ def t11(spark, sf_dir):
     import math
 
     d = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""), "[^a-z]", " "
-    )
+    norm = F.regexp_replace(lower_markstrip_spark(F.col("text")), "[^a-z]", " ")
     docs = fan_out(d.select("doc_id", norm.alias("t")))
     positions = F.when(
         F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)

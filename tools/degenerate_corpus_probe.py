@@ -175,6 +175,15 @@ def _edge_events():
         (9, 6, 5, "click", 51.0, '{"deep": {"a": 1}}'),
         (10, 200_000, 6, "view", 52.0, "{}"),          # far-future ts
         (11, 7, 1, "purchase", 53.0, "{}"),            # user below r05's >= 2 cut
+        # q22's junk-props parity classes (r11 review): Jackson-lenient
+        # but RFC-invalid JSON, non-integral / string-coded / overflow /
+        # leading-zero / negative k values
+        (12, 8, 6, "click", 1.0, "{'k': 5}"),          # single-quoted: invalid both
+        (13, 9, 6, "click", 2.0, '{"k": 3.0}'),        # float k: not integer-coded
+        (14, 10, 7, "view", 3.0, '{"k": "7"}'),        # string-coded int: counts
+        (15, 11, 7, "view", 4.0, '{"k": 99999999999}'),  # int32 overflow: NULL both
+        (16, 12, 8, "purchase", 5.0, '{"k": 007}'),    # leading zeros: invalid JSON
+        (17, 13, 8, "purchase", 6.0, '{"k": -4}'),     # negative int: counts
     ]
     for eid, h, uid, etype, val, props in spec:
         rows.append((eid, t(h), uid, etype, val, props))
