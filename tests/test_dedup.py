@@ -290,6 +290,88 @@ class TestD11FuzzyDecontamination:
         for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
             assert a == b == p, f"{c!r}: spark={a} duck={b} py={p}"
 
+    def test_lower_markstrip_parity_spark_duckdb_python(self, spark):
+        """Three-engine differential for the shared case-fold helper
+        (queries.lower_markstrip_spark/_sql — the r11 factoring of the
+        recipe t03/t05/t06/t11/d11 inlined): lower, then strip \\p{Mn}.
+        Python's str.lower matches Java's multi-codepoint mapping
+        (İ -> i + U+0307), so it referees the Java-vs-utf8proc split."""
+        import unicodedata
+
+        from jena_fuseki_kafka_spark.queries import (
+            lower_markstrip_spark,
+            lower_markstrip_sql,
+        )
+
+        cases = self._NORM_PARITY_CORPUS
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+        )
+        got_spark = [
+            r.t
+            for r in df.select(
+                "doc_id", lower_markstrip_spark(F.col("text")).alias("t")
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(f"SELECT {lower_markstrip_sql('?')}", [c]).fetchone()[0]
+            for c in cases
+        ]
+        got_py = [
+            "".join(ch for ch in c.lower() if unicodedata.category(ch) != "Mn")
+            for c in cases
+        ]
+        for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
+            assert a == b == p, f"{c!r}: spark={a!r} duck={b!r} py={p!r}"
+
+    def test_canon_text_parity_spark_duckdb_python(self, spark):
+        """Three-engine differential for the canonical fingerprint form
+        (queries.canon_text_spark/_sql — t04's md5 input and p02's dedup
+        key, r11): lower_markstrip + explicit-ASCII edge strip +
+        whitespace-run collapse.  A one-byte canonical-form divergence
+        is a 100% fingerprint mismatch, so this is the highest-leverage
+        parity surface in the text family."""
+        import unicodedata
+
+        from jena_fuseki_kafka_spark.queries import (
+            canon_text_spark,
+            canon_text_sql,
+        )
+
+        cases = self._NORM_PARITY_CORPUS + [
+            " thin İ edges ",
+            "\xa0nbsp İçeri\xa0",
+        ]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+        )
+        got_spark = [
+            r.t
+            for r in df.select("doc_id", canon_text_spark(F.col("text")).alias("t"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(f"SELECT {canon_text_sql('?')}", [c]).fetchone()[0]
+            for c in cases
+        ]
+        import re as _re
+
+        def py_ref(s):
+            lowered = "".join(
+                ch for ch in s.lower() if unicodedata.category(ch) != "Mn"
+            )
+            sep = "[ \t\n\r\f\x0b]"
+            return _re.sub(f"{sep}+", " ", _re.sub(f"^{sep}+|{sep}+$", "", lowered))
+
+        got_py = [py_ref(c) for c in cases]
+        for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
+            assert a == b == p, f"{c!r}: spark={a!r} duck={b!r} py={p!r}"
+
 
 class TestShortDocRobustness:
     """Docs shorter than an operator's n-gram/shingle width must produce
