@@ -665,9 +665,13 @@ def q19(spark, sf_dir):
     "q24_exact_percentiles",
     oracle="""
     SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
            ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
            ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           ROUND(quantile_cont(o_totalprice, 0.75)
+                 - quantile_cont(o_totalprice, 0.25), 2) AS iqr
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -675,17 +679,28 @@ def q24(spark, sf_dir):
     """Exact interpolated percentiles per group (SPARQL has no percentile;
     this is the engine-grade aggregate surface, SURVEY §2C).  Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the p*(n-1)
-    linear-interpolation definition, so exact values agree.  At 100 TB
+    linear-interpolation definition, so exact values agree — widened r11
+    to the full quartile ladder (p25/p50/p75/p90/p99) plus the IQR, the
+    spread statistic outlier fences are built from, so the gate pins the
+    interpolation at five distinct rank positions per group.  At 100 TB
     swap to approx_percentile (t-digest) — exact percentile sorts each
     group; the group-by keys here are low-cardinality so each sort is a
-    single partition's work."""
+    single partition's work (all five points share ONE sort: Spark
+    evaluates a multi-percentile aggregate over the same buffer)."""
     o = load(spark, sf_dir, "orders")
+    pct = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+            *[
+                F.round(F.percentile("o_totalprice", F.lit(q)), 2).alias(n)
+                for n, q in pct.items()
+            ],
+            F.round(
+                F.percentile("o_totalprice", F.lit(0.75))
+                - F.percentile("o_totalprice", F.lit(0.25)),
+                2,
+            ).alias("iqr"),
         )
         .orderBy("o_orderpriority")
     )
@@ -725,24 +740,57 @@ def q25(spark, sf_dir):
     oracle="""
     WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
          a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
-    SELECT 'both' AS op, l_partkey FROM (SELECT l_partkey FROM r INTERSECT SELECT l_partkey FROM a)
+    SELECT 'both' AS op, COUNT(*) AS n, CAST(SUM(l_partkey) AS BIGINT) AS key_checksum
+    FROM (SELECT l_partkey FROM r INTERSECT SELECT l_partkey FROM a)
     UNION ALL
-    SELECT 'only_r' AS op, l_partkey FROM (SELECT l_partkey FROM r EXCEPT SELECT l_partkey FROM a)
-    ORDER BY op, l_partkey
-    LIMIT 500
+    SELECT 'only_r', COUNT(*), CAST(SUM(l_partkey) AS BIGINT)
+    FROM (SELECT l_partkey FROM r EXCEPT SELECT l_partkey FROM a)
+    UNION ALL
+    SELECT 'only_a', COUNT(*), CAST(SUM(l_partkey) AS BIGINT)
+    FROM (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM r)
+    UNION ALL
+    SELECT 'both_bag', COUNT(*), CAST(SUM(l_partkey) AS BIGINT)
+    FROM (SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a)
+    UNION ALL
+    SELECT 'r_minus_a_bag', COUNT(*), CAST(SUM(l_partkey) AS BIGINT)
+    FROM (SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a)
+    ORDER BY op
     """,
 )
 def q28(spark, sf_dir):
-    """Set operators INTERSECT / EXCEPT (distinct semantics): parts
-    returned under both flags vs only under 'R'.  Spark plans both as
-    hash aggregates + left-semi/anti joins — the same shape a 100x
-    scale-up keeps (shuffle on the set key only)."""
+    """Set operators under BOTH semantics — INTERSECT / EXCEPT (distinct)
+    and INTERSECT ALL / EXCEPT ALL (bag, multiplicity = min/difference of
+    per-side counts): parts returned under both flags, only 'R', only
+    'A', plus the bag cardinalities.  Widened r11: the old row dump's
+    ORDER BY + LIMIT 500 truncated inside the first leg, so additional
+    legs were invisible to the hash — each leg now reduces to
+    (count, key checksum), pinning every operator's full cardinality and
+    membership as one GLOBAL aggregate per leg on both engines, so an
+    empty leg (no only-'A' parts at small SF) still emits its
+    (op, 0, NULL) row instead of silently vanishing from one engine.  Spark plans the distinct forms as hash aggregate +
+    left-semi/anti join and the ALL forms as per-key count compare —
+    both shapes shuffle only the set key, which is what survives a 100x
+    scale-up; the five legs are independent plans over the same
+    column-pruned, predicate-pushed scan (a production pipeline sharing
+    legs would materialize r/a once)."""
     li = load(spark, sf_dir, "lineitem")
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
     a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
-    both = r.intersect(a).select(F.lit("both").alias("op"), "l_partkey")
-    only_r = r.subtract(a).select(F.lit("only_r").alias("op"), "l_partkey")
-    return both.unionByName(only_r).orderBy("op", "l_partkey").limit(500)
+    legs = [
+        ("both", r.intersect(a)),
+        ("only_r", r.subtract(a)),
+        ("only_a", a.subtract(r)),
+        ("both_bag", r.intersectAll(a)),
+        ("r_minus_a_bag", r.exceptAll(a)),
+    ]
+    out = None
+    for op, leg in legs:
+        row = leg.agg(
+            F.count("*").alias("n"),
+            F.sum("l_partkey").cast("long").alias("key_checksum"),
+        ).select(F.lit(op).alias("op"), "n", "key_checksum")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("op")
 
 
 @query(
