@@ -65,11 +65,17 @@ _SESSION_SQL = """
                                     ORDER BY ts NULLS LAST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS se
+      FROM sessions GROUP BY user_id, session_id
     )
     SELECT user_id,
-           COUNT(DISTINCT session_id) AS n_sessions,
-           COUNT(*) AS n_events
-    FROM sessions
+           COUNT(*) AS n_sessions,
+           CAST(SUM(se) AS BIGINT) AS n_events,
+           CAST(MAX(se) AS BIGINT) AS max_session_events,
+           CAST(MIN(se) AS BIGINT) AS min_session_events
+    FROM per_session
     GROUP BY user_id
     ORDER BY user_id
 """
@@ -79,7 +85,11 @@ _SESSION_SQL = """
 def q21(spark, sf_dir):
     """Session windows (30-min inactivity gap) via gaps-and-islands: lag ->
     marker -> running sum.  Identical ANSI SQL runs on Spark and the oracle.
-    Streaming equivalent: session_window(ts, '30 minutes')."""
+    Streaming equivalent: session_window(ts, '30 minutes').  Widened r11
+    with per-user session-shape facets (max/min events per session via a
+    per-session aggregate that REUSES the window's user_id partitioning —
+    no extra exchange), so the hash pins how the gap rule SPLITS each
+    user's stream, not just how many pieces it makes."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SESSION_SQL)
 

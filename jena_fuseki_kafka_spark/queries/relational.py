@@ -829,8 +829,20 @@ def q31(spark, sf_dir):
 @query(
     "q32_approx_distinct",
     oracle="""
-    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS approx_ok
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd,
+           1 AS approx_ok,
+           COUNT(DISTINCT l_orderkey) AS exact_nd_hi,
+           1 AS approx_hi_ok
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL',
+           COUNT(DISTINCT l_partkey),
+           1,
+           COUNT(DISTINCT l_orderkey),
+           1
+    FROM lineitem
+    ORDER BY l_returnflag
     """,
 )
 def q32(spark, sf_dir):
@@ -838,18 +850,37 @@ def q32(spark, sf_dir):
     gate asserts the estimate lands within 5%% of truth — the contract a
     100 TB pre-pass relies on when sizing joins/dedup work.  At scale the
     approx pass is a map-side sketch merge (no shuffle of distinct keys),
-    which is why it exists at all."""
+    which is why it exists at all.  Widened r11: a SECOND sketch over the
+    higher-cardinality l_orderkey (~an order of magnitude more distincts
+    — HLL register saturation behaves differently per cardinality
+    decade) and a corpus-wide 'ALL' row, so the accuracy contract is
+    pinned at two cardinalities x (per-group + global) scopes."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_nd"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_nd"),
-    )
-    rel_err = F.abs(F.col("approx_nd") - F.col("exact_nd")) / F.col("exact_nd")
-    return agg.select(
-        "l_returnflag",
-        "exact_nd",
-        F.when(rel_err <= 0.05, 1).otherwise(0).alias("approx_ok"),
-    ).orderBy("l_returnflag")
+
+    def facet(grouped, key_col):
+        agg = grouped.agg(
+            F.countDistinct("l_partkey").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_nd"),
+            F.countDistinct("l_orderkey").alias("exact_nd_hi"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_nd_hi"),
+        )
+        # integer-ratio gate (|approx-exact|*20 <= exact ⟺ rel err <= 5%):
+        # no division, so the always-present 'ALL' row cannot hit 0/0 on
+        # an empty relation (ANSI abort), and 0-distinct trivially passes
+        ok = lambda a, e: F.when(
+            F.abs(F.col(a) - F.col(e)) * 20 <= F.col(e), 1
+        ).otherwise(0)
+        return agg.select(
+            key_col.alias("l_returnflag"),
+            "exact_nd",
+            ok("approx_nd", "exact_nd").alias("approx_ok"),
+            "exact_nd_hi",
+            ok("approx_nd_hi", "exact_nd_hi").alias("approx_hi_ok"),
+        )
+
+    per_flag = facet(li.groupBy("l_returnflag"), F.col("l_returnflag"))
+    overall = facet(li.groupBy(), F.lit("ALL"))
+    return per_flag.unionByName(overall).orderBy("l_returnflag")
 
 
 @query(
