@@ -798,6 +798,8 @@ def q28(spark, sf_dir):
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM lineitem
@@ -810,13 +812,19 @@ def q31(spark, sf_dir):
     ((returnflag), (linestatus)) in ONE pass over the fact table.  Spark
     expands the sets before the partial aggregate, so the scan and the
     map-side combine are shared; the naive alternative (two groupBys +
-    union) reads the table twice."""
+    union) reads the table twice.  The gid facet (2*GROUPING(rf) +
+    GROUPING(ls), r11 — q15's rollup widening applied here) pins WHICH
+    grouping set produced each row, so a COALESCE collision (a real
+    'ALL' value posing as a subtotal) or a set mix-up cannot hash
+    identically."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q31_lineitem")
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
                COUNT(*) AS n,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM q31_lineitem

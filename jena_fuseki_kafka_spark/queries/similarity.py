@@ -202,17 +202,23 @@ def _bucket_spark(vec):
     ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC NULLS LAST, vec_id) AS rk
+                                ORDER BY cosine DESC NULLS LAST, vec_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cands
       FROM scored
     )
-    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    SELECT query_id, vec_id, cosine, rk, n_cands FROM ranked WHERE rk <= {TOP_K}
     ORDER BY query_id, rk
     """,
 )
 def s02(spark, sf_dir):
     """LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket id; search
     only within the query's bucket.  Candidate generation is an equi-join on
-    bucket (shuffle ~ rows, not q x rows) — the 100 TB path."""
+    bucket (shuffle ~ rows, not q x rows) — the 100 TB path.  The n_cands
+    facet (r11) pins each query's CANDIDATE-SET size — the LSH selectivity
+    invariant itself: a bucket function that drifted (hashing, sign
+    convention, plane order) would admit a different candidate set even
+    when the final top-k happens to coincide; it rides the same query_id
+    partition the ranking window already shuffled, so no extra exchange."""
     from pyspark.sql import Window
 
     e = fan_out(load(spark, sf_dir, "embeddings"))
@@ -229,10 +235,12 @@ def s02(spark, sf_dir):
     cos = F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
     scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
+    wq = Window.partitionBy("query_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_cands", F.count(F.lit(1)).over(wq).cast("long"))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rk")
+        .select("query_id", "vec_id", "cosine", "rk", "n_cands")
         .orderBy("query_id", "rk")
     )
 
