@@ -268,8 +268,9 @@ def _signature_relations(spark, sf_dir):
 def _verify_exact_jaccard(cands, shingles, sizes, left: str, right: str):
     """Exact-Jaccard verification of a candidate pair relation — shared by
     the symmetric (doc_a, doc_b) and asymmetric (doc_b, doc_c) dedup paths.
-    ``cands`` must already be persisted by the caller (it feeds both sides
-    of the intersection join).  Returns (left, right, jaccard) rows at or
+    ``cands`` must already be materialized by the caller — persist() or a
+    lazy localCheckpoint — because it feeds both sides of the
+    intersection join.  Returns (left, right, jaccard) rows at or
     above JACCARD_THRESHOLD, jaccard rounded to 4 for oracle parity.
 
     Verification touches only candidate docs: ONE semi-join prunes the
@@ -1236,7 +1237,16 @@ def d10(spark, sf_dir):
     is_batch = (F.col("doc_id") % D10_BATCH_MOD) == 0
     bt = exploded.filter(is_batch).select(F.col("doc_id").alias("doc_b"), "bi", "bh")
     cp = exploded.filter(~is_batch).select(F.col("doc_id").alias("doc_c"), "bi", "bh")
-    cands = bt.join(cp, ["bi", "bh"]).select("doc_b", "doc_c").distinct().persist()
+    # lazy localCheckpoint, not persist(): cands feeds both sides of the
+    # verify join; checkpoint storage is released with the RDD when the
+    # query's references drop, where persist() pinned cache across bench
+    # repeats until LRU eviction (the d11 ADVICE r10 class)
+    cands = (
+        bt.join(cp, ["bi", "bh"])
+        .select("doc_b", "doc_c")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = minhashes.select("doc_id", "n")
     matches = _verify_exact_jaccard(cands, shingles, sizes, "doc_b", "doc_c")
     per_b = matches.groupBy("doc_b").agg(
