@@ -686,6 +686,11 @@ def t11(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(lower_markstrip_spark(F.col("text")), "[^a-z]", " ")
+    # the normalized corpus feeds both passes; recomputing the regex
+    # normalize per pass is deliberate — measured (r11): a lazy
+    # localCheckpoint of (doc_id, t) saves nothing at bench scale (the
+    # cost lives in the explode/aggregate and the scoring fold), while
+    # at 100 TB it would cost corpus-sized executor storage
     docs = fan_out(d.select("doc_id", norm.alias("t")))
     positions = F.when(
         F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)
