@@ -94,6 +94,52 @@ class TestD08SubstringSpans:
     def test_d08_oracle_registered(self):
         assert "d08_substring_span_dedup" in ORACLES
 
+    def test_merge_spans_boundary_semantics_both_engines(self, spark):
+        """Direct pin of the shared gaps-and-islands helper
+        (_merge_spans / _spans_cte_sql, factored r11 from the three
+        d08/d09/d11 inline copies) on hand-computed boundary shapes —
+        the adjacency rule (pos > prev_max_end + 1 opens an island) is
+        one off-by-one away from splitting touching windows or merging
+        gapped ones:
+
+        - overlapping windows (pos 1, 3)     -> one span [1, 3+n-1]
+        - exactly adjacent (pos 1, 1+n)      -> one span (end+1 == next)
+        - gap of one token (pos 1, 2+n)      -> two spans
+        - singleton                          -> its own n-wide span
+        """
+        from jena_fuseki_kafka_spark.queries.dedup import (
+            _merge_spans,
+            _spans_cte_sql,
+        )
+
+        n = 8
+        pos = [
+            (1, 1), (1, 3),          # overlap -> [1, 10]
+            (2, 1), (2, 1 + n),      # adjacent -> [1, 16]
+            (3, 1), (3, 2 + n),      # gap -> [1, 8], [10, 17]
+            (4, 5),                  # singleton -> [5, 12]
+        ]
+        expect = {
+            (1, 1, 10), (2, 1, 16), (3, 1, 8), (3, 10, 17), (4, 5, 12),
+        }
+        df = spark.createDataFrame(pos, "doc_id int, pos int")
+        got_spark = {
+            (r.doc_id, r.s, r.e)
+            for r in _merge_spans(df, n).select("doc_id", "s", "e").collect()
+        }
+        assert got_spark == expect
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (doc_id INT, pos INT)")
+        con.executemany("INSERT INTO src VALUES (?, ?)", pos)
+        got_duck = {
+            tuple(r)
+            for r in con.execute(
+                f"WITH {_spans_cte_sql('src', n)} "
+                "SELECT doc_id, s, e FROM spans"
+            ).fetchall()
+        }
+        assert got_duck == expect
+
 class TestD11FuzzyDecontamination:
     def _write_docs(self, spark, tmp_path, rows):
         df = spark.createDataFrame(rows, ["doc_id", "text"])
