@@ -43,6 +43,19 @@ def _norm_spark(a):
     )
 
 
+def _nan_to_null(col):
+    """NaN cosines must not survive: a NaN/Inf embedding component (a
+    failed encoder emits them) makes the cosine NaN, and BOTH engines
+    order NaN above every real number and evaluate ``NaN >= t`` as TRUE
+    — so without this guard one corrupt vector near-duplicates the
+    entire corpus and ranks first in every top-k.  Mapping NaN -> NULL
+    gives it the zero-norm treatment: it falls out of thresholds and
+    sorts NULLS LAST in the (explicitly pinned) ranking windows.  The
+    SQL twin wraps _COS_SQL in ``nullif(..., 'nan')`` — NaN = NaN is
+    TRUE under both engines' total order, so nullif catches it."""
+    return F.nanvl(col, F.lit(None).cast("double"))
+
+
 def _cos_spark(a, b):
     """cosine(a,b) as a JVM expression; inputs array<float> -> double.
 
@@ -58,13 +71,15 @@ def _cos_spark(a, b):
     NULLS LAST in every ranking window on both engines — DuckDB's
     ``x / 0.0`` already yields NULL, so _COS_SQL needs no twin change.
     Every inline dot/(na*nb) site below uses the same try_divide."""
-    return F.try_divide(_dot_spark(a, b), _norm_spark(a) * _norm_spark(b))
+    return _nan_to_null(F.try_divide(_dot_spark(a, b), _norm_spark(a) * _norm_spark(b)))
 
 
 _COS_SQL = (
+    "nullif("
     "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
     " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    ", CAST('nan' AS DOUBLE))"
 )
 
 
@@ -98,7 +113,7 @@ def s01(spark, sf_dir):
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
-    cos = F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
+    cos = _nan_to_null(F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm")))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
@@ -232,7 +247,7 @@ def s02(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket", F.col("nrm").alias("qn")
     )
     cands = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cos = F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
+    cos = _nan_to_null(F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm")))
     scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     wq = Window.partitionBy("query_id")
@@ -294,7 +309,7 @@ def _near_dup(spark, sf_dir, threshold: float):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    sim = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn")))
     wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
     blocks = (
         e.crossJoin(F.broadcast(c))
@@ -311,7 +326,7 @@ def _near_dup(spark, sf_dir, threshold: float):
         F.col("vec_id").alias("vec_b"), F.col("cid"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
-    cos = F.try_divide(_dot_spark(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb"))
+    cos = _nan_to_null(F.try_divide(_dot_spark(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")))
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -432,7 +447,7 @@ def s04(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    sim = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn")))
     scored_c = e.crossJoin(F.broadcast(c)).select(
         "vec_id", "embedding", "nrm", "cid", sim.alias("sim")
     )
@@ -459,7 +474,7 @@ def s04(spark, sf_dir):
         .select("query_id", "qv", "qn", "vec_id", "embedding", "nrm")
         .distinct()
     )
-    cos = F.round(F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm")), 4)
+    cos = F.round(_nan_to_null(F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))), 4)
     wq = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("cosine"), F.asc("vec_id"))
     return (
         cands.select("query_id", "vec_id", cos.alias("cosine"))
@@ -666,7 +681,7 @@ def s08(spark, sf_dir):
     )
     qpre = F.slice(F.col("qv"), 1, PREFIX_DIM)
     epre = F.slice(F.col("embedding"), 1, PREFIX_DIM)
-    coarse_cos = F.try_divide(_dot_spark(qpre, epre), _norm_spark(qpre) * _norm_spark(epre))
+    coarse_cos = _nan_to_null(F.try_divide(_dot_spark(qpre, epre), _norm_spark(qpre) * _norm_spark(epre)))
     coarse = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", "vec_id", F.round(coarse_cos, 4).alias("coarse_cos")
     )
@@ -676,9 +691,11 @@ def s08(spark, sf_dir):
         .filter(F.col("crk") <= COARSE_C)
         .select("query_id", "vec_id", "coarse_cos")
     )
-    full_cos = F.try_divide(
-        _dot_spark(F.col("qv"), F.col("embedding")),
-        _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding")),
+    full_cos = _nan_to_null(
+        F.try_divide(
+            _dot_spark(F.col("qv"), F.col("embedding")),
+            _norm_spark(F.col("qv")) * _norm_spark(F.col("embedding")),
+        )
     )
     rerank = (
         e.select("vec_id", "embedding")
@@ -763,7 +780,7 @@ def s09(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    sim = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn")))
     assign = (
         e.crossJoin(F.broadcast(c))
         .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
@@ -782,7 +799,7 @@ def s09(spark, sf_dir):
         F.col("vec_id").alias("v"), "cid",
         F.col("embedding").alias("ev"), F.col("nrm").alias("nv"),
     )
-    pair_cos = F.try_divide(_dot_spark(F.col("eu"), F.col("ev")), F.col("nu") * F.col("nv"))
+    pair_cos = _nan_to_null(F.try_divide(_dot_spark(F.col("eu"), F.col("ev")), F.col("nu") * F.col("nv")))
     cover = (
         a.join(b, "cid")
         .filter((F.col("u") < F.col("v")) & (pair_cos >= SEMDEDUP_T))
@@ -793,7 +810,7 @@ def s09(spark, sf_dir):
         F.col("vec_id").alias("covered_by"),
         F.col("embedding").alias("ru"), F.col("nrm").alias("rn"),
     )
-    cover_cos = F.try_divide(_dot_spark(F.col("embedding"), F.col("ru")), F.col("nrm") * F.col("rn"))
+    cover_cos = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("ru")), F.col("nrm") * F.col("rn")))
     return (
         assign.join(cover, assign.vec_id == cover.v, "left")
         .join(reps, "covered_by", "left")

@@ -98,6 +98,14 @@ def _edge_embeddings():
     rows.append((4, vec(lambda i: 1.0 if i == 1 else 0.0), 3))  # basis e1
     for k in range(5, 12):  # a few distinct, deterministic directions
         rows.append((k, vec(lambda i, k=k: ((i * k) % 7) - 3.0), k % 10))
+    # corrupt-encoder rows (r11): a NaN component makes every cosine
+    # against the row NaN, and BOTH engines evaluate NaN >= t as TRUE
+    # and rank NaN above every real — unguarded, one such vector
+    # near-duplicates the whole corpus; the s-family maps NaN -> NULL
+    # (similarity._nan_to_null / the nullif in _COS_SQL) so these rows
+    # fall out of thresholds and sort last, like zero-norm
+    rows.append((12, vec(lambda i: float("nan") if i == 3 else 0.25), 2))
+    rows.append((13, vec(lambda i: float("inf") if i == 7 else 0.25), 3))
     return rows
 
 
@@ -135,6 +143,17 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
     # \\p{Mn}-after-lower recipe landed on t03/t04/t05/t06/t11, and
     # t06's bigram transform now rides grams_expr, whose size>=2
     # short-circuit fixes the 1-word-doc sequence(1,0) ANSI crash.
+    #
+    # DISCOVERED late r11 by the new NaN/Inf corrupt-encoder rows: s07's
+    # int8 quantizer guards scale == 0 but not scale = NaN/Inf (a NaN
+    # component makes max_abs NaN; an Inf component makes finite/inf ->
+    # 0.0 and inf/inf -> NaN), so the int cast of a NaN quantized value
+    # aborts — on BOTH engines (Spark ANSI CAST_INVALID_INPUT, DuckDB
+    # conversion error), a crash class, not a divergence.  Fix when s07
+    # rides the r12 window (a non-finite scale should quantize to the
+    # zero vector like scale == 0, with isfinite mirrored in the
+    # oracle); r11's window is full.
+    "s07_int8_quantization": "NaN/Inf embedding: non-finite scale aborts the int cast (r12 fix)",
 }
 
 # Measured 2026-08-15 (r10); r11 burned the list down.  FIXED in r11:
