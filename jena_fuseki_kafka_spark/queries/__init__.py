@@ -69,6 +69,27 @@ def ws_words_sql(expr: str) -> str:
     )
 
 
+def finite_spark(col):
+    """NULL out non-finite doubles (NaN/±Inf — upstream float math emits
+    them into any real metric column).  Load-bearing for every
+    metric -> DECIMAL cast: Spark's non-finite -> decimal cast SILENTLY
+    yields NULL where DuckDB's ERRORS ("can't be cast / out of range"),
+    so an unguarded sum is a silent-drop on one engine and a job abort
+    on the other; and both engines order NaN ABOVE every real and treat
+    ``NaN > t`` as TRUE, so an unguarded threshold admits corrupt rows.
+    The SQL twin is finite_sql (DuckDB isfinite); NULL falls out of
+    sums, predicates and NULLS-LAST ranks identically on both."""
+    from pyspark.sql import functions as F
+
+    c = F.nanvl(col, F.lit(None).cast("double"))
+    return F.when(F.abs(c) != F.lit(float("inf")), c)
+
+
+def finite_sql(expr: str) -> str:
+    """DuckDB twin of finite_spark."""
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+
+
 def lower_markstrip_spark(col):
     """Cross-engine case fold: lower, then combining marks (\\p{Mn})
     stripped AFTER the lower.  Java's toLowerCase maps U+0130-class

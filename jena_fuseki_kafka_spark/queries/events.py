@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, query
+from . import finite_spark, finite_sql, load, query
 
 
 @query(
@@ -279,7 +279,7 @@ def q26(spark, sf_dir):
     )
     SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM w GROUP BY win_start ORDER BY window_start
     """,
 )
@@ -297,7 +297,12 @@ def q27(spark, sf_dir):
         ev.groupBy(win.alias("win"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+            # finite_spark: a NaN/Inf metric is an unusable value, not a
+            # job abort — Spark's non-finite -> decimal cast silently
+            # yields NULL where DuckDB's ERRORS, so both engines pin the
+            # exclusion explicitly (isfinite in the oracle)
+            F.sum(finite_spark(F.col("value"))
+                  .cast("decimal(28,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -517,7 +522,7 @@ _Q44_CUTOFF = "2024-01-20 00:00:00"
     oracle=f"""
     SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
            MIN(value) AS min_value, MAX(value) AS max_value,
            COUNT(value) AS n_values
     FROM events
@@ -550,7 +555,8 @@ def q44(spark, sf_dir):
             "event_type", F.col("ts").cast("date").cast("string").alias("day")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+            F.sum(finite_spark(F.col("value"))
+                  .cast("decimal(28,6)")).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.count("value").alias("n_values"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..model import DEFAULT_GRAPH, KIND_IRI, KIND_LITERAL, XSD, XSD_INTEGER
-from . import load, query
+from . import finite_spark, load, query
 
 EX = "http://example.org/"
 
@@ -111,9 +111,11 @@ def r01(spark, sf_dir):
     oracle="""
     SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS user_iri,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)))
+                AS DOUBLE) AS total_value
     FROM events
-    WHERE event_type = 'purchase' AND value > 10
+    WHERE event_type = 'purchase'
+      AND CASE WHEN isfinite(value) THEN value END > 10
       AND user_id IS NOT NULL AND event_id IS NOT NULL
     GROUP BY user_id
     ORDER BY total_value DESC, user_iri
@@ -134,7 +136,13 @@ def r02(spark, sf_dir):
         F.col("subject").alias("s"), F.col("object_value").alias("user_iri")
     )
     value_p = quads.filter(F.col("predicate") == EX + "value").select(
-        F.col("subject").alias("s"), F.col("object_value").cast("double").alias("v")
+        F.col("subject").alias("s"),
+        # 'NaN'/'Infinity' are VALID xsd:double lexicals, so the quad
+        # keeps them; the consumer treats a non-finite metric as unusable
+        # (finite_spark -> NULL falls out of the > 10 filter on both
+        # engines — NaN > 10 would be TRUE on both, and DuckDB's
+        # non-finite -> decimal cast then ERRORS)
+        finite_spark(F.col("object_value").cast("double")).alias("v"),
     )
     joined = type_p.join(user_p, "s").join(value_p, "s").filter(F.col("v") > 10)
     return (
@@ -157,7 +165,8 @@ def r02(spark, sf_dir):
            CAST(COUNT(*) * length(CAST(user_id AS VARCHAR)) AS BIGINT) AS sl,
            CAST(COUNT(*) * 18 AS BIGINT) AS sb,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
-           CAST(SUM(CAST(FLOOR(ABS(value - 100)) AS BIGINT)) AS BIGINT) AS va,
+           CAST(SUM(CAST(FLOOR(ABS(CASE WHEN isfinite(value) THEN value END
+                                   - 100)) AS BIGINT)) AS BIGINT) AS va,
            COUNT(*) AS nt,
            CAST(SUM(month(ts)) AS BIGINT) AS sm,
            CAST(SUM(day(ts)) AS BIGINT) AS sd,
@@ -186,7 +195,11 @@ def r04(spark, sf_dir):
     - ?np: UCASE + CONTAINS over the graph IRI (purchase-graph row count);
     - ?va: ABS + FLOOR + xsd:integer cast on the double ?v (FLOOR, unlike
       ROUND, has no tie semantics to diverge on; ?v - 100 is the same
-      exactly-rounded IEEE double on both engines);
+      exactly-rounded IEEE double on both engines; a non-finite ?v —
+      'NaN' is a valid xsd:double lexical — goes type-error -> unbound
+      through the engine's try_cast and SUM skips it, so the oracle
+      mirrors with an isfinite guard where DuckDB's NaN -> BIGINT cast
+      would abort);
     - ?nt: DATATYPE equality to xsd:double plus the isIRI / isLiteral /
       isBlank term-kind tests and && / ! — all-true per row, so = n;
     - ?sm/?sd/?sh: MONTH / DAY / HOURS on the xsd:dateTime ?t (one ts

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, query
+from . import finite_spark, load, query
 
 # exact, order-independent sum of a double expression: per-row cast to
 # decimal (deterministic), exact decimal sum, cast back
@@ -1037,10 +1037,10 @@ def q36(spark, sf_dir):
     "q37_running_frames",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)))
                 OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
-           CAST(AVG(CAST(value AS DECIMAL(28,6)))
+           CAST(AVG(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)))
                 OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS moving_avg3
@@ -1062,7 +1062,10 @@ def q37(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    vd = F.col("value").cast("decimal(28,6)")
+    # finite_spark: NaN/Inf metric -> NULL on both engines (Spark's
+    # non-finite -> decimal cast silently NULLs where DuckDB's errors);
+    # window SUM/AVG skip it
+    vd = finite_spark(F.col("value")).cast("decimal(28,6)")
     base = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc_nulls_last(), "event_id"
     )

@@ -73,7 +73,7 @@ def salted_sum_count(
 
 
 # ---------------------------------------------------------------- gate query
-from . import load, query  # noqa: E402
+from . import finite_spark, load, query  # noqa: E402
 
 
 @query(
@@ -106,7 +106,7 @@ def q35(spark, sf_dir):
     "q40_salted_fact_dim_join",
     oracle="""
     WITH e AS (
-      SELECT event_type, CAST(value AS DECIMAL(28,6)) AS v FROM events
+      SELECT event_type, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)) AS v FROM events
     ),
     dim AS (
       SELECT event_type, SUM(v) AS type_sum, COUNT(*) AS type_n
@@ -141,7 +141,10 @@ def q40(spark, sf_dir):
     job abort, not a wrong answer) on values >= 1e12, which a 100 TB
     corpus will contain."""
     ev = load(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("decimal(28,6)").alias("v")
+        "event_type",
+        # finite_spark: NaN/Inf metric -> NULL v on both engines; a NULL
+        # v falls out of the above-mean predicate and the sum alike
+        finite_spark(F.col("value")).cast("decimal(28,6)").alias("v"),
     )
     dim = ev.groupBy("event_type").agg(
         F.sum("v").alias("type_sum"), F.count("*").alias("type_n")
