@@ -230,7 +230,13 @@ def _edge_events():
         # non-finite metric values (late r11): Spark's non-finite ->
         # DECIMAL cast silently yields NULL where DuckDB's ERRORS, and
         # NaN > t is TRUE on both engines — every value -> decimal gate
-        # needs the shared finite_spark/finite_sql guard
+        # needs the shared finite_spark/finite_sql guard.  SCOPE NOTE:
+        # the same hazard covers the TPC-H DOUBLE columns (l_quantity /
+        # l_extendedprice / l_discount / l_tax / o_totalprice feed the
+        # shared _dsum decimal-sum helper in ~20 relational gates) — a
+        # lineitem-edge corpus + the finite guard inside _dsum and its
+        # oracle mirrors land with r12's window (most _dsum callers are
+        # r12-mandatory), stragglers r13
         (18, 14, 9, "purchase", float("nan"), "{}"),
         (19, 15, 9, "view", float("inf"), "{}"),
         (20, 16, 9, "click", float("-inf"), "{}"),
