@@ -373,6 +373,47 @@ class TestD11FuzzyDecontamination:
         for c, a, b, p in zip(cases, got_spark, got_duck, got_py):
             assert a == b == p, f"{c!r}: spark={a!r} duck={b!r} py={p!r}"
 
+    def test_finite_guard_parity_spark_duckdb_python(self, spark):
+        """Three-engine differential for the non-finite metric guard
+        (queries.finite_spark/finite_sql, r11): NaN/±Inf -> NULL, finite
+        and NULL pass through.  Load-bearing because the engines disagree
+        WITHOUT it — Spark's non-finite -> decimal cast silently NULLs
+        where DuckDB's ERRORS, and both treat NaN > t as TRUE — and
+        because the decimal cast of the guarded value must stay
+        abort-free on both."""
+        import math
+
+        from jena_fuseki_kafka_spark.queries import finite_spark, finite_sql
+
+        cases = [1.5, 0.0, -2.25, float("nan"), float("inf"), float("-inf"), None]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cases)], "i int, v double"
+        )
+        got_spark = [
+            r.g
+            for r in df.select(
+                "i", finite_spark(F.col("v")).cast("decimal(28,6)").alias("g")
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        con = duckdb.connect()
+        # finite_sql expands its expression twice (CASE WHEN isfinite(e)
+        # THEN e END), hence two placeholders per case
+        got_duck = [
+            con.execute(
+                f"SELECT CAST({finite_sql('?::DOUBLE')} AS DECIMAL(28,6))", [v, v]
+            ).fetchone()[0]
+            for v in cases
+        ]
+        got_py = [
+            v if v is not None and math.isfinite(v) else None for v in cases
+        ]
+        for v, a, b, p in zip(cases, got_spark, got_duck, got_py):
+            fa = float(a) if a is not None else None
+            fb = float(b) if b is not None else None
+            assert fa == fb == p, f"{v!r}: spark={a!r} duck={b!r} py={p!r}"
+
     def test_canon_text_parity_spark_duckdb_python(self, spark):
         """Three-engine differential for the canonical fingerprint form
         (queries.canon_text_spark/_sql — t04's md5 input and p02's dedup
