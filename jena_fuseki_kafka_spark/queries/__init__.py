@@ -190,20 +190,120 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r11 window (first 50; unlisted queries sort ahead of all of
+    # ---- r12 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
     # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
     # against "no verdict older than 2 rounds at judging".  Window
-    # composition this round: 27 mandatory r8-cohort leads (the exact
-    # set tools/rotation_planner.py prints) + 23 touched by the hazard
-    # burn-down (VERDICT r10 items 1-4, 6 + ADVICE) = 50 exactly.
-    # 16 of the 23 touched are themselves r9-cohort, so r12's mandatory
-    # floor lands at ~28 of the 44 r9-green queries.
+    # composition this round: 28 mandatory r9-cohort leads (the exact
+    # set tools/rotation_planner.py prints) + 22 touched by the
+    # non-finite hazard burn-down (VERDICT r11 items 1-5) = 50 exactly:
+    # the FLOOR/CEIL/ROUND Inf-clamp fix in sparql/translate.py touches
+    # every SparqlEngine consumer (r01-r18, u01 = 19 -- u01 rides the
+    # same Translator through UpdateEngine WHERE patterns), plus q20
+    # (finite guard), s07 (quantizer non-finite scale), d05
+    # (lower_markstrip reroute).  The _dsum finite guard rides a NEW
+    # _dsumf helper so the five straggler callers (q01/q10/q15/q19/q25/
+    # q36, all r13-mandatory) stay byte-untouched and migrate in r13,
+    # as VERDICT r11 item 1 planned; the persist->localCheckpoint
+    # conversions (shared minhash helpers + p04) defer with them for
+    # the same window-budget reason, as does ADVICE r11's cosine-Inf
+    # guard (touches s01-s09, 8 extra slots this round).
     # ---- NEW this round (no prior verdict; registered names are
-    # appended here as each lands — unlisted new names sort first
+    # appended here as each lands -- unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    # ---- r8-green, untouched: age 3 at the r11 check if skipped — MUST
-    # lead (staleness rule; rotation_planner's mandatory set) ----
+    # ---- r9-green, untouched: age 3 at the r12 check if skipped --
+    # MUST lead (staleness rule; rotation_planner's mandatory set) ----
+    "d01_exact_dedup",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "m07_image_phash_neardup",
+    "m08_image_resize_facets",
+    "p01_stratified_sample",
+    "p03_mixture_rebalance",
+    "p06_time_embargo_split",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q16_conditional_agg_case",
+    "q18_multi_join_part_supplier_stats",
+    "q26_cohort_retention",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "q39_correlated_scalar_subquery",
+    "q41_pivot_wide_metrics",
+    "q42_changelog_latest_compaction",
+    "q43_scd2_validity_intervals",
+    "st07_stream_stream_join",
+    "st08_stream_stream_outer_join",
+    "st09_streaming_bounded_dedup",
+    "t01_language_id",
+    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r11 hazard list):
+    # FLOOR/CEIL/ROUND non-finite passthrough in translate.py touches
+    # every SparqlEngine gate incl. u01; q20 finite-guards its value
+    # sum; s07 quantizes non-finite-scale vectors to zero; d05 reroutes
+    # its inline mark-strip through lower_markstrip_* ----
+    "r01_sparql_acceptance_count",
+    "r02_bgp_join_filter",
+    "r03_graph_quantification",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "r18_negated_property_set",
+    "u01_update_sequence",
+    "q20_tumbling_window_hourly",
+    "s07_int8_quantization",
+    "d05_decontamination",
+    # ---- window boundary here (50 above) ----
+    # r10-green remainder: age 3 at the r13 check if skipped -- these
+    # lead r13's mandatory set (rotate to the very top next round).
+    # r13 also owes: _dsum straggler migration, persist->
+    # localCheckpoint on shared minhash helpers + p04 (touches d02/d06/
+    # d07/p04/d10/s06), ADVICE r11 cosine-Inf guard (touches s01-s09).
+    "q01_pricing_summary",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q19_disjunctive_predicate_join",
+    "d02_minhash_lsh",
+    "d04_ngram_jaccard_blocked",
+    "d06_dedup_clusters",
+    "d07_minhash_estimator_fidelity",
+    "m01_image_features",
+    "m02_audio_features",
+    "m05_scene_changes",
+    "m06_audio_vad_segments",
+    "p04_leakage_safe_split",
+    "p05_sequence_packing",
+    "p07_packing_efficiency_census",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t10_char_entropy",
+    # ---- r11-green, code untouched -> tail (fine until r14) ----
     "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
@@ -219,126 +319,33 @@ _CHECK_PRIORITY = [
     "q37_running_frames",
     "q38_approx_percentile",
     "q40_salted_fact_dim_join",
-    "r14_degree_histogram",
-    "r16_from_named_dataset",
-    "r17_minus_compat",
+    "q44_incremental_agg_merge",
+    "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
     "s03_embedding_near_dup",
     "s03b_embedding_near_dup_lowt",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r10 hazard list):
-    # zero-norm try_divide cosines (similarity.py shared helpers) touch
-    # s01/s04/s05/s06/s08/s09 beyond the mandatory s02/s03/s03b;
-    # events_to_quads NULL-component drop touches r01/r03/r04/r13 beyond
-    # r14/r16; q44 NULL type group; \p{Mn}-after-lower on t03/t04/t11
-    # beyond t05/t06; ws_words tokenizer migration on d03/d08/d09/p02/
-    # t02; span-merge refactor on d11 (d08/d09 above); d10 oracle via
-    # _minhash_cte_sql; t09 rf-string (ADVICE) ----
-    "s01_ann_bruteforce_topk",
     "s04_ann_ivf",
     "s05_ann_recall_gate",
     "s06_embedding_dup_clusters",
     "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
-    "r01_sparql_acceptance_count",
-    "r02_bgp_join_filter",
-    "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
-    "r13_subselect",
-    "q44_incremental_agg_merge",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "t02_quality_score",
     "t03_token_count",
     "t04_fingerprint",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    "t09_url_domain_stats",
     "t11_bigram_lm_perplexity",
     "d03_simhash",
     "d08_substring_span_dedup",
     "d09_duplication_fraction",
-    "p02_curation_pipeline",
-    "t02_quality_score",
-    "d11_fuzzy_decontamination",
     "d10_incremental_corpus_dedup",
-    "t09_url_domain_stats",
-    # (the planned d01 fill slot went to r02 instead — its oracle gained
-    # the events_to_quads IS NOT NULL mirror, making it touched)
-    # ---- window boundary here (50 above) ----
-    # r9-green remainder: age 3 at the r12 check if skipped — these lead
-    # r12's mandatory set (rotate to the very top next round)
-    "q41_pivot_wide_metrics",
-    "m07_image_phash_neardup",
-    "q42_changelog_latest_compaction",
-    "m08_image_resize_facets",
-    "q43_scd2_validity_intervals",
-    "p06_time_embargo_split",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "p01_stratified_sample",
-    "p03_mixture_rebalance",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "t01_language_id",
-    "st07_stream_stream_join",
-    "st08_stream_stream_outer_join",
-    "st09_streaming_bounded_dedup",
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q16_conditional_agg_case",
-    "q18_multi_join_part_supplier_stats",
-    "q26_cohort_retention",
-    "q39_correlated_scalar_subquery",
-    "d01_exact_dedup",
-    # ---- r10-green, code untouched -> tail (fine until r13) ----
-    "p07_packing_efficiency_census",
-    "st11_foreachbatch_merge_exactly_once",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r15_optional_unbound_compat",
-    "r18_negated_property_set",
-    "d04_ngram_jaccard_blocked",
-    "m01_image_features",
-    "m02_audio_features",
-    "m05_scene_changes",
-    "p05_sequence_packing",
-    "s07_int8_quantization",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t10_char_entropy",
-    "u01_update_sequence",
-    "d06_dedup_clusters",
-    "p04_leakage_safe_split",
-    "d05_decontamination",
-    "st10_streaming_file_sink_exactly_once",
-    "d02_minhash_lsh",
-    "d07_minhash_estimator_fidelity",
-    "m06_audio_vad_segments",
-    "q01_pricing_summary",
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q19_disjunctive_predicate_join",
-    "q20_tumbling_window_hourly",
+    "d11_fuzzy_decontamination",
+    "p02_curation_pipeline",
 ]
 
 
