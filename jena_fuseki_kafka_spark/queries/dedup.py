@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import (
+    canon_text_spark,
+    canon_text_sql,
     fan_out,
     grams_expr,
     load,
@@ -79,9 +81,9 @@ _SHINGLES_SQL = f"""
 # ---------------------------------------------------------------- d01 exact
 @query(
     "d01_exact_dedup",
-    oracle=r"""
+    oracle=f"""
     WITH hashed AS (
-      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      SELECT doc_id, md5({canon_text_sql("text")}) AS h
       FROM documents
     ),
     groups AS (
@@ -98,9 +100,14 @@ _SHINGLES_SQL = f"""
 def d01(spark, sf_dir):
     """Exact dedup: normalized content hash -> group -> keep min doc_id.
     One hash aggregate; at scale this is the cheapest dedup pass and runs
-    first in any pipeline."""
+    first in any pipeline.
+
+    The fingerprint is the shared canonical form (queries.canon_text_*:
+    lower + \\p{Mn} strip + explicit-ASCII-class edge strip/collapse) —
+    the hand-rolled trim()+\\s+ lower it replaces diverged across engines
+    on U+2009/NBSP-class whitespace and U+0130-class case folds."""
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary"))
+    h = F.md5(canon_text_spark(F.col("text")).cast("binary"))
     groups = d.select("doc_id", h.alias("h")).groupBy("h").agg(
         F.count("*").alias("group_size"), F.min("doc_id").alias("keeper_doc_id")
     )
@@ -637,23 +644,19 @@ def _bench_pred_spark():
     ) == 0
 
 
-# d05's tokenizer, one definition per engine: lower, combining marks
-# (\p{Mn}) stripped AFTER the lower (d11's recipe — Java's toLowerCase
-# maps U+0130-class characters to base letter + combining mark where
-# DuckDB's utf8proc maps to the bare base letter), then the shared
-# explicit-ASCII-class whitespace split (see queries.ws_words_spark —
-# \s and trim() are engine-dependent on exotic whitespace, which is
-# token CONTENT for the exact matcher; d11's normalization handles it
-# as drift).  tests/test_dedup.py pins three-engine parity.
-# NOTE: the case-fold inlined here is byte-identical to
-# queries.lower_markstrip_sql/_spark — reroute through the helpers when
-# d05 next rides a check window (comment-only change would not require
-# re-verification; the reroute does).
-_D05_WORDS_SQL = ws_words_sql("regexp_replace(lower(text), '\\p{Mn}', '', 'g')")
+# d05's tokenizer, one definition per engine: the shared lower_markstrip
+# case fold (lower, combining marks stripped AFTER the lower — see
+# queries.lower_markstrip_spark for the Java-vs-utf8proc divergence it
+# closes), then the shared explicit-ASCII-class whitespace split (see
+# queries.ws_words_spark — \s and trim() are engine-dependent on exotic
+# whitespace, which is token CONTENT for the exact matcher; d11's
+# normalization handles it as drift).  tests/test_dedup.py pins
+# three-engine parity.
+_D05_WORDS_SQL = ws_words_sql(lower_markstrip_sql("text"))
 
 
 def _d05_words_spark():
-    return ws_words_spark(F.regexp_replace(F.lower(F.col("text")), r"\p{Mn}", ""))
+    return ws_words_spark(lower_markstrip_spark(F.col("text")))
 
 
 def _decon_oracle() -> str:

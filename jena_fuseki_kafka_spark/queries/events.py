@@ -20,7 +20,7 @@ from . import finite_spark, finite_sql, load, query
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour, event_type
@@ -36,7 +36,9 @@ def q20(spark, sf_dir):
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+            F.sum(finite_spark(F.col("value")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("hour", "event_type")
         .limit(100)
@@ -324,8 +326,8 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     + ",\n    ".join(
         f"CAST(SUM(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) AS BIGINT)"
         f" AS {t}_n,\n    "
-        f"CAST(SUM(CASE WHEN event_type='{t}' THEN CAST(value AS DECIMAL(28,6))"
-        f" END) AS DOUBLE) AS {t}_value"
+        f"CAST(SUM(CASE WHEN event_type='{t}' AND isfinite(value)"
+        f" THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS {t}_value"
         for t in _EVENT_TYPES
     )
     + """
@@ -352,7 +354,7 @@ def q41(spark, sf_dir):
         .pivot("event_type", _EVENT_TYPES)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value"),
+            F.sum(finite_spark(F.col("value")).cast("decimal(28,6)")).cast("double").alias("value"),
         )
     )
     # a (cohort, type) cell with no rows pivots to NULL, but a COUNT of an

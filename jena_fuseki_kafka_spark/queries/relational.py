@@ -34,6 +34,19 @@ def _dsum(col, alias):
     return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
 
 
+# _dsum with the finite guard (queries.finite_spark): a NaN/Inf metric —
+# upstream float math emits them into any real 100 TB fact column — is
+# NULLed BEFORE the decimal cast, because Spark's non-finite -> decimal
+# cast silently yields NULL where DuckDB's ERRORS, so an unguarded sum
+# is a silent row drop on one engine and a job abort on the other.  The
+# oracle twin is CASE WHEN isfinite(expr) THEN expr END inside the CAST.
+# Kept as a SEPARATE helper so the remaining _dsum callers (q01/q10/q15/
+# q19/q25/q36 — all due a driver re-check in r13) stay byte-untouched
+# this round; r13 migrates them here and deletes _dsum.
+def _dsumf(col, alias):
+    return F.sum(finite_spark(col).cast("decimal(28,6)")).cast("double").alias(alias)
+
+
 @query(
     "q01_pricing_summary",
     oracle="""
@@ -83,7 +96,8 @@ def q01(spark, sf_dir):
     "q02_top_revenue_orders",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                          THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -109,7 +123,7 @@ def q02(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -120,7 +134,8 @@ def q02(spark, sf_dir):
     "q03_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                          THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -154,7 +169,7 @@ def q03(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -162,7 +177,8 @@ def q03(spark, sf_dir):
 @query(
     "q04_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * l_discount)
+                           THEN l_extendedprice * l_discount END AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -178,7 +194,7 @@ def q04(spark, sf_dir):
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    ).agg(_dsumf(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 @query(
@@ -582,7 +598,8 @@ def q17(spark, sf_dir):
     oracle="""
     SELECT p.p_brand, s.s_name,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END
+                          AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -604,7 +621,7 @@ def q18(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
-        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), "total_qty"))
+        .agg(F.count("*").alias("n_items"), _dsumf(F.col("l_quantity"), "total_qty"))
         .filter(F.col("n_items") >= 5)
         .orderBy(F.desc("total_qty"), "p_brand", "s_name")
         .limit(30)

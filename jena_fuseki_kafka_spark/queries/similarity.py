@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, load, query
+from . import fan_out, finite_spark, load, query
 
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id 0..4 are the query set
@@ -553,7 +553,7 @@ def s05(spark, sf_dir):
     ),
     quant AS (
       SELECT vec_id,
-             CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+             CASE WHEN s = 0 OR NOT isfinite(s) THEN list_transform(embedding, x -> 0)
                   ELSE list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INT))
              END AS qv
       FROM scaled
@@ -584,8 +584,15 @@ def s07(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     s = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0
     scaled = e.withColumn("s", s)
+    # a non-finite scale (any NaN component makes max_abs NaN; any Inf
+    # component makes it Inf, so finite/Inf -> 0.0 and Inf/Inf -> NaN)
+    # would abort the int cast on BOTH engines — quantize such corrupt
+    # vectors to the zero vector exactly like the zero-norm case, with
+    # NOT isfinite(s) mirrored in the oracle.  finite_spark(s) is NULL
+    # for NaN/±Inf and isNull() routes to the zero branch.
+    finite_s = finite_spark(F.col("s"))
     qv = F.when(
-        F.col("s") == 0.0,
+        (F.col("s") == 0.0) | finite_s.isNull(),
         F.transform("embedding", lambda x: F.lit(0)),
     ).otherwise(
         F.transform(

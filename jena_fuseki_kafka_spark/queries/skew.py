@@ -81,7 +81,7 @@ from . import finite_spark, load, query  # noqa: E402
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -92,7 +92,7 @@ def q35(spark, sf_dir):
     combine stage then reduces 5x8 tiny rows.  Result is hash-identical
     to the naive GROUP BY (decimal sums are order-independent)."""
     ev = load(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("decimal(28,6)").alias("value_dec")
+        "event_type", finite_spark(F.col("value")).cast("decimal(28,6)").alias("value_dec")
     )
     out = salted_sum_count(ev, keys=["event_type"], sum_cols=["value_dec"])
     return out.select(

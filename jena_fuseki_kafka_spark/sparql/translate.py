@@ -1110,11 +1110,36 @@ class Translator:
             dec_dt = F.when(
                 src_dt.isin(XSD_DOUBLE, XSD + "float"), src_dt
             ).otherwise(F.lit(XSD_DECIMAL))
+
+            # XPath fn:floor/ceil/round stay in the DOUBLE domain:
+            # floor(INF) = INF, floor(NaN) = NaN — but Spark's
+            # floor()/ceil() return LONG and CLAMP non-finite (and any
+            # |x| >= 2^63) to Long.Max/MinValue, and floor(NaN) is 0.
+            # Every double with |x| >= 2^53 is already integral, so pass
+            # it through unchanged; the same predicate routes NaN/Inf
+            # (Spark orders NaN above every real, so NaN >= 2^53 is
+            # TRUE).  A later xsd:integer() over the result then
+            # try_casts "Infinity"/"NaN" to NULL — the spec's type
+            # error -> unbound — instead of a clamped Long.MaxValue.
+            def _dbl_domain(fn):
+                return lambda c: F.when(
+                    F.abs(c) >= F.lit(2.0**53), c
+                ).otherwise(fn(c))
+
             fns = {
                 "abs": (F.abs, F.abs),
-                "ceil": (lambda c: c, lambda c: F.ceil(c).cast("double")),
-                "floor": (lambda c: c, lambda c: F.floor(c).cast("double")),
-                "round": (lambda c: c, lambda c: F.floor(c + 0.5).cast("double")),
+                "ceil": (
+                    lambda c: c,
+                    _dbl_domain(lambda c: F.ceil(c).cast("double")),
+                ),
+                "floor": (
+                    lambda c: c,
+                    _dbl_domain(lambda c: F.floor(c).cast("double")),
+                ),
+                "round": (
+                    lambda c: c,
+                    _dbl_domain(lambda c: F.floor(c + 0.5).cast("double")),
+                ),
             }
             fi, fd = fns[expr.name]
             return (
@@ -1529,16 +1554,30 @@ class Translator:
         # rows whose lexical form isn't numeric (e.g. a BIND collapsed
         # into a projection evaluated before the predicate filter); the
         # spec's type error must map to unbound, never a query abort
+        # fn:floor/ceil/round stay in the DOUBLE domain (floor(INF) =
+        # INF, floor(NaN) = NaN) but Spark's floor()/ceil() return LONG
+        # and CLAMP non-finite to Long.Max/MinValue.  Any double with
+        # |x| >= 2^53 is already integral, so pass it (and NaN/Inf,
+        # which Spark orders above every real) through unchanged; a
+        # later xsd:integer() then try_casts Inf/NaN to NULL — type
+        # error -> unbound — instead of a clamped Long.MaxValue.  Same
+        # guard as the term-construction branch above.
+        def _dbl_domain_v(c, fn):
+            return F.when(F.abs(c) >= F.lit(2.0**53), c).otherwise(fn(c))
+
         if name == "abs":
             return F.abs(argv(0).cast("string").try_cast("double"))
         if name == "ceil":
-            return F.ceil(argv(0).cast("string").try_cast("double")).cast("double")
+            c = argv(0).cast("string").try_cast("double")
+            return _dbl_domain_v(c, lambda x: F.ceil(x).cast("double"))
         if name == "floor":
-            return F.floor(argv(0).cast("string").try_cast("double")).cast("double")
+            c = argv(0).cast("string").try_cast("double")
+            return _dbl_domain_v(c, lambda x: F.floor(x).cast("double"))
         if name == "round":
             # XPath fn:round: ties round toward +INF (round(-2.5) = -2),
             # unlike Spark's half-away-from-zero
-            return F.floor(argv(0).cast("string").try_cast("double") + 0.5).cast("double")
+            c = argv(0).cast("string").try_cast("double")
+            return _dbl_domain_v(c, lambda x: F.floor(x + 0.5).cast("double"))
         if name in ("md5", "sha1", "sha256", "sha384", "sha512"):
             v = argv(0).cast("string").cast("binary")
             if name == "md5":

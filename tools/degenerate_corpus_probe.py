@@ -144,16 +144,11 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
     # t06's bigram transform now rides grams_expr, whose size>=2
     # short-circuit fixes the 1-word-doc sequence(1,0) ANSI crash.
     #
-    # DISCOVERED late r11 by the new NaN/Inf corrupt-encoder rows: s07's
-    # int8 quantizer guards scale == 0 but not scale = NaN/Inf (a NaN
-    # component makes max_abs NaN; an Inf component makes finite/inf ->
-    # 0.0 and inf/inf -> NaN), so the int cast of a NaN quantized value
-    # aborts — on BOTH engines (Spark ANSI CAST_INVALID_INPUT, DuckDB
-    # conversion error), a crash class, not a divergence.  Fix when s07
-    # rides the r12 window (a non-finite scale should quantize to the
-    # zero vector like scale == 0, with isfinite mirrored in the
-    # oracle); r11's window is full.
-    "s07_int8_quantization": "NaN/Inf embedding: non-finite scale aborts the int cast (r12 fix)",
+    # FIXED r12 (was: s07's int8 quantizer guarded scale == 0 but not
+    # scale = NaN/Inf, so the int cast of a NaN quantized value aborted
+    # on BOTH engines): a non-finite scale now quantizes to the zero
+    # vector exactly like the zero-norm case — finite_spark(s).isNull()
+    # routes to the zero branch, NOT isfinite(s) mirrored in the oracle.
 }
 
 # Measured 2026-08-15 (r10); r11 burned the list down.  FIXED in r11:
@@ -175,23 +170,85 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
 # below are out of r11's full window and ride r12 (q35/q41 are
 # r12-mandatory; q20 takes a touched slot).  Fix = the same guard:
 # Spark F.nanvl + != inf, oracle CASE WHEN isfinite(value).
-EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {
-    "q20_tumbling_window_hourly": "non-finite value aborts the oracle's decimal cast (r12 fix)",
-    "q35_salted_skew_agg": "non-finite value aborts the oracle's decimal cast (r12 fix)",
-    "q41_pivot_wide_metrics": "non-finite value aborts the oracle's decimal cast (r12 fix)",
-    # ENGINE bug (r04's oracle already carries the correct isfinite
-    # mirror): the SPARQL FLOOR builtin maps to Spark's floor(), which
-    # returns LONG and CLAMPS +/-Inf to Long.Max/MinValue
-    # (translate.py:1116), so xsd:integer(FLOOR(ABS(?v - 100))) on an
-    # Inf ?v yields 9223372036854775807 where XPath says fn:floor stays
-    # in the DOUBLE domain (floor(INF) = INF) and xsd:integer(INF) is a
-    # type error -> unbound (SUM skips).  Fix in r12: non-finite
-    # passthrough on the abs/ceil/floor/round numeric builtins (their
-    # try_cast integer path then NULLs non-finite naturally) — touches
-    # every SparqlEngine gate, so it needs the r12 window's free slots,
-    # not r11's full one.
-    "r04_sparql_engine_group_by": "engine FLOOR clamps Inf to Long.Max via Spark floor() (r12 fix)",
+# FIXED r12, dict now empty: q20/q35/q41 got the shared finite_spark/
+# finite_sql guard their siblings landed in r11, and the SPARQL FLOOR/
+# CEIL/ROUND builtins (translate.py) now pass any |x| >= 2^53 double —
+# which routes NaN/±Inf, ordered above every real — through unchanged
+# instead of riding Spark's long-returning floor()/ceil() clamp, so
+# xsd:integer(FLOOR(INF)) is a type error -> unbound (XPath fn:floor
+# stays in the DOUBLE domain), matching r04's oracle isfinite mirror.
+EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {}
+
+
+# r12's new corpus for VERDICT r11 item 1: the TPC-H DOUBLE columns
+# (l_quantity/l_extendedprice/l_discount/l_tax) carry the same
+# non-finite hazard the events.value fixes closed — real sf0.001
+# fixtures with six hazard rows APPENDED to lineitem (existing order
+# keys, fresh l_linenumber 90+ so no PK collision; join gates see
+# them).  The r12 window finite-guards the _dsumf callers (q02/q03/q04/
+# q18); the remaining _dsum callers below migrate with their r13
+# re-check — each entry is one unguarded decimal-sum/cast site, the
+# exact list r13 must burn down (measured 2026-08-15: DuckDB
+# "Could not cast value inf/nan to DECIMAL(28,6)" oracle aborts;
+# Spark silently NULLs the same rows).  All six are r13-window
+# anyway: q01/q15/q19/q25/q36 are r10-cohort (r13-mandatory), q31
+# rides as a touched slot when its oracle gains the guard.
+EXPECTED_FAIL_LINEITEM_EDGE: dict[str, str] = {
+    "q01_pricing_summary": "unguarded _dsum x4: non-finite aborts the oracle decimal cast (r13 fix)",
+    "q15_rollup_revenue": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
+    "q19_disjunctive_predicate_join": "unguarded _dsum x2: non-finite aborts the oracle decimal cast (r13 fix)",
+    "q25_cube_aggregation": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
+    "q31_grouping_sets": "unguarded decimal sum: non-finite aborts the oracle decimal cast (r13 fix)",
+    "q36_per_group_outlier_filter": "unguarded decimal cast in join predicate + sum (r13 fix)",
 }
+
+
+def _lineitem_edge_table():
+    """sf0.001 lineitem + 6 appended rows with NaN/±Inf in the double
+    columns.  Order keys are copied from real rows so the hazard flows
+    through every join gate; l_linenumber 90+ keeps the PK unique."""
+    nan, inf = float("nan"), float("inf")
+    tbl = pq.read_table(os.path.join(FIXTURES, "lineitem.parquet"))
+    df = tbl.to_pandas()
+    hazards = [
+        # (l_quantity, l_extendedprice, l_discount, l_tax)
+        (nan, 100.0, 0.05, 0.02),
+        (5.0, inf, 0.05, 0.02),
+        (5.0, 100.0, -inf, 0.02),
+        (5.0, 100.0, 0.05, nan),
+        (inf, nan, 0.05, 0.02),
+        (nan, inf, -inf, nan),
+    ]
+    extra = df.head(len(hazards)).copy()
+    extra["l_linenumber"] = [90 + i for i in range(len(hazards))]
+    for i, (q, p, d, t) in enumerate(hazards):
+        for col, v in zip(("l_quantity", "l_extendedprice", "l_discount", "l_tax"), (q, p, d, t)):
+            extra.iloc[i, extra.columns.get_loc(col)] = v
+    import pandas as pd
+
+    out = pd.concat([df, extra], ignore_index=True)
+    return pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False)
+
+
+# the 15 relational gates that read lineitem — the lineitem-edge
+# corpus's default sweep (everything else never sees the table)
+LINEITEM_GATES = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_count",
+    "q15_rollup_revenue",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+    "q25_cube_aggregation",
+    "q28_set_operations",
+    "q31_grouping_sets",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q36_per_group_outlier_filter",
+    "q38_approx_percentile",
+]
 
 
 def _edge_events():
@@ -231,12 +288,10 @@ def _edge_events():
         # DECIMAL cast silently yields NULL where DuckDB's ERRORS, and
         # NaN > t is TRUE on both engines — every value -> decimal gate
         # needs the shared finite_spark/finite_sql guard.  SCOPE NOTE:
-        # the same hazard covers the TPC-H DOUBLE columns (l_quantity /
-        # l_extendedprice / l_discount / l_tax / o_totalprice feed the
-        # shared _dsum decimal-sum helper in ~20 relational gates) — a
-        # lineitem-edge corpus + the finite guard inside _dsum and its
-        # oracle mirrors land with r12's window (most _dsum callers are
-        # r12-mandatory), stragglers r13
+        # the same hazard covers the TPC-H DOUBLE columns — the
+        # lineitem-edge corpus below probes them; r12 guarded the
+        # mandatory-cohort callers via _dsumf, the remaining _dsum
+        # callers migrate in r13 (EXPECTED_FAIL_LINEITEM_EDGE pins them)
         (18, 14, 9, "purchase", float("nan"), "{}"),
         (19, 15, 9, "view", float("inf"), "{}"),
         (20, 16, 9, "click", float("-inf"), "{}"),
@@ -274,6 +329,16 @@ def build_corpus(kind: str, tmp: str) -> None:
             ),
             os.path.join(tmp, "events.parquet"),
         )
+        return
+    if kind == "lineitem-edge":
+        for t in TABLES:
+            if t == "lineitem":
+                continue
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        pq.write_table(_lineitem_edge_table(), os.path.join(tmp, "lineitem.parquet"))
         return
     # edge: real relational fixtures, adversarial documents + embeddings
     for t in TABLES:
@@ -342,7 +407,9 @@ def default_gates() -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--corpus", choices=["empty", "edge", "events-edge"], default="empty"
+        "--corpus",
+        choices=["empty", "edge", "events-edge", "lineitem-edge"],
+        default="empty",
     )
     ap.add_argument("gates", nargs="*")
     args = ap.parse_args()
@@ -350,8 +417,14 @@ def main() -> int:
         "empty": EXPECTED_FAIL_EMPTY,
         "edge": EXPECTED_FAIL_EDGE,
         "events-edge": EXPECTED_FAIL_EVENTS_EDGE,
+        "lineitem-edge": EXPECTED_FAIL_LINEITEM_EDGE,
     }[args.corpus]
-    gates = args.gates or default_gates()
+    if args.gates:
+        gates = args.gates
+    elif args.corpus == "lineitem-edge":
+        gates = LINEITEM_GATES
+    else:
+        gates = default_gates()
 
     tmp = tempfile.mkdtemp(prefix=f"degenerate_{args.corpus}_")
     try:
