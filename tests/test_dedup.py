@@ -507,3 +507,52 @@ class TestShortDocRobustness:
         # d05 must still flag the long-doc contamination on this corpus
         d05 = QUERIES["d05_decontamination"](spark, sf).collect()
         assert [r.doc_id for r in d05] == [4], d05
+
+
+class TestDsumFiniteGuard:
+    """r12: the finite-guarded exact-sum helper (relational._dsumf) must
+    agree with the DuckDB oracle form on a column containing NaN/±Inf —
+    non-finite rows fall out of the sum as NULL on BOTH engines instead
+    of silently NULLing on one and aborting the other (the pre-r12
+    asymmetry the lineitem-edge probe corpus pins for the remaining
+    unguarded _dsum callers)."""
+
+    def test_dsumf_parity_with_oracle_form(self, spark):
+        from jena_fuseki_kafka_spark.queries.relational import _dsumf
+
+        vals = [1.5, 2.25, float("nan"), float("inf"), float("-inf"), -0.75, None]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got_spark = df.agg(_dsumf(F.col("v"), "s")).collect()[0]["s"]
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        got_duck = con.execute(
+            "SELECT CAST(SUM(CAST(CASE WHEN isfinite(v) THEN v END"
+            " AS DECIMAL(28,6))) AS DOUBLE) FROM t"
+        ).fetchone()[0]
+
+        assert got_spark == got_duck == 3.0
+
+    def test_quantizer_nonfinite_scale_is_zero_vector(self, spark):
+        """s07's quantizer routes a non-finite scale (any NaN/Inf
+        component) to the zero vector, like zero-norm — the int cast
+        aborted on BOTH engines before r12."""
+        from jena_fuseki_kafka_spark.queries.similarity import s07
+
+        rows = [
+            (1, [3.0, -6.0, 0.0, 1.5]),            # clean: max_abs 6 -> 127
+            (2, [float("nan"), 1.0, 1.0, 1.0]),    # NaN component
+            (3, [float("inf"), 1.0, 1.0, 1.0]),    # Inf component
+            (4, [0.0, 0.0, 0.0, 0.0]),             # zero norm
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            out = {r["vec_id"]: r for r in s07(spark, tmp).collect()}
+        assert out[1]["max_abs_q"] == 127
+        for vid in (2, 3, 4):
+            assert out[vid]["sum_q"] == 0 and out[vid]["l1_q"] == 0, vid

@@ -1742,3 +1742,75 @@ class TestConnectedComponentsGuard:
         )
         out = connected_components(pairs, max_rounds=50).collect()
         assert {r["comp"] for r in out} == {0} and len(out) == 6
+
+
+class TestNonFiniteNumericBuiltins:
+    """r12 engine fix: XPath fn:floor/ceil/round stay in the DOUBLE
+    domain (floor(INF) = INF, floor(NaN) = NaN), but Spark's floor()/
+    ceil() return LONG and clamp non-finite to Long.Max/MinValue (and
+    floor(NaN) to 0).  Both builtin sites in translate.py — the
+    term-construction branch (bare SELECT projection) and the plain
+    value path (inside xsd:integer() &c.) — pass any |x| >= 2^53
+    through unchanged, so a later xsd:integer() try_cast NULLs
+    non-finite naturally: type error -> unbound, never a clamped
+    9223372036854775807.  Reference behavior: Jena ARQ delegates to
+    XPath F&O (jena XSDFuncOp), which keeps INF/NaN in the double
+    value space."""
+
+    @pytest.fixture(scope="class")
+    def nfeng(self, spark):
+        from jena_fuseki_kafka_spark.model import QUAD_SCHEMA
+
+        return SparqlEngine(
+            spark.createDataFrame([], QUAD_SCHEMA)
+        )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+
+    def _one(self, eng, expr):
+        return eng.query(f"SELECT ({expr} AS ?r) WHERE {{ }}").collect()[0]["r"]
+
+    @pytest.mark.parametrize("fn", ["FLOOR", "CEIL", "ROUND"])
+    def test_inf_passes_through_term_path(self, nfeng, fn):
+        import math
+
+        r = self._one(nfeng, f'{fn}("INF"^^<{self.XSD}double>)')
+        assert r is not None and r["datatype"] == self.XSD + "double"
+        assert math.isinf(float(r["value"])) and float(r["value"]) > 0
+
+    @pytest.mark.parametrize("fn", ["FLOOR", "CEIL", "ROUND"])
+    def test_nan_passes_through_term_path(self, nfeng, fn):
+        import math
+
+        r = self._one(nfeng, f'{fn}("NaN"^^<{self.XSD}double>)')
+        assert r is not None and math.isnan(float(r["value"]))
+
+    def test_neg_inf_floor(self, nfeng):
+        import math
+
+        r = self._one(nfeng, f'FLOOR("-INF"^^<{self.XSD}double>)')
+        assert math.isinf(float(r["value"])) and float(r["value"]) < 0
+
+    @pytest.mark.parametrize("fn", ["FLOOR", "CEIL", "ROUND"])
+    def test_integer_of_nonfinite_is_unbound(self, nfeng, fn):
+        # the value path (inside the xsd:integer constructor), where the
+        # pre-r12 clamp produced 9223372036854775807
+        XSD = self.XSD
+        q = (
+            f"PREFIX xsd: <{XSD}> "
+            f'SELECT (xsd:integer({fn}("INF"^^<{XSD}double>)) AS ?r) WHERE {{ }}'
+        )
+        r = nfeng.query(q).collect()[0]["r"]
+        assert r is None
+
+    def test_big_finite_double_is_identity(self, nfeng):
+        # |x| >= 2^53 doubles are already integral: passthrough, no clamp
+        r = self._one(nfeng, f'FLOOR("1e300"^^<{self.XSD}double>)')
+        assert float(r["value"]) == 1e300
+
+    def test_small_finite_still_floors(self, nfeng):
+        r = self._one(nfeng, f'FLOOR("2.75"^^<{self.XSD}double>)')
+        assert float(r["value"]) == 2.0
+        r2 = self._one(nfeng, f'ROUND("-2.5"^^<{self.XSD}double>)')
+        # fn:round ties go toward +INF: round(-2.5) = -2
+        assert float(r2["value"]) == -2.0
