@@ -35,55 +35,83 @@ def asof_join(
     key: str,
     ts: str = "ts",
     strict: bool = True,
+    nonstrict_suffix: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``ts``
     <= (or < when ``strict``) the left row's ``ts``, per ``key``.
 
     Right columns other than (key, ts) are carried through with a
-    ``last(..., ignorenulls=True)`` running window over the union of both
-    sides, ordered by (ts, side) — right rows sort before left rows at
-    equal ts only when not strict.  One shuffle on ``key``; no pairwise
-    candidate set is ever built, so the operator is safe on skewed keys
-    where a range join would quadratically explode.
+    ``last(..., ignorenulls=True)`` over a RANGE window on the epoch-
+    microsecond ``ts`` of the union of both sides: frame end ``-1``
+    sees strictly-earlier rows (the strict arm), frame end ``0`` also
+    sees equal-``ts`` rows (the tie-inclusive arm).  With
+    ``nonstrict_suffix`` set (only with ``strict=True``) BOTH arms are
+    computed in the same Window operator — two frames, ONE shuffle —
+    and the non-strict match columns land as ``f"{col}{suffix}"``.
+
+    One shuffle on ``key``; no pairwise candidate set is ever built, so
+    the operator is safe on skewed keys where a range join would
+    quadratically explode.  Determinism precondition (same as any ASOF
+    engine, incl. DuckDB's): at most one right row per (key, ts) — the
+    caller dedupes.  NULL-``ts`` right rows are dropped before the
+    union (an ASOF comparison against NULL is NULL on every engine);
+    NULL-``ts`` left rows come out with NULL match columns.
     """
+    if nonstrict_suffix is not None and not strict:
+        raise ValueError("nonstrict_suffix requires strict=True")
     l_cols = [c for c in left.columns if c not in (key, ts)]
     r_cols = [c for c in right.columns if c not in (key, ts)]
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
 
-    # side: at equal ts a right row must lose to the left row when strict
-    # (sorted after => not visible to the running last()), win otherwise
     l_tag = left.select(
-        F.col(key), F.col(ts), F.lit(0 if strict else 1).alias("__side"),
+        F.col(key), F.col(ts), F.lit(True).alias("__is_left"),
         *[F.col(c) for c in l_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_cols],
         F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
     )
-    r_tag = right.select(
-        F.col(key), F.col(ts), F.lit(1 if strict else 0).alias("__side"),
+    # a NULL-ts right row can never legitimately match (every ASOF
+    # comparison against NULL is NULL — DuckDB's native ASOF agrees), and
+    # under a range frame Spark groups NULL ordering values together, so
+    # an unfiltered NULL-ts right row WOULD match a NULL-ts left row.
+    # Drop them before the union; NULL-ts left rows still come out with
+    # NULL match columns (left-join semantics).
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
+        F.col(key), F.col(ts), F.lit(False).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
         *[F.col(c) for c in r_cols],
         F.col(ts).alias("__r_ts"),
     )
     u = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        key,
-        ts,
-        "__side",
-        *l_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
-    )
-    is_left = F.col("__side") == (0 if strict else 1)
-    return carried.filter(is_left).select(
-        key, ts, *l_cols, *r_cols, F.col("__r_ts").alias(f"{ts}_right")
-    )
+    # ts may arrive as TIMESTAMP_NTZ (Spark 4 parquet inference): route
+    # through TIMESTAMP before unix_micros, like q30's bucket key
+    tsu = F.unix_micros(F.col(ts).cast("timestamp"))
+    frames = [("", -1 if strict else 0)]
+    if nonstrict_suffix is not None:
+        frames.append((nonstrict_suffix, 0))
+    match_cols = []
+    for suffix, end in frames:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(tsu)
+            .rangeBetween(Window.unboundedPreceding, end)
+        )
+        match_cols += [
+            F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in r_cols
+        ]
+        match_cols.append(
+            F.last("__r_ts", ignorenulls=True).over(w).alias(f"__r_ts{suffix}")
+        )
+    carried = u.select(key, ts, "__is_left", *l_cols, *match_cols)
+    out_cols = [key, ts, *l_cols]
+    for suffix, _ in frames:
+        out_cols += [f"{c}{suffix}" for c in r_cols]
+        out_cols.append(
+            F.col(f"__r_ts{suffix}").alias(f"{ts}_right{suffix}")
+        )
+    return carried.filter(F.col("__is_left")).select(*out_cols)
 
 
 @query(
@@ -96,9 +124,12 @@ def asof_join(
     p AS (
       SELECT user_id, ts, event_id AS p_id FROM events WHERE event_type = 'purchase'
     )
-    SELECT p.user_id, p.p_id, p.ts AS p_ts, c.c_id, c.ts AS c_ts
-    FROM p ASOF LEFT JOIN clicks c
-      ON p.user_id = c.user_id AND p.ts > c.ts
+    SELECT p.user_id, p.p_id, p.ts AS p_ts, c.c_id, c.ts AS c_ts,
+           c2.c_id AS cn_id, c2.ts AS cn_ts,
+           CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.ts)) AS BIGINT) AS staleness_s
+    FROM p
+    ASOF LEFT JOIN clicks c  ON p.user_id = c.user_id  AND p.ts > c.ts
+    ASOF LEFT JOIN clicks c2 ON p.user_id = c2.user_id AND p.ts >= c2.ts
     ORDER BY p_id
     """,
 )
@@ -106,8 +137,16 @@ def q29(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent strictly
     prior click (the feature-pipeline staple: point-in-time-correct
     attribute lookup).  Right side deduped to one row per (user, ts) with
-    MAX(event_id) so ties are deterministic on any partitioning; the oracle
-    is DuckDB's native ASOF LEFT JOIN."""
+    MAX(event_id) so ties are deterministic on any partitioning.
+
+    Facets (widened r12): BOTH asof arms ride the gate — the strict arm
+    (p.ts > c.ts) and the tie-inclusive arm (p.ts >= c.ts, where a click
+    at the exact purchase timestamp counts) — verified against TWO
+    chained native DuckDB ASOF LEFT JOINs, plus the match staleness in
+    whole seconds (the feature-freshness metric a point-in-time pipeline
+    monitors).  Both arms come out of ONE window operator with two range
+    frames — one shuffle total, the scale property the plan-shape test
+    pins (no join node, <=3 exchanges)."""
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("p_id")
@@ -117,13 +156,19 @@ def q29(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("c_id"))
     )
-    out = asof_join(purchases, clicks, key="user_id", ts="ts", strict=True)
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", strict=True, nonstrict_suffix="_n"
+    )
+    p_ts, c_ts = F.col("ts").cast("timestamp"), F.col("ts_right").cast("timestamp")
     return out.select(
         "user_id",
         "p_id",
         F.col("ts").alias("p_ts"),
         "c_id",
         F.col("ts_right").alias("c_ts"),
+        F.col("c_id_n").alias("cn_id"),
+        F.col("ts_right_n").alias("cn_ts"),
+        (p_ts.cast("long") - c_ts.cast("long")).alias("staleness_s"),
     ).orderBy("p_id")
 
 
