@@ -228,11 +228,20 @@ def q23(spark, sf_dir):
       SELECT DISTINCT e.user_id, c.cohort_day,
              date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
       FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    ),
+    cs AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+    ),
+    g AS (
+      SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      FROM activity GROUP BY cohort_day, day_offset
     )
-    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
-           CAST(day_offset AS BIGINT) AS day_offset,
-           COUNT(*) AS n_users
-    FROM activity GROUP BY cohort_day, day_offset
+    SELECT CAST(g.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(g.day_offset AS BIGINT) AS day_offset,
+           g.n_users,
+           cs.cohort_size,
+           CAST(g.n_users * 10000 // cs.cohort_size AS BIGINT) AS retention_bp
+    FROM g JOIN cs ON g.cohort_day IS NOT DISTINCT FROM cs.cohort_day
     ORDER BY cohort_day, day_offset
     """,
 )
@@ -243,10 +252,22 @@ def q26(spark, sf_dir):
     retention-triangle shape.  The cohort side scales with the user count,
     so it carries no broadcast hint: AQE broadcasts it at small SF and
     shuffles on user_id at 100 TB, where both sides hash-partition on the
-    same key so the join and the preceding groupBy share one exchange."""
+    same key so the join and the preceding groupBy share one exchange.
+
+    Facets (widened r12): the per-cohort size and the retention RATE in
+    integer basis points (n_users * 10000 div cohort_size — the
+    float-free integer-ratio idiom every rate gate uses, so no rounding
+    boundary exists between the engines).  The triangle row for
+    day_offset = 0 retains by construction at 10000 bp — a facet a
+    mis-joined cohort map fails immediately.  The size join is null-safe
+    on both engines so a hypothetical all-NULL-ts cohort stays in the
+    result rather than silently dropping on one engine."""
     ev = load(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    cohort_sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    ).withColumnRenamed("cohort_day", "cs_day")
     activity = (
         ev.join(cohorts, "user_id")
         .select(
@@ -256,13 +277,19 @@ def q26(spark, sf_dir):
         )
         .distinct()
     )
+    grouped = activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
     return (
-        activity.groupBy("cohort_day", "day_offset")
-        .agg(F.count("*").alias("n_users"))
+        grouped.join(
+            cohort_sizes, grouped.cohort_day.eqNullSafe(cohort_sizes.cs_day)
+        )
         .select(
             F.col("cohort_day").cast("string").alias("cohort_day"),
             F.col("day_offset").cast("long").alias("day_offset"),
             "n_users",
+            "cohort_size",
+            F.expr("n_users * 10000 div cohort_size").alias("retention_bp"),
         )
         .orderBy("cohort_day", "day_offset")
     )

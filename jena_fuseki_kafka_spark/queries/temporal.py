@@ -175,7 +175,10 @@ def q29(spark, sf_dir):
 @query(
     "q30_interval_join",
     oracle=f"""
-    SELECT e.event_id AS e_id, COUNT(v.event_id) AS n
+    SELECT e.event_id AS e_id, COUNT(v.event_id) AS n,
+           COUNT(DISTINCT v.event_type) AS n_types,
+           CAST(SUM(CAST(CASE WHEN isfinite(v.value) THEN v.value END
+                    AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
     FROM events e LEFT JOIN events v
       ON v.user_id = e.user_id
      AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL {WINDOW_SECONDS} SECOND
@@ -190,7 +193,16 @@ def q30(spark, sf_dir):
     equi-join on (user_id, time_bucket) — a W-second window spans at most
     2 W-wide buckets, so each error row fans out to exactly 2 join keys
     and Catalyst runs a plain shuffled hash join (a raw ts-range condition
-    would pick BroadcastNestedLoopJoin and die at scale)."""
+    would pick BroadcastNestedLoopJoin and die at scale).
+
+    Facets (widened r12): beyond the in-window event count, the distinct
+    event-type census and the finite-guarded value mass of the window —
+    what an incident-triage pipeline actually reads off the blast radius
+    of each error.  The sum rides the shared finite_spark/finite_sql
+    guard (a NaN/Inf metric inside someone's 5-minute window must not
+    abort the whole report)."""
+    from . import finite_spark
+
     ev = load(spark, sf_dir, "events")
     W = WINDOW_SECONDS
     # ts may arrive as TIMESTAMP_NTZ (Spark 4 parquet inference), which
@@ -209,6 +221,8 @@ def q30(spark, sf_dir):
         F.col("user_id"),
         F.col("event_id").alias("v_id"),
         F.col("ts").alias("v_ts"),
+        F.col("event_type").alias("v_type"),
+        finite_spark(F.col("value")).cast("decimal(28,6)").alias("v_val"),
         bucket.alias("b"),
     )
     pairs = errors.join(others, ["user_id", "b"]).filter(
@@ -216,12 +230,21 @@ def q30(spark, sf_dir):
         & (F.col("v_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {W} SECONDS"))
         & (F.col("v_id") != F.col("e_id"))
     )
-    counts = pairs.groupBy("e_id").agg(F.count("*").alias("n"))
+    counts = pairs.groupBy("e_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("v_type").alias("n_types"),
+        F.sum("v_val").cast("double").alias("sum_value"),
+    )
     all_errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("e_id")
     )
     return (
         all_errors.join(counts, "e_id", "left")
-        .select("e_id", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .select(
+            "e_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("n_types"), F.lit(0)).alias("n_types"),
+            F.col("sum_value"),
+        )
         .orderBy("e_id")
     )

@@ -52,19 +52,33 @@ def _count_word_spark(word: str):
              {_count_word_sql('der')} + {_count_word_sql('die')} + {_count_word_sql('und')} AS score_de
       FROM documents
     )
-    SELECT doc_id,
-           CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
-                WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
-                WHEN score_fr >= score_de THEN 'fr'
-                ELSE 'de' END AS predicted_lang,
-           score_en, score_es, score_fr, score_de
-    FROM scored ORDER BY doc_id
+    , ranked AS (
+      SELECT *,
+             CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                  WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                  WHEN score_fr >= score_de THEN 'fr'
+                  ELSE 'de' END AS predicted_lang,
+             list_sort([score_en, score_es, score_fr, score_de], 'DESC') AS s
+      FROM scored
+    )
+    SELECT doc_id, predicted_lang,
+           score_en, score_es, score_fr, score_de,
+           CAST(s[1] - s[2] AS BIGINT) AS margin,
+           CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS agrees_label
+    FROM ranked ORDER BY doc_id
     """,
 )
 def t01(spark, sf_dir):
     """Language ID: stopword-marker scoring with deterministic argmax
     tie-breaking (en > es > fr > de).  Real deployments swap the marker
-    lists for char-n-gram models; the Spark plumbing is identical."""
+    lists for char-n-gram models; the Spark plumbing is identical.
+
+    Facets (widened r12): the argmax MARGIN (best minus second-best via
+    a sorted score array — exact under ties, where a subtract-the-
+    runner-up formulation is ambiguous) and agreement with the corpus
+    ``lang`` label — the confidence and accuracy columns a routing
+    pipeline thresholds on.  All integer arithmetic; still one per-row
+    projection, no shuffle beyond the output sort."""
     d = load(spark, sf_dir, "documents")
     scores = {
         "score_en": _count_word_spark("the") + _count_word_spark("a") + _count_word_spark("of"),
@@ -72,7 +86,7 @@ def t01(spark, sf_dir):
         "score_fr": _count_word_spark("le") + _count_word_spark("la") + _count_word_spark("et"),
         "score_de": _count_word_spark("der") + _count_word_spark("die") + _count_word_spark("und"),
     }
-    d = d.select("doc_id", *[v.alias(k) for k, v in scores.items()])
+    d = d.select("doc_id", "lang", *[v.alias(k) for k, v in scores.items()])
     predicted = (
         F.when(
             (F.col("score_en") >= F.col("score_es"))
@@ -84,8 +98,18 @@ def t01(spark, sf_dir):
         .when(F.col("score_fr") >= F.col("score_de"), "fr")
         .otherwise("de")
     )
+    s = F.sort_array(
+        F.array("score_en", "score_es", "score_fr", "score_de"), asc=False
+    )
     return d.select(
-        "doc_id", predicted.alias("predicted_lang"), "score_en", "score_es", "score_fr", "score_de"
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        "score_en",
+        "score_es",
+        "score_fr",
+        "score_de",
+        (s[0] - s[1]).cast("long").alias("margin"),
+        F.when(predicted == F.col("lang"), 1).otherwise(0).alias("agrees_label"),
     ).orderBy("doc_id")
 
 
