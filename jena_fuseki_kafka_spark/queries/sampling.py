@@ -54,14 +54,24 @@ def _rate_spark():
     SELECT lang,
            COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(MIN({_rate_case_sql()}) AS BIGINT) AS target_permille,
+           CAST(SUM(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < {_rate_case_sql()}
+                    THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS kept_bp
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
 def p01(spark, sf_dir):
     """Stratified sampling: keep a doc iff hash(doc_id) mod 1000 falls
     under its language's per-mille rate.  Pure map-side decision — the
-    only shuffle is the per-class count aggregation reporting it."""
+    only shuffle is the per-class count aggregation reporting it.
+
+    Facets (widened r12): each stratum's configured target rate and its
+    REALIZED keep rate in integer basis points (kept * 10000 div total,
+    the float-free ratio idiom) — the deviation report a sampling
+    pipeline monitors to catch a skewed hash or a mis-keyed rate table.
+    ``lang`` is constant per group, so MIN(rate) is exactly the group's
+    configured rate on both engines."""
     d = load(spark, sf_dir, "documents")
     kept = _bucket_spark(F.col("doc_id").cast("string")) < _rate_spark()
     return (
@@ -69,7 +79,9 @@ def p01(spark, sf_dir):
         .agg(
             F.count("*").alias("n_total"),
             F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.min(_rate_spark()).cast("long").alias("target_permille"),
         )
+        .withColumn("kept_bp", F.expr("n_kept * 10000 div n_total"))
         .orderBy("lang")
     )
 
@@ -153,17 +165,22 @@ _W_SQL = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
       FROM counts
     ),
     rates AS (
-      SELECT source, n_docs,
+      SELECT source, n_docs, w, sum_w,
              CAST(LEAST(1000, (total * {_MIX_BUDGET_PERMILLE} * w) // (sum_w * n_docs))
                   AS BIGINT) AS rate_permille
       FROM counts, tot
     )
-    SELECT r.source, r.n_docs, r.rate_permille,
-           CAST(SUM(CASE WHEN {_bucket_sql("CAST(d.doc_id AS VARCHAR)")} < r.rate_permille
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-    FROM documents d JOIN rates r ON d.source = r.source
-    GROUP BY r.source, r.n_docs, r.rate_permille
-    ORDER BY r.source
+    , kept AS (
+      SELECT r.source, r.n_docs, r.rate_permille, MIN(r.w) AS w, MIN(r.sum_w) AS sum_w,
+             CAST(SUM(CASE WHEN {_bucket_sql("CAST(d.doc_id AS VARCHAR)")} < r.rate_permille
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      GROUP BY r.source, r.n_docs, r.rate_permille
+    )
+    SELECT source, n_docs, rate_permille, n_kept,
+           CAST(w * 10000 // sum_w AS BIGINT) AS target_share_bp,
+           CAST(n_kept * 10000 // NULLIF(SUM(n_kept) OVER (), 0) AS BIGINT) AS kept_share_bp
+    FROM kept ORDER BY source
     """,
 )
 def p03(spark, sf_dir):
@@ -186,6 +203,8 @@ def p03(spark, sf_dir):
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
+        "w",
+        "sum_w",
         F.least(
             F.lit(1000),
             F.expr(f"(total * {_MIX_BUDGET_PERMILLE} * w) div (sum_w * n_docs)"),
@@ -194,14 +213,32 @@ def p03(spark, sf_dir):
     kept = F.when(
         _bucket_spark(F.col("doc_id").cast("string")) < F.col("rate_permille"), 1
     ).otherwise(0)
-    return (
+    grouped = (
         d.join(F.broadcast(rates), "source")
         .groupBy("source")
         .agg(
             F.first("n_docs").alias("n_docs"),
             F.first("rate_permille").alias("rate_permille"),
             F.sum(kept).cast("long").alias("n_kept"),
+            F.min("w").alias("w"),
+            F.min("sum_w").alias("sum_w"),
         )
+    )
+    total_kept = F.sum("n_kept").over(Window.partitionBy())
+    return (
+        grouped.select(
+            "source",
+            "n_docs",
+            "rate_permille",
+            "n_kept",
+            F.expr("w * 10000 div sum_w").cast("long").alias("target_share_bp"),
+            F.expr("n_kept * 10000").cast("long").alias("__num"),
+            total_kept.alias("__tot"),
+        )
+        .withColumn(
+            "kept_share_bp", F.expr("__num div nullif(__tot, 0)").cast("long")
+        )
+        .drop("__num", "__tot")
         .orderBy("source")
     )
 
