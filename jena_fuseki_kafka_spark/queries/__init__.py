@@ -202,9 +202,12 @@ _CHECK_PRIORITY = [
     # same Translator through UpdateEngine WHERE patterns), plus q20
     # (finite guard), s07 (quantizer non-finite scale), d05
     # (lower_markstrip reroute).  The _dsum finite guard rides a NEW
-    # _dsumf helper so the five straggler callers (q01/q10/q15/q19/q25/
-    # q36, all r13-mandatory) stay byte-untouched and migrate in r13,
-    # as VERDICT r11 item 1 planned; the persist->localCheckpoint
+    # _dsumf helper so the five remaining _dsum callers (q01 x4, q10
+    # over customer.c_acctbal, q15, q19 x2, q25 — all r13-mandatory)
+    # stay byte-untouched and migrate in r13, as VERDICT r11 item 1
+    # planned; q31/q36 carry separate INLINE unguarded decimal casts
+    # that ride the same r13 burn-down (q31 as a touched slot).  The
+    # persist->localCheckpoint
     # conversions (shared minhash helpers + p04) defer with them for
     # the same window-budget reason, as does ADVICE r11's cosine-Inf
     # guard (touches s01-s09, 8 extra slots this round).

@@ -23,7 +23,7 @@ from . import finite_spark, finite_sql, load, query
            CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
-    ORDER BY hour, event_type
+    ORDER BY hour NULLS LAST, event_type NULLS LAST
     LIMIT 100
     """,
 )
@@ -40,7 +40,13 @@ def q20(spark, sf_dir):
             .cast("double")
             .alias("total_value"),
         )
-        .orderBy("hour", "event_type")
+        # NULLS LAST pinned on both engines: Spark defaults ASC NULLS
+        # FIRST where DuckDB defaults NULLS LAST, so once a NULL-hour
+        # group (NULL event time) exists AND the group count exceeds
+        # the LIMIT, the engines would keep different row SETS
+        .orderBy(
+            F.col("hour").asc_nulls_last(), F.col("event_type").asc_nulls_last()
+        )
         .limit(100)
     )
 

@@ -40,9 +40,13 @@ def _dsum(col, alias):
 # cast silently yields NULL where DuckDB's ERRORS, so an unguarded sum
 # is a silent row drop on one engine and a job abort on the other.  The
 # oracle twin is CASE WHEN isfinite(expr) THEN expr END inside the CAST.
-# Kept as a SEPARATE helper so the remaining _dsum callers (q01/q10/q15/
-# q19/q25/q36 — all due a driver re-check in r13) stay byte-untouched
-# this round; r13 migrates them here and deletes _dsum.
+# Kept as a SEPARATE helper so the remaining _dsum callers (q01 x4,
+# q10 over customer.c_acctbal, q15, q19 x2, q25 — all due a driver
+# re-check in r13) stay byte-untouched this round; r13 migrates them
+# here, guards q31/q36's separate inline decimal casts, and deletes
+# _dsum.  The lineitem-edge probe corpus covers the lineitem callers;
+# q10's c_acctbal (customer) shares the helper, so the _dsum-level fix
+# closes it even though that corpus never probes it directly.
 def _dsumf(col, alias):
     return F.sum(finite_spark(col).cast("decimal(28,6)")).cast("double").alias(alias)
 

@@ -588,11 +588,15 @@ def s07(spark, sf_dir):
     # component makes it Inf, so finite/Inf -> 0.0 and Inf/Inf -> NaN)
     # would abort the int cast on BOTH engines — quantize such corrupt
     # vectors to the zero vector exactly like the zero-norm case, with
-    # NOT isfinite(s) mirrored in the oracle.  finite_spark(s) is NULL
-    # for NaN/±Inf and isNull() routes to the zero branch.
-    finite_s = finite_spark(F.col("s"))
+    # NOT isfinite(s) mirrored in the oracle.  The non-finite test must
+    # be s.isNotNull() & finite_spark(s).isNull() — NOT bare isNull() —
+    # because a NULL s (all-NULL-element embedding) takes the oracle's
+    # ELSE branch (NOT isfinite(NULL) is NULL), yielding NULL facets on
+    # both engines; routing NULL s to the zero branch would emit 0
+    # where DuckDB emits NULL.
+    nonfinite_s = F.col("s").isNotNull() & finite_spark(F.col("s")).isNull()
     qv = F.when(
-        (F.col("s") == 0.0) | finite_s.isNull(),
+        (F.col("s") == 0.0) | nonfinite_s,
         F.transform("embedding", lambda x: F.lit(0)),
     ).otherwise(
         F.transform(

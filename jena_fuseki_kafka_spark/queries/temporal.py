@@ -40,14 +40,18 @@ def asof_join(
     """For each left row, attach the right row with the greatest ``ts``
     <= (or < when ``strict``) the left row's ``ts``, per ``key``.
 
-    Right columns other than (key, ts) are carried through with a
+    The matched right row is carried through as ONE struct with a
     ``last(..., ignorenulls=True)`` over a RANGE window on the epoch-
     microsecond ``ts`` of the union of both sides: frame end ``-1``
     sees strictly-earlier rows (the strict arm), frame end ``0`` also
-    sees equal-``ts`` rows (the tie-inclusive arm).  With
-    ``nonstrict_suffix`` set (only with ``strict=True``) BOTH arms are
-    computed in the same Window operator — two frames, ONE shuffle —
-    and the non-strict match columns land as ``f"{col}{suffix}"``.
+    sees equal-``ts`` rows (the tie-inclusive arm).  Carrying the whole
+    row as a struct — NULL on left rows, non-NULL on every right row —
+    keeps the match ATOMIC: a right row whose payload column is NULL is
+    still "the match", exactly like a native ASOF join, instead of
+    per-column lasts stitching a chimera from different right rows.
+    With ``nonstrict_suffix`` set (only with ``strict=True``) BOTH arms
+    are computed in the same Window operator — two frames, ONE shuffle
+    — and the non-strict match columns land as ``f"{col}{suffix}"``.
 
     One shuffle on ``key``; no pairwise candidate set is ever built, so
     the operator is safe on skewed keys where a range join would
@@ -64,12 +68,25 @@ def asof_join(
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    if nonstrict_suffix is not None:
+        if not nonstrict_suffix:
+            raise ValueError("nonstrict_suffix must be non-empty")
+        suffixed = {f"{c}{nonstrict_suffix}" for c in r_cols}
+        suffixed.add(f"{ts}_right{nonstrict_suffix}")
+        clash = suffixed & set(left.columns) | suffixed & set(r_cols)
+        if clash:
+            raise ValueError(f"nonstrict_suffix collides with: {sorted(clash)}")
 
+    from pyspark.sql import types as T
+
+    match_type = T.StructType(
+        [T.StructField("__r_ts", right.schema[ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in r_cols]
+    )
     l_tag = left.select(
         F.col(key), F.col(ts), F.lit(True).alias("__is_left"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(match_type).alias("__match"),
     )
     # a NULL-ts right row can never legitimately match (every ASOF
     # comparison against NULL is NULL — DuckDB's native ASOF agrees), and
@@ -80,8 +97,9 @@ def asof_join(
     r_tag = right.filter(F.col(ts).isNotNull()).select(
         F.col(key), F.col(ts), F.lit(False).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c) for c in r_cols],
-        F.col(ts).alias("__r_ts"),
+        F.struct(
+            F.col(ts).alias("__r_ts"), *[F.col(c) for c in r_cols]
+        ).alias("__match"),
     )
     u = l_tag.unionByName(r_tag)
     # ts may arrive as TIMESTAMP_NTZ (Spark 4 parquet inference): route
@@ -97,20 +115,15 @@ def asof_join(
             .orderBy(tsu)
             .rangeBetween(Window.unboundedPreceding, end)
         )
-        match_cols += [
-            F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in r_cols
-        ]
         match_cols.append(
-            F.last("__r_ts", ignorenulls=True).over(w).alias(f"__r_ts{suffix}")
+            F.last("__match", ignorenulls=True).over(w).alias(f"__m{suffix}")
         )
     carried = u.select(key, ts, "__is_left", *l_cols, *match_cols)
     out_cols = [key, ts, *l_cols]
     for suffix, _ in frames:
-        out_cols += [f"{c}{suffix}" for c in r_cols]
-        out_cols.append(
-            F.col(f"__r_ts{suffix}").alias(f"{ts}_right{suffix}")
-        )
+        m = F.col(f"__m{suffix}")
+        out_cols += [m[c].alias(f"{c}{suffix}") for c in r_cols]
+        out_cols.append(m["__r_ts"].alias(f"{ts}_right{suffix}"))
     return carried.filter(F.col("__is_left")).select(*out_cols)
 
 

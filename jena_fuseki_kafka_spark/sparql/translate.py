@@ -1115,15 +1115,19 @@ class Translator:
             # floor(INF) = INF, floor(NaN) = NaN — but Spark's
             # floor()/ceil() return LONG and CLAMP non-finite (and any
             # |x| >= 2^63) to Long.Max/MinValue, and floor(NaN) is 0.
-            # Every double with |x| >= 2^53 is already integral, so pass
+            # Every double with |x| >= 2^52 is already integral, so pass
             # it through unchanged; the same predicate routes NaN/Inf
-            # (Spark orders NaN above every real, so NaN >= 2^53 is
-            # TRUE).  A later xsd:integer() over the result then
+            # (Spark orders NaN above every real, so NaN >= 2^52 is
+            # TRUE).  The bound must be 2^52, not 2^53: for an odd
+            # integer in [2^52, 2^53), c + 0.5 is unrepresentable and
+            # rounds ties-to-even UP, so floor(c + 0.5) would return
+            # c + 1 where fn:round of an integral value is c.  A later
+            # xsd:integer() over a passed-through non-finite then
             # try_casts "Infinity"/"NaN" to NULL — the spec's type
             # error -> unbound — instead of a clamped Long.MaxValue.
             def _dbl_domain(fn):
                 return lambda c: F.when(
-                    F.abs(c) >= F.lit(2.0**53), c
+                    F.abs(c) >= F.lit(2.0**52), c
                 ).otherwise(fn(c))
 
             fns = {
@@ -1557,13 +1561,15 @@ class Translator:
         # fn:floor/ceil/round stay in the DOUBLE domain (floor(INF) =
         # INF, floor(NaN) = NaN) but Spark's floor()/ceil() return LONG
         # and CLAMP non-finite to Long.Max/MinValue.  Any double with
-        # |x| >= 2^53 is already integral, so pass it (and NaN/Inf,
-        # which Spark orders above every real) through unchanged; a
-        # later xsd:integer() then try_casts Inf/NaN to NULL — type
-        # error -> unbound — instead of a clamped Long.MaxValue.  Same
-        # guard as the term-construction branch above.
+        # |x| >= 2^52 is already integral, so pass it (and NaN/Inf,
+        # which Spark orders above every real) through unchanged; the
+        # bound is 2^52, not 2^53, because floor(c + 0.5) is off by one
+        # for odd integers in [2^52, 2^53) (c + 0.5 rounds ties-to-even
+        # up).  A later xsd:integer() then try_casts Inf/NaN to NULL —
+        # type error -> unbound — instead of a clamped Long.MaxValue.
+        # Same guard as the term-construction branch above.
         def _dbl_domain_v(c, fn):
-            return F.when(F.abs(c) >= F.lit(2.0**53), c).otherwise(fn(c))
+            return F.when(F.abs(c) >= F.lit(2.0**52), c).otherwise(fn(c))
 
         if name == "abs":
             return F.abs(argv(0).cast("string").try_cast("double"))

@@ -186,13 +186,15 @@ EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {}
 # fixtures with six hazard rows APPENDED to lineitem (existing order
 # keys, fresh l_linenumber 90+ so no PK collision; join gates see
 # them).  The r12 window finite-guards the _dsumf callers (q02/q03/q04/
-# q18); the remaining _dsum callers below migrate with their r13
-# re-check — each entry is one unguarded decimal-sum/cast site, the
-# exact list r13 must burn down (measured 2026-08-15: DuckDB
-# "Could not cast value inf/nan to DECIMAL(28,6)" oracle aborts;
-# Spark silently NULLs the same rows).  All six are r13-window
-# anyway: q01/q15/q19/q25/q36 are r10-cohort (r13-mandatory), q31
-# rides as a touched slot when its oracle gains the guard.
+# q18); the gates below migrate with their r13 re-check — each entry
+# is one unguarded decimal-sum/cast site, the exact list r13 must burn
+# down (measured 2026-08-15: DuckDB "Could not cast value inf/nan to
+# DECIMAL(28,6)" oracle aborts; Spark silently NULLs the same rows).
+# q01/q15/q19/q25 ride _dsum; q31/q36 carry inline decimal casts; q10
+# rides _dsum over customer.c_acctbal, which this lineitem corpus
+# cannot reach — the _dsum-level r13 fix closes it anyway.  All six
+# entries are r13-window: q01/q15/q19/q25/q36 are r10-cohort
+# (r13-mandatory), q31 rides as a touched slot.
 EXPECTED_FAIL_LINEITEM_EDGE: dict[str, str] = {
     "q01_pricing_summary": "unguarded _dsum x4: non-finite aborts the oracle decimal cast (r13 fix)",
     "q15_rollup_revenue": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
@@ -200,16 +202,27 @@ EXPECTED_FAIL_LINEITEM_EDGE: dict[str, str] = {
     "q25_cube_aggregation": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
     "q31_grouping_sets": "unguarded decimal sum: non-finite aborts the oracle decimal cast (r13 fix)",
     "q36_per_group_outlier_filter": "unguarded decimal cast in join predicate + sum (r13 fix)",
+    # surfaced only once the corpus carried REAL NaN (the from_pandas
+    # NULL-conversion fix): the two engines place NaN differently inside
+    # their percentile sketches, so the p50/p90 values diverge (800.9 vs
+    # 744.9 at the tail).  Fix = finite-guard the percentile input on
+    # both engines when q38 rides its r13-mandatory slot.
+    "q38_approx_percentile": "NaN in the percentile input diverges the sketches (r13 finite guard)",
 }
 
 
 def _lineitem_edge_table():
     """sf0.001 lineitem + 6 appended rows with NaN/±Inf in the double
     columns.  Order keys are copied from real rows so the hazard flows
-    through every join gate; l_linenumber 90+ keeps the PK unique."""
+    through every join gate; l_linenumber 90+ keeps the PK unique.
+
+    Built COLUMN-WISE with pyarrow: a pandas round-trip
+    (``Table.from_pandas``) silently converts NaN cells to NULL, which
+    would leave the NaN hazard class (``NaN > t`` is TRUE on both
+    engines; finite_spark's nanvl branch) unprobed while the dict
+    comments claim it measured."""
     nan, inf = float("nan"), float("inf")
     tbl = pq.read_table(os.path.join(FIXTURES, "lineitem.parquet"))
-    df = tbl.to_pandas()
     hazards = [
         # (l_quantity, l_extendedprice, l_discount, l_tax)
         (nan, 100.0, 0.05, 0.02),
@@ -219,15 +232,27 @@ def _lineitem_edge_table():
         (inf, nan, 0.05, 0.02),
         (nan, inf, -inf, nan),
     ]
-    extra = df.head(len(hazards)).copy()
-    extra["l_linenumber"] = [90 + i for i in range(len(hazards))]
-    for i, (q, p, d, t) in enumerate(hazards):
-        for col, v in zip(("l_quantity", "l_extendedprice", "l_discount", "l_tax"), (q, p, d, t)):
-            extra.iloc[i, extra.columns.get_loc(col)] = v
-    import pandas as pd
-
-    out = pd.concat([df, extra], ignore_index=True)
-    return pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False)
+    n = len(hazards)
+    head = tbl.slice(0, n)
+    patched = {
+        "l_linenumber": pa.array(
+            [90 + i for i in range(n)], type=tbl.schema.field("l_linenumber").type
+        ),
+        "l_quantity": pa.array([h[0] for h in hazards], type=pa.float64()),
+        "l_extendedprice": pa.array([h[1] for h in hazards], type=pa.float64()),
+        "l_discount": pa.array([h[2] for h in hazards], type=pa.float64()),
+        "l_tax": pa.array([h[3] for h in hazards], type=pa.float64()),
+    }
+    extra_cols = [
+        patched.get(f.name, head.column(i)) for i, f in enumerate(tbl.schema)
+    ]
+    extra = pa.table(dict(zip(tbl.schema.names, extra_cols))).cast(tbl.schema)
+    out = pa.concat_tables([tbl, extra])
+    # tripwire on the tripwire: the written corpus must actually carry
+    # NaN (not NULL) — the exact silent conversion this builder replaced
+    qcol = out.column("l_quantity").to_pylist()
+    assert any(v is not None and v != v for v in qcol), "NaN hazard lost"
+    return out
 
 
 # the 15 relational gates that read lineitem — the lineitem-edge
