@@ -167,6 +167,10 @@ def r02(spark, sf_dir):
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
            CAST(SUM(CAST(FLOOR(ABS(CASE WHEN isfinite(value) THEN value END
                                    - 100)) AS BIGINT)) AS BIGINT) AS va,
+           CAST(SUM(CAST(CEIL(CASE WHEN isfinite(value) THEN value END / 7)
+                    AS BIGINT)) AS BIGINT) AS vc,
+           CAST(SUM(CAST(FLOOR(CASE WHEN isfinite(value) THEN value END + 0.5)
+                    AS BIGINT)) AS BIGINT) AS vr,
            COUNT(*) AS nt,
            CAST(SUM(month(ts)) AS BIGINT) AS sm,
            CAST(SUM(day(ts)) AS BIGINT) AS sd,
@@ -193,13 +197,19 @@ def r04(spark, sf_dir):
     - ?sl: STR + STRAFTER + STRLEN (uid digits per row, summed = n x len);
     - ?sb: STRBEFORE (the scheme+host prefix is constant, so 18 x n);
     - ?np: UCASE + CONTAINS over the graph IRI (purchase-graph row count);
-    - ?va: ABS + FLOOR + xsd:integer cast on the double ?v (FLOOR, unlike
-      ROUND, has no tie semantics to diverge on; ?v - 100 is the same
-      exactly-rounded IEEE double on both engines; a non-finite ?v —
-      'NaN' is a valid xsd:double lexical — goes type-error -> unbound
-      through the engine's try_cast and SUM skips it, so the oracle
-      mirrors with an isfinite guard where DuckDB's NaN -> BIGINT cast
-      would abort);
+    - ?va: ABS + FLOOR + xsd:integer cast on the double ?v (?v - 100 is
+      the same exactly-rounded IEEE double on both engines; a
+      non-finite ?v — 'NaN' is a valid xsd:double lexical — goes
+      type-error -> unbound through the engine's try_cast and SUM
+      skips it, so the oracle mirrors with an isfinite guard where
+      DuckDB's NaN -> BIGINT cast would abort);
+    - ?vc/?vr (r12): CEIL and ROUND through the same xsd:integer gate,
+      so all three builtins the r12 double-domain fix touched ride the
+      oracle, not just FLOOR.  ?v / 7 is one exactly-rounded IEEE op on
+      both engines; the ROUND oracle mirrors the engine's fn:round
+      (ties toward +INF) as FLOOR(value + 0.5) rather than DuckDB's
+      half-away-from-zero round() — identical on this positive-filtered
+      column but written to the spec anyway;
     - ?nt: DATATYPE equality to xsd:double plus the isIRI / isLiteral /
       isBlank term-kind tests and && / ! — all-true per row, so = n;
     - ?sm/?sd/?sh: MONTH / DAY / HOURS on the xsd:dateTime ?t (one ts
@@ -221,6 +231,8 @@ def r04(spark, sf_dir):
                (SUM(STRLEN(STRBEFORE(STR(?user), "/user/"))) AS ?sb)
                (SUM(IF(CONTAINS(UCASE(STR(?g)), "PURCHASE"), 1, 0)) AS ?np)
                (SUM(xsd:integer(FLOOR(ABS(?v - 100)))) AS ?va)
+               (SUM(xsd:integer(CEIL(?v / 7))) AS ?vc)
+               (SUM(xsd:integer(ROUND(?v))) AS ?vr)
                (SUM(IF(DATATYPE(?v) = xsd:double && isIRI(?user) &&
                        isLiteral(?v) && !isBlank(?user), 1, 0)) AS ?nt)
                (SUM(MONTH(?t)) AS ?sm)
@@ -240,6 +252,8 @@ def r04(spark, sf_dir):
         F.col("sb")["value"].cast("long").alias("sb"),
         F.col("np")["value"].cast("long").alias("np"),
         F.col("va")["value"].cast("long").alias("va"),
+        F.col("vc")["value"].cast("long").alias("vc"),
+        F.col("vr")["value"].cast("long").alias("vr"),
         F.col("nt")["value"].cast("long").alias("nt"),
         F.col("sm")["value"].cast("long").alias("sm"),
         F.col("sd")["value"].cast("long").alias("sd"),
