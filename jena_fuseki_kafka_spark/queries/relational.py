@@ -522,19 +522,45 @@ def q15(spark, sf_dir):
     SELECT o_orderpriority,
            COUNT(*) AS total,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS n_large_custs,
+           CAST(MIN(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS all_finished,
+           CAST(MAX(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS any_large,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+                AS BIGINT) AS large_bp
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def q16(spark, sf_dir):
-    """Conditional aggregation (SPARQL IF inside aggregates)."""
+    """Conditional aggregation (SPARQL IF inside aggregates).
+
+    Facets (widened r12): the full conditional-aggregate family over one
+    pass — conditional COUNT DISTINCT (distinct big-spender customers,
+    NULL-excluding CASE feeds the distinct), EVERY/ANY as MIN/MAX over
+    the 0/1 marker (the bool_and/bool_or SPARQL has no direct builtin
+    for), and the large-order share in integer basis points.  All
+    integer-exact; still a single hash aggregate with map-side
+    partials (the lone distinct rides Spark's two-phase distinct
+    rewrite, keyed by the same group columns)."""
     o = load(spark, sf_dir, "orders")
+    is_f = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    is_large = F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("total"),
-            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
-            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
+            F.sum(is_f).alias("n_finished"),
+            F.sum(is_large).alias("n_large"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("n_large_custs"),
+            F.min(is_f).cast("long").alias("all_finished"),
+            F.max(is_large).cast("long").alias("any_large"),
+        )
+        .withColumn("large_bp", F.expr("n_large * 10000 div total"))
+        .select(
+            "o_orderpriority", "total", "n_finished", "n_large",
+            "n_large_custs", "all_finished", "any_large", "large_bp",
         )
         .orderBy("o_orderpriority")
     )
@@ -1150,7 +1176,13 @@ def q38(spark, sf_dir):
     SELECT c.c_custkey, c.c_nationkey,
            CAST((SELECT COUNT(*) FROM orders o
                  WHERE o.o_custkey = c.c_custkey
-                   AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders
+                   AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders,
+           COALESCE((SELECT CAST(SUM(CAST(CASE WHEN isfinite(o.o_totalprice)
+                                          THEN o.o_totalprice END
+                                     AS DECIMAL(28,6))) AS DOUBLE)
+                     FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000), 0.0) AS big_value
     FROM customer c
     WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
@@ -1166,7 +1198,14 @@ def q39(spark, sf_dir):
     is a 25-group aggregate joined back broadcast-style, and the COUNT
     rewrite is a left outer aggregate join on custkey — so nothing
     re-executes per outer row; at 100 TB both rewrites stay two hash
-    aggregates and two joins, never a nested loop."""
+    aggregates and two joins, never a nested loop.
+
+    Facet (widened r12): a THIRD correlated shape — a scalar SUM in the
+    projection with COALESCE-to-zero for customers with no jumbo orders
+    (the NULL-vs-0 boundary Catalyst's decorrelation must preserve
+    through the outer join), finite-guarded per the r12 convention
+    since o_totalprice is a raw double column (Spark spells the guard
+    NOT isnan AND != Infinity inline; the oracle uses isfinite)."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("q39_customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("q39_orders")
     return spark.sql(
@@ -1174,7 +1213,14 @@ def q39(spark, sf_dir):
         SELECT c.c_custkey, c.c_nationkey,
                CAST((SELECT COUNT(*) FROM q39_orders o
                      WHERE o.o_custkey = c.c_custkey
-                       AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders
+                       AND o.o_totalprice > 300000) AS BIGINT) AS n_big_orders,
+               COALESCE((SELECT CAST(SUM(CAST(CASE WHEN NOT isnan(o.o_totalprice)
+                                              AND ABS(o.o_totalprice) != DOUBLE('Infinity')
+                                              THEN o.o_totalprice END
+                                         AS DECIMAL(28,6))) AS DOUBLE)
+                         FROM q39_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000), 0.0D) AS big_value
         FROM q39_customer c
         WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM q39_customer c2
                              WHERE c2.c_nationkey = c.c_nationkey)
