@@ -93,7 +93,10 @@ _SHINGLES_SQL = f"""
     SELECT COUNT(*) AS n_unique,
            CAST(SUM(group_size) AS BIGINT) AS n_docs,
            CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_duplicates,
-           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(MAX(group_size) AS BIGINT) AS max_group_size,
+           CAST(SUM(CASE WHEN group_size > 1 THEN keeper_doc_id ELSE 0 END)
+                AS BIGINT) AS dup_keeper_checksum
     FROM groups
     """,
 )
@@ -111,11 +114,21 @@ def d01(spark, sf_dir):
     groups = d.select("doc_id", h.alias("h")).groupBy("h").agg(
         F.count("*").alias("group_size"), F.min("doc_id").alias("keeper_doc_id")
     )
+    # max_group_size + dup_keeper_checksum (widened r12): the keeper
+    # rule — keep MIN(doc_id) per group — was computed but never
+    # surfaced, so a wrong-keeper implementation hashed identically;
+    # summing the keeper ids of the duplicate groups pins the CHOICE,
+    # and the max group size pins the heaviest collision bucket (the
+    # skew number an exact-dedup pass monitors at scale).
     return groups.agg(
         F.count("*").alias("n_unique"),
         F.sum("group_size").alias("n_docs"),
         (F.sum("group_size") - F.count("*")).alias("n_duplicates"),
         F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.max("group_size").alias("max_group_size"),
+        F.sum(
+            F.when(F.col("group_size") > 1, F.col("keeper_doc_id")).otherwise(0)
+        ).alias("dup_keeper_checksum"),
     )
 
 
