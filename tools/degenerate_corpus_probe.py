@@ -255,6 +255,66 @@ def _lineitem_edge_table():
     return out
 
 
+# r13 pre-work (built in r12, tools-only): the same non-finite hazard
+# class on customer.c_acctbal — the double column q10's moment
+# aggregates, q12's above-average subquery, and q39's correlated MAX
+# read.  Hazard rows get FRESH custkeys (no orders), so join-shaped
+# gates see only a row-count ripple; the aggregate-shaped ones meet
+# real NaN/Inf.  Measured partition pinned below; the fixes ride each
+# gate's r13 window slot alongside the _dsum migration.
+# Measured 2026-08-15: only q10 trips — its moment aggregates cast
+# c_acctbal to DECIMAL(28,6) unguarded (DuckDB NaN -> INT128 abort;
+# Spark silent NULL).  q12's above-average subquery goes empty on BOTH
+# engines (AVG turns NaN, nothing compares above it) and q39's
+# correlated MAX matches the NaN holder on BOTH (NaN = NaN is TRUE in
+# each engine's total order), so those agree without a guard.
+EXPECTED_FAIL_CUSTOMER_EDGE: dict[str, str] = {
+    "q10_aggregate_functions": "unguarded c_acctbal decimal moments: NaN aborts the oracle cast (r13 fix)",
+}
+
+
+def _customer_edge_table():
+    """sf0.001 customer + 4 appended rows with NaN/Inf/-Inf c_acctbal,
+    built column-wise with pyarrow (a pandas round-trip would NULL the
+    NaN)."""
+    nan, inf = float("nan"), float("inf")
+    tbl = pq.read_table(os.path.join(FIXTURES, "customer.parquet"))
+    import pyarrow.compute as pc
+
+    max_key = pc.max(tbl.column("c_custkey")).as_py()
+    hazards = [(nan, "BUILDING"), (inf, "MACHINERY"), (-inf, "AUTOMOBILE"), (nan, "BUILDING")]
+    patched = {
+        "c_custkey": pa.array(
+            [max_key + 1 + i for i in range(len(hazards))],
+            type=tbl.schema.field("c_custkey").type,
+        ),
+        "c_acctbal": pa.array([h[0] for h in hazards], type=pa.float64()),
+        "c_mktsegment": pa.array([h[1] for h in hazards]),
+    }
+    head = tbl.slice(0, len(hazards))
+    cols = [patched.get(f.name, head.column(i)) for i, f in enumerate(tbl.schema)]
+    extra = pa.table(dict(zip(tbl.schema.names, cols))).cast(tbl.schema)
+    out = pa.concat_tables([tbl, extra])
+    bal = out.column("c_acctbal").to_pylist()
+    assert any(v is not None and v != v for v in bal), "NaN hazard lost"
+    return out
+
+
+# the relational gates that read customer (the quad-surface consumers
+# read only c_mktsegment, and st05 is out of every default sweep)
+CUSTOMER_GATES = [
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q10_aggregate_functions",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q39_correlated_scalar_subquery",
+]
+
+
 # the 15 relational gates that read lineitem — the lineitem-edge
 # corpus's default sweep (everything else never sees the table)
 LINEITEM_GATES = [
@@ -355,6 +415,16 @@ def build_corpus(kind: str, tmp: str) -> None:
             os.path.join(tmp, "events.parquet"),
         )
         return
+    if kind == "customer-edge":
+        for t in TABLES:
+            if t == "customer":
+                continue
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        pq.write_table(_customer_edge_table(), os.path.join(tmp, "customer.parquet"))
+        return
     if kind == "lineitem-edge":
         for t in TABLES:
             if t == "lineitem":
@@ -433,7 +503,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--corpus",
-        choices=["empty", "edge", "events-edge", "lineitem-edge"],
+        choices=["empty", "edge", "events-edge", "lineitem-edge", "customer-edge"],
         default="empty",
     )
     ap.add_argument("gates", nargs="*")
@@ -443,11 +513,14 @@ def main() -> int:
         "edge": EXPECTED_FAIL_EDGE,
         "events-edge": EXPECTED_FAIL_EVENTS_EDGE,
         "lineitem-edge": EXPECTED_FAIL_LINEITEM_EDGE,
+        "customer-edge": EXPECTED_FAIL_CUSTOMER_EDGE,
     }[args.corpus]
     if args.gates:
         gates = args.gates
     elif args.corpus == "lineitem-edge":
         gates = LINEITEM_GATES
+    elif args.corpus == "customer-edge":
+        gates = CUSTOMER_GATES
     else:
         gates = default_gates()
 
