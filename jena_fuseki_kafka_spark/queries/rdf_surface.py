@@ -29,6 +29,21 @@ from . import finite_spark, load, query
 EX = "http://example.org/"
 
 
+def xsd_double_lexical(col):
+    """Render a double column as its XSD canonical lexical form: Spark's
+    native cast spells non-finite values "Infinity"/"-Infinity" where
+    xsd:double's lexical space has "INF"/"-INF"/"NaN" (XSD 1.1 pt.2
+    par.3.3.5) — the form the engine's try_cast re-reads and any RDF
+    consumer expects.  Finite values keep Spark's rendering (already
+    digit-identical with the oracles)."""
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == F.lit(float("inf")), F.lit("INF"))
+        .when(col == F.lit(float("-inf")), F.lit("-INF"))
+        .otherwise(col.cast("string"))
+    )
+
+
 def events_to_quads(ev: DataFrame) -> DataFrame:
     """Map event rows to quads: subject = event IRI; one quad per column;
     named graph per event_type (default graph for the type quad itself).
@@ -62,7 +77,7 @@ def events_to_quads(ev: DataFrame) -> DataFrame:
     parts = [
         quad("type", F.col("event_type"), KIND_LITERAL, None, F.lit(DEFAULT_GRAPH)),
         quad("user", F.concat(F.lit(EX + "user/"), F.col("user_id").cast("string")), KIND_IRI, None, graph),
-        quad("value", F.col("value"), KIND_LITERAL, XSD + "double", graph),
+        quad("value", xsd_double_lexical(F.col("value")), KIND_LITERAL, XSD + "double", graph),
         quad("ts", F.col("ts"), KIND_LITERAL, XSD + "dateTime", graph),
         quad("id", F.col("event_id"), KIND_LITERAL, XSD_INTEGER, graph),
     ]
@@ -303,7 +318,7 @@ def _order_quads(spark, sf_dir) -> DataFrame:
         )
 
     cust = quad(o, "customer", KIND_IRI, F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")))
-    total = quad(o, "total", KIND_LITERAL, F.col("o_totalprice"), XSD + "double")
+    total = quad(o, "total", KIND_LITERAL, xsd_double_lexical(F.col("o_totalprice")), XSD + "double")
     big = quad(o.filter(F.col("o_totalprice") > 200000), "bigtotal", KIND_LITERAL, F.lit("big"))
     jumbo = quad(o.filter(F.col("o_totalprice") > 350000), "jumbototal", KIND_LITERAL, F.lit("jumbo"))
     return cust.unionByName(total).unionByName(big).unionByName(jumbo)
@@ -544,13 +559,17 @@ def r09(spark, sf_dir):
     "r10_ask",
     oracle="""
     SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice > 350000) > 0 AS jumbo_exists,
-           (SELECT COUNT(*) FROM orders WHERE o_totalprice > 10000000) > 0 AS impossible_exists
+           FALSE AS impossible_exists
     """,
 )
 def r10(spark, sf_dir):
     """ASK — non-empty test (SURVEY.md §2B ASK row), one true and one
     vacuous pattern.  ASK evaluates as limit(1)-count on the translated
-    pattern; the two booleans are returned as a single comparison row."""
+    pattern; the two booleans are returned as a single comparison row.
+    The vacuous arm asks a predicate no quad builder ever emits, so its
+    oracle mirror is the constant FALSE — the previous price-threshold
+    proxy (> 10M) stopped encoding "impossible" once the orders-edge
+    corpus put +Inf in o_totalprice."""
     from ..sparql import SparqlEngine
 
     engine = SparqlEngine(_order_quads(spark, sf_dir))
@@ -579,7 +598,11 @@ def r10(spark, sf_dir):
     FROM jumbo
     UNION ALL
     SELECT '', 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR),
-           'http://example.org/total', 'literal', CAST(o_totalprice AS VARCHAR),
+           'http://example.org/total', 'literal',
+           CASE WHEN isnan(o_totalprice) THEN 'NaN'
+                WHEN o_totalprice = 'infinity'::DOUBLE THEN 'INF'
+                WHEN o_totalprice = '-infinity'::DOUBLE THEN '-INF'
+                ELSE CAST(o_totalprice AS VARCHAR) END,
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM jumbo
     ORDER BY subject, predicate
@@ -806,14 +829,15 @@ def r15(spark, sf_dir):
     "r17_minus_compat",
     oracle="""
     WITH surv AS (
-      SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS bucket
+      SELECT CAST(FLOOR(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                        / 100000) AS BIGINT) AS bucket
       FROM orders WHERE o_totalprice <= 350000
     ),
     ov AS (SELECT bucket, COUNT(*) AS n_overlap FROM surv GROUP BY bucket)
     SELECT ov.bucket, ov.n_overlap,
            (SELECT COUNT(*) FROM orders) AS c_disjoint,
            (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 350000) AS c_unbound
-    FROM ov ORDER BY ov.bucket
+    FROM ov ORDER BY ov.bucket NULLS FIRST
     """,
 )
 def r17(spark, sf_dir):

@@ -315,6 +315,75 @@ CUSTOMER_GATES = [
 ]
 
 
+# r13 pre-work, second table (built late r12, tools-only): NaN/Inf in
+# orders.o_totalprice — beyond the relational readers this column flows
+# INTO THE QUAD STORE as an xsd:double literal (_order_quads), so the
+# corpus also probes the SPARQL engine gates end-to-end on non-finite
+# typed literals.  Hazard rows reuse EXISTING custkeys (left-join gates
+# see them) under fresh orderkeys (no lineitems).
+# Measured 2026-08-15 after the in-window fixes (r10's vacuous-ASK
+# oracle mirror, r11's XSD-lexical rendering mirror, r17's finite
+# bucket guard landed immediately — those gates are r12-window): one
+# residual out-of-window latent.
+EXPECTED_FAIL_ORDERS_EDGE: dict[str, str] = {
+    "q24_exact_percentiles": "NaN in the percentile input diverges exact quantiles (r13/r14 finite guard)",
+}
+
+
+def _orders_edge_table():
+    """sf0.001 orders + 4 appended rows with NaN/Inf/-Inf o_totalprice,
+    built column-wise with pyarrow (a pandas round-trip NULLs NaN)."""
+    nan, inf = float("nan"), float("inf")
+    tbl = pq.read_table(os.path.join(FIXTURES, "orders.parquet"))
+    import pyarrow.compute as pc
+
+    max_key = pc.max(tbl.column("o_orderkey")).as_py()
+    vals = [nan, inf, -inf, nan]
+    patched = {
+        "o_orderkey": pa.array(
+            [max_key + 1 + i for i in range(len(vals))],
+            type=tbl.schema.field("o_orderkey").type,
+        ),
+        "o_totalprice": pa.array(vals, type=pa.float64()),
+    }
+    head = tbl.slice(0, len(vals))
+    cols = [patched.get(f.name, head.column(i)) for i, f in enumerate(tbl.schema)]
+    extra = pa.table(dict(zip(tbl.schema.names, cols))).cast(tbl.schema)
+    out = pa.concat_tables([tbl, extra])
+    tp = out.column("o_totalprice").to_pylist()
+    assert any(v is not None and v != v for v in tp), "NaN hazard lost"
+    return out
+
+
+# relational orders readers + every SparqlEngine gate built over
+# _order_quads (the double literal reaches their FILTER/BIND/aggregate
+# paths); st gates stay out of default sweeps as always
+ORDERS_GATES = [
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q09_distinct_projection",
+    "q11_order_offset_pagination",
+    "q14_window_top_order_per_cust",
+    "q16_conditional_agg_case",
+    "q24_exact_percentiles",
+    "q33_semi_anti_join",
+    "q39_correlated_scalar_subquery",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r15_optional_unbound_compat",
+    "r17_minus_compat",
+    "r18_negated_property_set",
+]
+
+
 # the 15 relational gates that read lineitem — the lineitem-edge
 # corpus's default sweep (everything else never sees the table)
 LINEITEM_GATES = [
@@ -415,6 +484,16 @@ def build_corpus(kind: str, tmp: str) -> None:
             os.path.join(tmp, "events.parquet"),
         )
         return
+    if kind == "orders-edge":
+        for t in TABLES:
+            if t == "orders":
+                continue
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        pq.write_table(_orders_edge_table(), os.path.join(tmp, "orders.parquet"))
+        return
     if kind == "customer-edge":
         for t in TABLES:
             if t == "customer":
@@ -503,7 +582,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--corpus",
-        choices=["empty", "edge", "events-edge", "lineitem-edge", "customer-edge"],
+        choices=[
+            "empty", "edge", "events-edge",
+            "lineitem-edge", "customer-edge", "orders-edge",
+        ],
         default="empty",
     )
     ap.add_argument("gates", nargs="*")
@@ -514,6 +596,7 @@ def main() -> int:
         "events-edge": EXPECTED_FAIL_EVENTS_EDGE,
         "lineitem-edge": EXPECTED_FAIL_LINEITEM_EDGE,
         "customer-edge": EXPECTED_FAIL_CUSTOMER_EDGE,
+        "orders-edge": EXPECTED_FAIL_ORDERS_EDGE,
     }[args.corpus]
     if args.gates:
         gates = args.gates
@@ -521,6 +604,8 @@ def main() -> int:
         gates = LINEITEM_GATES
     elif args.corpus == "customer-edge":
         gates = CUSTOMER_GATES
+    elif args.corpus == "orders-edge":
+        gates = ORDERS_GATES
     else:
         gates = default_gates()
 
