@@ -190,32 +190,110 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r12 window (first 50; unlisted queries sort ahead of all of
+    # ---- r13 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
     # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
     # against "no verdict older than 2 rounds at judging".  Window
-    # composition this round: 28 mandatory r9-cohort leads (the exact
-    # set tools/rotation_planner.py prints) + 22 touched by the
-    # non-finite hazard burn-down (VERDICT r11 items 1-5) = 50 exactly:
-    # the FLOOR/CEIL/ROUND Inf-clamp fix in sparql/translate.py touches
-    # every SparqlEngine consumer (r01-r18, u01 = 19 -- u01 rides the
-    # same Translator through UpdateEngine WHERE patterns), plus q20
-    # (finite guard), s07 (quantizer non-finite scale), d05
-    # (lower_markstrip reroute).  The _dsum finite guard rides a NEW
-    # _dsumf helper so the five remaining _dsum callers (q01 x4, q10
-    # over customer.c_acctbal, q15, q19 x2, q25 — all r13-mandatory)
-    # stay byte-untouched and migrate in r13, as VERDICT r11 item 1
-    # planned; q31/q36 carry separate INLINE unguarded decimal casts
-    # that ride the same r13 burn-down (q31 as a touched slot).  The
-    # persist->localCheckpoint
-    # conversions (shared minhash helpers + p04) defer with them for
-    # the same window-budget reason, as does ADVICE r11's cosine-Inf
-    # guard (touches s01-s09, 8 extra slots this round).
+    # composition this round: 29 mandatory r10-cohort leads (the exact
+    # set tools/rotation_planner.py prints) + 15 touched by the r13
+    # burn-down + 6 rotation fill from the r11 cohort = 50 exactly.
+    # Touched this round (VERDICT r12 items 1-4): the _dsum->_dsumf
+    # migration + _dsum deletion (q01 x4, q10 over customer.c_acctbal,
+    # q15, q19 x2, q25 — all r13-mandatory except q25) plus q31/q36's
+    # inline decimal-cast guards; q38/q24's percentile finite guards;
+    # persist->localCheckpoint on the shared minhash helpers + d04 +
+    # p04 (touches d02/d06/d07/d04/p04 — mandatory — and d10); and the
+    # ADVICE r11 cosine reroute _nan_to_null -> queries.finite_spark
+    # (touches s01-s06/s03b/s08/s09 directly, s05 via its s01+s04
+    # composition; s07 does NOT use the cosine helpers and stays
+    # r12-cohort).  Zero free slots -> NO new gate names this round
+    # (an unlisted name sorts first and would evict a fill slot).
     # ---- NEW this round (no prior verdict; registered names are
     # appended here as each lands -- unlisted new names sort first
     # regardless, so a forgotten entry still gets checked) ----
-    # ---- r9-green, untouched: age 3 at the r12 check if skipped --
+    # ---- r10-green, untouched: age 3 at the r13 check if skipped --
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
+    "d02_minhash_lsh",
+    "d04_ngram_jaccard_blocked",
+    "d06_dedup_clusters",
+    "d07_minhash_estimator_fidelity",
+    "m01_image_features",
+    "m02_audio_features",
+    "m05_scene_changes",
+    "m06_audio_vad_segments",
+    "p04_leakage_safe_split",
+    "p05_sequence_packing",
+    "p07_packing_efficiency_census",
+    "q01_pricing_summary",
+    "q08_union_all_parts_suppliers",
+    "q09_distinct_projection",
+    "q10_aggregate_functions",
+    "q11_order_offset_pagination",
+    "q12_subquery_above_avg",
+    "q13_values_inline_join",
+    "q14_window_top_order_per_cust",
+    "q15_rollup_revenue",
+    "q17_string_functions",
+    "q19_disjunctive_predicate_join",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t10_char_entropy",
+    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r12 hazard list):
+    # _dsum deletion ripples (q25 + q31/q36 inline casts), q38/q24
+    # percentile finite guards, d10 via _signature_relations'
+    # localCheckpoint, s01-s09 (minus s07) via the cosine-Inf reroute --
+    "q24_exact_percentiles",
+    "q25_cube_aggregation",
+    "q31_grouping_sets",
+    "q36_per_group_outlier_filter",
+    "q38_approx_percentile",
+    "d10_incremental_corpus_dedup",
+    "s01_ann_bruteforce_topk",
+    "s02_ann_lsh_bucketed",
+    "s03_embedding_near_dup",
+    "s03b_embedding_near_dup_lowt",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "s06_embedding_dup_clusters",
+    "s08_prefix_dim_rerank",
+    "s09_semdedup_prune",
+    # ---- rotation fill from the r11 cohort (oldest unstale; eases
+    # r14's mandatory floor from 27 to 21) ----
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q23_funnel_signup_to_purchase",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q32_approx_distinct",
+    # ---- window boundary here (50 above) ----
+    # r11-green remainder: age 3 at the r14 check if skipped -- these
+    # lead r14's mandatory set (rotate to the very top next round).
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q37_running_frames",
+    "q40_salted_fact_dim_join",
+    "q44_incremental_agg_merge",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st04_streaming_first_seen",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    "t09_url_domain_stats",
+    "t11_bigram_lm_perplexity",
+    "d03_simhash",
+    "d08_substring_span_dedup",
+    "d09_duplication_fraction",
+    "d11_fuzzy_decontamination",
+    "p02_curation_pipeline",
+    # ---- r12-green, code untouched -> tail (fine until r15) ----
     "d01_exact_dedup",
     "m03_video_frame_sample",
     "m04_frame_dedup",
@@ -244,11 +322,6 @@ _CHECK_PRIORITY = [
     "st08_stream_stream_outer_join",
     "st09_streaming_bounded_dedup",
     "t01_language_id",
-    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r11 hazard list):
-    # FLOOR/CEIL/ROUND non-finite passthrough in translate.py touches
-    # every SparqlEngine gate incl. u01; q20 finite-guards its value
-    # sum; s07 quantizes non-finite-scale vectors to zero; d05 reroutes
-    # its inline mark-strip through lower_markstrip_* ----
     "r01_sparql_acceptance_count",
     "r02_bgp_join_filter",
     "r03_graph_quantification",
@@ -271,84 +344,6 @@ _CHECK_PRIORITY = [
     "q20_tumbling_window_hourly",
     "s07_int8_quantization",
     "d05_decontamination",
-    # ---- window boundary here (50 above) ----
-    # r10-green remainder: age 3 at the r13 check if skipped -- these
-    # lead r13's mandatory set (rotate to the very top next round).
-    # r13 also owes: _dsum straggler migration, persist->
-    # localCheckpoint on shared minhash helpers + p04 (touches d02/d06/
-    # d07/p04/d10/s06), ADVICE r11 cosine-Inf guard (touches s01-s09).
-    "q01_pricing_summary",
-    "q08_union_all_parts_suppliers",
-    "q09_distinct_projection",
-    "q10_aggregate_functions",
-    "q11_order_offset_pagination",
-    "q12_subquery_above_avg",
-    "q13_values_inline_join",
-    "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
-    "q17_string_functions",
-    "q19_disjunctive_predicate_join",
-    "d02_minhash_lsh",
-    "d04_ngram_jaccard_blocked",
-    "d06_dedup_clusters",
-    "d07_minhash_estimator_fidelity",
-    "m01_image_features",
-    "m02_audio_features",
-    "m05_scene_changes",
-    "m06_audio_vad_segments",
-    "p04_leakage_safe_split",
-    "p05_sequence_packing",
-    "p07_packing_efficiency_census",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "st10_streaming_file_sink_exactly_once",
-    "st11_foreachbatch_merge_exactly_once",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t10_char_entropy",
-    # ---- r11-green, code untouched -> tail (fine until r14) ----
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q23_funnel_signup_to_purchase",
-    "q24_exact_percentiles",
-    "q25_cube_aggregation",
-    "q27_sliding_window",
-    "q28_set_operations",
-    "q31_grouping_sets",
-    "q32_approx_distinct",
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q36_per_group_outlier_filter",
-    "q37_running_frames",
-    "q38_approx_percentile",
-    "q40_salted_fact_dim_join",
-    "q44_incremental_agg_merge",
-    "s01_ann_bruteforce_topk",
-    "s02_ann_lsh_bucketed",
-    "s03_embedding_near_dup",
-    "s03b_embedding_near_dup_lowt",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "s06_embedding_dup_clusters",
-    "s08_prefix_dim_rerank",
-    "s09_semdedup_prune",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    "t09_url_domain_stats",
-    "t11_bigram_lm_perplexity",
-    "d03_simhash",
-    "d08_substring_span_dedup",
-    "d09_duplication_fraction",
-    "d10_incremental_corpus_dedup",
-    "d11_fuzzy_decontamination",
-    "p02_curation_pipeline",
 ]
 
 
