@@ -28,25 +28,17 @@ from pyspark.sql import functions as F
 
 from . import finite_spark, load, query
 
-# exact, order-independent sum of a double expression: per-row cast to
-# decimal (deterministic), exact decimal sum, cast back
-def _dsum(col, alias):
-    return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
-
-
-# _dsum with the finite guard (queries.finite_spark): a NaN/Inf metric —
-# upstream float math emits them into any real 100 TB fact column — is
-# NULLed BEFORE the decimal cast, because Spark's non-finite -> decimal
-# cast silently yields NULL where DuckDB's ERRORS, so an unguarded sum
-# is a silent row drop on one engine and a job abort on the other.  The
-# oracle twin is CASE WHEN isfinite(expr) THEN expr END inside the CAST.
-# Kept as a SEPARATE helper so the remaining _dsum callers (q01 x4,
-# q10 over customer.c_acctbal, q15, q19 x2, q25 — all due a driver
-# re-check in r13) stay byte-untouched this round; r13 migrates them
-# here, guards q31/q36's separate inline decimal casts, and deletes
-# _dsum.  The lineitem-edge probe corpus covers the lineitem callers;
-# q10's c_acctbal (customer) shares the helper, so the _dsum-level fix
-# closes it even though that corpus never probes it directly.
+# Exact, order-independent, finite-guarded sum of a double expression:
+# NaN/Inf — upstream float math emits them into any real 100 TB fact
+# column — is NULLed (queries.finite_spark) BEFORE the per-row decimal
+# cast, because Spark's non-finite -> decimal cast silently yields NULL
+# where DuckDB's ERRORS, so an unguarded sum is a silent row drop on one
+# engine and a job abort on the other.  The exact decimal sum is
+# order-independent, then cast back to double.  The oracle twin is
+# CASE WHEN isfinite(expr) THEN expr END inside the CAST.  This is the
+# ONLY double-sum helper (r13 deleted the unguarded _dsum after
+# migrating q01/q10/q15/q19/q25 — the lineitem-edge and customer-edge
+# probe corpora pin the hazard class).
 def _dsumf(col, alias):
     return F.sum(finite_spark(col).cast("decimal(28,6)")).cast("double").alias(alias)
 
@@ -55,10 +47,16 @@ def _dsumf(col, alias):
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                          THEN l_extendedprice * (1 - l_discount) END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                          THEN l_extendedprice * (1 - l_discount) * (1 + l_tax) END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -83,10 +81,10 @@ def q01(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity"), "sum_qty"),
-            _dsum(F.col("l_extendedprice"), "sum_base_price"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
-            _dsum(
+            _dsumf(F.col("l_quantity"), "sum_qty"),
+            _dsumf(F.col("l_extendedprice"), "sum_base_price"),
+            _dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            _dsumf(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
                 "sum_charge",
             ),
@@ -318,24 +316,30 @@ def q09(spark, sf_dir):
 @query(
     "q10_aggregate_functions",
     oracle="""
+    WITH cg AS (
+      SELECT c_nationkey, c_acctbal, c_mktsegment,
+             CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END
+                  AS DECIMAL(28,6)) AS bal_d
+      FROM customer
+    )
     SELECT n.n_name,
            COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal,
+           CAST(SUM(c.bal_d) AS DOUBLE) AS total_bal,
            CAST(MIN(c.c_acctbal) AS DOUBLE) AS min_bal,
            CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_bal,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_bal,
+           CAST(SUM(c.bal_d) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_bal,
            string_agg(c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments,
            COUNT(DISTINCT c.c_mktsegment) AS n_segments,
            bool_or(c.c_acctbal < 0) AS has_debt,
-           ROUND((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)) * CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
-                  - CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
-                    * CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+           ROUND((CAST(SUM(c.bal_d * c.bal_d) AS DOUBLE)
+                  - CAST(SUM(c.bal_d) AS DOUBLE)
+                    * CAST(SUM(c.bal_d) AS DOUBLE) / COUNT(*))
                  / (COUNT(*) - 1), 4) AS var_bal,
-           ROUND(SQRT((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)) * CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
-                  - CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
-                    * CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+           ROUND(SQRT((CAST(SUM(c.bal_d * c.bal_d) AS DOUBLE)
+                  - CAST(SUM(c.bal_d) AS DOUBLE)
+                    * CAST(SUM(c.bal_d) AS DOUBLE) / COUNT(*))
                  / (COUNT(*) - 1)), 4) AS std_bal
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    FROM cg c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     HAVING COUNT(*) > 10
     ORDER BY n.n_name
@@ -358,7 +362,12 @@ def q10(spark, sf_dir):
     as in q32)."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    dbal = F.col("c_acctbal").cast("decimal(28,6)")
+    # finite_spark before EVERY decimal cast (sum, avg, and both moment
+    # sums): a NaN/Inf c_acctbal silently NULLs Spark's decimal cast but
+    # aborts DuckDB's — the customer-edge probe corpus pins this.  min/
+    # max/has_debt stay unguarded: both engines order NaN above every
+    # real and evaluate NaN < 0 as FALSE, so they already agree.
+    dbal = finite_spark(F.col("c_acctbal")).cast("decimal(28,6)")
     cnt = F.count("*")
     dsum = F.sum(dbal).cast("double")
     dsum2 = F.sum(dbal * dbal).cast("double")
@@ -368,13 +377,10 @@ def q10(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_cust"),
-            _dsum(F.col("c_acctbal"), "total_bal"),
+            _dsumf(F.col("c_acctbal"), "total_bal"),
             F.min("c_acctbal").cast("double").alias("min_bal"),
             F.max("c_acctbal").cast("double").alias("max_bal"),
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
-                / F.count("c_acctbal")
-            ).alias("avg_bal"),
+            (F.sum(dbal).cast("double") / F.count("c_acctbal")).alias("avg_bal"),
             F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias("segments"),
             F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
             F.bool_or(F.col("c_acctbal") < 0).alias("has_debt"),
@@ -487,7 +493,8 @@ def q14(spark, sf_dir):
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -502,7 +509,7 @@ def q15(spark, sf_dir):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_extendedprice"), "total"),
+            _dsumf(F.col("l_extendedprice"), "total"),
             (F.grouping("l_returnflag").cast("long") * 2
              + F.grouping("l_linestatus").cast("long")).alias("gid"),
         )
@@ -662,9 +669,12 @@ def q18(spark, sf_dir):
     "q19_disjunctive_predicate_join",
     oracle="""
     SELECT p.p_brand AS brand,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                          THEN l.l_extendedprice * (1 - l.l_discount) END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
@@ -700,9 +710,9 @@ def q19(spark, sf_dir):
         .filter(residual)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            _dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             F.count("*").alias("n_items"),
-            _dsum(F.col("l_quantity"), "total_qty"),
+            _dsumf(F.col("l_quantity"), "total_qty"),
         )
         .orderBy("brand")
     )
@@ -711,15 +721,19 @@ def q19(spark, sf_dir):
 @query(
     "q24_exact_percentiles",
     oracle="""
+    WITH og AS (
+      SELECT o_orderpriority,
+             CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS tp
+      FROM orders
+    )
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
-           ROUND(quantile_cont(o_totalprice, 0.75)
-                 - quantile_cont(o_totalprice, 0.25), 2) AS iqr
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+           ROUND(quantile_cont(tp, 0.25), 2) AS p25,
+           ROUND(quantile_cont(tp, 0.5), 2) AS p50,
+           ROUND(quantile_cont(tp, 0.75), 2) AS p75,
+           ROUND(quantile_cont(tp, 0.9), 2) AS p90,
+           ROUND(quantile_cont(tp, 0.99), 2) AS p99,
+           ROUND(quantile_cont(tp, 0.75) - quantile_cont(tp, 0.25), 2) AS iqr
+    FROM og GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def q24(spark, sf_dir):
@@ -735,17 +749,24 @@ def q24(spark, sf_dir):
     single partition's work (all five points share ONE sort: Spark
     evaluates a multi-percentile aggregate over the same buffer)."""
     o = load(spark, sf_dir, "orders")
+    # finite_spark on the quantile input: the two engines interpolate
+    # around a NaN differently (NaN sorts greatest in Spark's percentile
+    # buffer but poisons DuckDB's interpolation arithmetic — the
+    # orders-edge probe measured the divergence).  NULL is skipped by
+    # both engines' quantile aggregates, so the guard is exact.
+    tp = finite_spark(F.col("o_totalprice")).alias("tp")
+    o = o.select("o_orderpriority", tp)
     pct = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
     return (
         o.groupBy("o_orderpriority")
         .agg(
             *[
-                F.round(F.percentile("o_totalprice", F.lit(q)), 2).alias(n)
+                F.round(F.percentile("tp", F.lit(q)), 2).alias(n)
                 for n, q in pct.items()
             ],
             F.round(
-                F.percentile("o_totalprice", F.lit(0.75))
-                - F.percentile("o_totalprice", F.lit(0.25)),
+                F.percentile("tp", F.lit(0.75))
+                - F.percentile("tp", F.lit(0.25)),
                 2,
             ).alias("iqr"),
         )
@@ -759,7 +780,8 @@ def q24(spark, sf_dir):
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
     """,
@@ -771,7 +793,7 @@ def q25(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity"), "total_qty"))
+        .agg(F.count("*").alias("n"), _dsumf(F.col("l_quantity"), "total_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -848,7 +870,8 @@ def q28(spark, sf_dir):
            CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
                 AS BIGINT) AS gid,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     ORDER BY returnflag, linestatus
@@ -866,6 +889,9 @@ def q31(spark, sf_dir):
     identically."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q31_lineitem")
+    # Spark SQL has no isfinite(): the finite guard before the decimal
+    # cast (finite_spark's SQL spelling) is abs(nanvl(x, NULL)) != Inf —
+    # nanvl routes NaN to NULL, the abs-compare routes ±Inf to NULL.
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -873,7 +899,10 @@ def q31(spark, sf_dir):
                CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
                     AS BIGINT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+               CAST(SUM(CAST(CASE WHEN abs(nanvl(l_extendedprice, CAST(NULL AS DOUBLE)))
+                                       != CAST('Infinity' AS DOUBLE)
+                              THEN l_extendedprice END
+                             AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM q31_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY returnflag, linestatus
@@ -1041,14 +1070,19 @@ def q34(spark, sf_dir):
 @query(
     "q36_per_group_outlier_filter",
     oracle="""
-    WITH stats AS (
-      SELECT l_partkey, COUNT(*) AS cnt,
-             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
-      FROM lineitem GROUP BY l_partkey
+    WITH lg AS (
+      SELECT l_partkey,
+             CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
+                  AS DECIMAL(28,6)) AS qd
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT l_partkey, COUNT(*) AS cnt, SUM(qd) AS sq
+      FROM lg GROUP BY l_partkey
     )
     SELECT l.l_partkey, COUNT(*) AS n_small
-    FROM lineitem l JOIN stats s ON s.l_partkey = l.l_partkey
-    WHERE CAST(l.l_quantity AS DECIMAL(28,6)) * 2 * s.cnt < s.sq
+    FROM lg l JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE l.qd * 2 * s.cnt < s.sq
     GROUP BY l.l_partkey ORDER BY n_small DESC, l.l_partkey LIMIT 50
     """,
 )
@@ -1064,7 +1098,11 @@ def q36(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey")
-    qd = F.col("l_quantity").cast("decimal(28,6)")
+    # finite_spark before the decimal cast: a non-finite quantity NULLs
+    # qd on both engines, so it drops out of sq AND the boundary
+    # comparison below returns NULL -> the row is filtered identically.
+    # cnt deliberately stays COUNT(*) (mirrored in the oracle).
+    qd = finite_spark(F.col("l_quantity")).cast("decimal(28,6)")
     stats = li.select(
         "l_partkey",
         qd.alias("qd"),
@@ -1130,9 +1168,12 @@ def q37(spark, sf_dir):
     "q38_approx_percentile",
     oracle="""
     SELECT l_returnflag,
-           CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS exact_p25,
-           CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS exact_p50,
-           CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS exact_p95,
+           CAST(quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                              THEN l_extendedprice END, 0.25) AS DOUBLE) AS exact_p25,
+           CAST(quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                              THEN l_extendedprice END, 0.50) AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                              THEN l_extendedprice END, 0.95) AS DOUBLE) AS exact_p95,
            1 AS p25_ok, 1 AS p50_ok, 1 AS p95_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -1148,14 +1189,20 @@ def q38(spark, sf_dir):
     sketch gates instead of a single row), so the hash discriminates the
     distribution's shape per group, not one global midpoint."""
     li = load(spark, sf_dir, "lineitem")
+    # finite_spark on the percentile input (exact AND sketch): the two
+    # engines place a NaN differently inside their quantile orderings
+    # (the lineitem-edge probe measured p50/p90 tail divergence), and a
+    # sketch fed an Inf shifts every upper quantile.  NULL is skipped by
+    # both engines' percentile aggregates, so the guard is exact.
+    li = li.withColumn("lep_f", finite_spark(F.col("l_extendedprice")))
     pcts = {"p25": 0.25, "p50": 0.50, "p95": 0.95}
     agg = li.groupBy("l_returnflag").agg(
         *[
-            F.expr(f"percentile(l_extendedprice, {q})").alias(f"exact_{n}")
+            F.expr(f"percentile(lep_f, {q})").alias(f"exact_{n}")
             for n, q in pcts.items()
         ],
         *[
-            F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)").alias(f"a{n}")
+            F.expr(f"approx_percentile(lep_f, {q}, 10000)").alias(f"a{n}")
             for n, q in pcts.items()
         ],
     )

@@ -172,7 +172,7 @@ EXPECTED_FAIL_EDGE: dict[str, str] = {
 # Spark F.nanvl + != inf, oracle CASE WHEN isfinite(value).
 # FIXED r12, dict now empty: q20/q35/q41 got the shared finite_spark/
 # finite_sql guard their siblings landed in r11, and the SPARQL FLOOR/
-# CEIL/ROUND builtins (translate.py) now pass any |x| >= 2^53 double —
+# CEIL/ROUND builtins (translate.py) now pass any |x| >= 2^52 double —
 # which routes NaN/±Inf, ordered above every real — through unchanged
 # instead of riding Spark's long-returning floor()/ceil() clamp, so
 # xsd:integer(FLOOR(INF)) is a type error -> unbound (XPath fn:floor
@@ -187,28 +187,18 @@ EXPECTED_FAIL_EVENTS_EDGE: dict[str, str] = {}
 # keys, fresh l_linenumber 90+ so no PK collision; join gates see
 # them).  The r12 window finite-guards the _dsumf callers (q02/q03/q04/
 # q18); the gates below migrate with their r13 re-check — each entry
-# is one unguarded decimal-sum/cast site, the exact list r13 must burn
-# down (measured 2026-08-15: DuckDB "Could not cast value inf/nan to
-# DECIMAL(28,6)" oracle aborts; Spark silently NULLs the same rows).
-# q01/q15/q19/q25 ride _dsum; q31/q36 carry inline decimal casts; q10
-# rides _dsum over customer.c_acctbal, which this lineitem corpus
-# cannot reach — the _dsum-level r13 fix closes it anyway.  All six
-# entries are r13-window: q01/q15/q19/q25/q36 are r10-cohort
-# (r13-mandatory), q31 rides as a touched slot.
-EXPECTED_FAIL_LINEITEM_EDGE: dict[str, str] = {
-    "q01_pricing_summary": "unguarded _dsum x4: non-finite aborts the oracle decimal cast (r13 fix)",
-    "q15_rollup_revenue": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
-    "q19_disjunctive_predicate_join": "unguarded _dsum x2: non-finite aborts the oracle decimal cast (r13 fix)",
-    "q25_cube_aggregation": "unguarded _dsum: non-finite aborts the oracle decimal cast (r13 fix)",
-    "q31_grouping_sets": "unguarded decimal sum: non-finite aborts the oracle decimal cast (r13 fix)",
-    "q36_per_group_outlier_filter": "unguarded decimal cast in join predicate + sum (r13 fix)",
-    # surfaced only once the corpus carried REAL NaN (the from_pandas
-    # NULL-conversion fix): the two engines place NaN differently inside
-    # their percentile sketches, so the p50/p90 values diverge (800.9 vs
-    # 744.9 at the tail).  Fix = finite-guard the percentile input on
-    # both engines when q38 rides its r13-mandatory slot.
-    "q38_approx_percentile": "NaN in the percentile input diverges the sketches (r13 finite guard)",
-}
+# is one unguarded decimal-sum/cast site (measured 2026-08-15: DuckDB
+# "Could not cast value inf/nan to DECIMAL(28,6)" oracle aborts; Spark
+# silently NULLs the same rows).
+# FIXED r13, dict now empty: q01/q15/q19/q25 migrated from the deleted
+# _dsum to the finite-guarded _dsumf (oracle isfinite mirrors); q31/q36
+# guard their inline decimal casts (q31's Spark-SQL spelling is
+# abs(nanvl(x, NULL)) != Inf — Spark SQL has no isfinite); q38's
+# percentile + sketch input is finite-guarded on both engines (NaN
+# placement diverged the sketches: 800.9 vs 744.9 at the p90 tail).
+# q10's c_acctbal (customer) shared the _dsum helper and its moment
+# casts — the customer-edge corpus below pins it separately.
+EXPECTED_FAIL_LINEITEM_EDGE: dict[str, str] = {}
 
 
 def _lineitem_edge_table():
@@ -262,15 +252,16 @@ def _lineitem_edge_table():
 # gates see only a row-count ripple; the aggregate-shaped ones meet
 # real NaN/Inf.  Measured partition pinned below; the fixes ride each
 # gate's r13 window slot alongside the _dsum migration.
-# Measured 2026-08-15: only q10 trips — its moment aggregates cast
+# Measured 2026-08-15: only q10 tripped — its moment aggregates cast
 # c_acctbal to DECIMAL(28,6) unguarded (DuckDB NaN -> INT128 abort;
 # Spark silent NULL).  q12's above-average subquery goes empty on BOTH
 # engines (AVG turns NaN, nothing compares above it) and q39's
 # correlated MAX matches the NaN holder on BOTH (NaN = NaN is TRUE in
 # each engine's total order), so those agree without a guard.
-EXPECTED_FAIL_CUSTOMER_EDGE: dict[str, str] = {
-    "q10_aggregate_functions": "unguarded c_acctbal decimal moments: NaN aborts the oracle cast (r13 fix)",
-}
+# FIXED r13, dict now empty: q10's sum/avg/moment casts all route
+# through finite_spark (oracle CTE mirrors isfinite before the cast);
+# min/max/has_debt stay unguarded — both engines already agree there.
+EXPECTED_FAIL_CUSTOMER_EDGE: dict[str, str] = {}
 
 
 def _customer_edge_table():
@@ -323,11 +314,12 @@ CUSTOMER_GATES = [
 # see them) under fresh orderkeys (no lineitems).
 # Measured 2026-08-15 after the in-window fixes (r10's vacuous-ASK
 # oracle mirror, r11's XSD-lexical rendering mirror, r17's finite
-# bucket guard landed immediately — those gates are r12-window): one
-# residual out-of-window latent.
-EXPECTED_FAIL_ORDERS_EDGE: dict[str, str] = {
-    "q24_exact_percentiles": "NaN in the percentile input diverges exact quantiles (r13/r14 finite guard)",
-}
+# bucket guard landed immediately — those gates are r12-window).
+# FIXED r13, dict now empty: q24's quantile input is finite-guarded on
+# both engines (Spark finite_spark select, oracle isfinite CTE) — NULL
+# is skipped by both engines' quantile_cont/percentile, so the exact
+# interpolation agrees again.
+EXPECTED_FAIL_ORDERS_EDGE: dict[str, str] = {}
 
 
 def _orders_edge_table():
