@@ -267,20 +267,25 @@ def _signature_relations(spark, sf_dir):
       hashed ONCE to a 60-bit long and only the 8-byte key is persisted —
       the string shingles never shuffle or cache; at 100 TB that's the
       difference between moving text and moving longs.
-    - ``minhashes``: persisted (doc_id, n, m0..m15).  One aggregation pass
-      produces all 16 minhashes AND the shingle-set size (saves a second
-      scan+shuffle of the shingle relation).
+    - ``minhashes``: materialized (doc_id, n, m0..m15).  One aggregation
+      pass produces all 16 minhashes AND the shingle-set size (saves a
+      second scan+shuffle of the shingle relation).
     - ``exploded``: (doc_id, bi, bh) band rows, so candidate generation is
       ONE equi-join on (band_index, band_hash) instead of N_BANDS joins.
-    """
+
+    Both materializations are lazy localCheckpoints, not persist(): each
+    relation feeds multiple downstream joins, and checkpoint storage is
+    released with the RDD when the query's references drop, where
+    persist() pinned executor cache across bench repeats until LRU
+    eviction (the d10/d11 ADVICE r10 class)."""
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).select(
         "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).persist()
+    ).localCheckpoint(eager=False)
     hashed = shingles.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
     minhashes = hashed.groupBy("doc_id").agg(
         F.count("*").alias("n"), *_minhash_min_cols()
-    ).persist()
+    ).localCheckpoint(eager=False)
     banded = minhashes.select("doc_id", *_band_cols())
     return shingles, minhashes, _band_explode(banded)
 
@@ -306,7 +311,9 @@ def _verify_exact_jaccard(cands, shingles, sizes, left: str, right: str):
         .union(cands.select(F.col(right).alias("doc_id")))
         .distinct()
     )
-    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").persist()
+    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     sa = s_cand.select(F.col("doc_id").alias(left), "sh")
     sb = s_cand.select(F.col("doc_id").alias(right), "sh")
     inter = (
@@ -331,7 +338,7 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
     listing), d06 (cluster assignment) and d07 (estimator fidelity).
 
     With ``with_signatures=True`` returns ``(pairs, minhashes)`` where
-    ``minhashes`` is the already-persisted (doc_id, n, m0..m15) signature
+    ``minhashes`` is the already-materialized (doc_id, n, m0..m15) signature
     relation — so d07 joins the signatures this computation materialized
     instead of re-deriving shingles and re-running the 16-lane aggregate
     (a second full shingle scan + shuffle at scale)."""
@@ -343,7 +350,7 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = minhashes.select("doc_id", "n")
     out = _verify_exact_jaccard(cands, shingles, sizes, "doc_a", "doc_b").orderBy(
@@ -823,7 +830,7 @@ def d04(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).select(
         "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
     # block-size guard: the distinct (lang, len_bucket) count table is

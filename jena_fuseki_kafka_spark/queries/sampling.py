@@ -324,7 +324,11 @@ def p04(spark, sf_dir):
         .when(bucket < 925, F.lit("b_val"))
         .otherwise(F.lit("c_eval"))
     )
-    tagged = unit.withColumn("split", split).persist()
+    # lazy localCheckpoint, not persist(): tagged feeds the census agg,
+    # the cluster-size table AND the final join; checkpoint storage is
+    # released with the RDD when the query's references drop, where
+    # persist() pinned executor cache across bench repeats (ADVICE r10)
+    tagged = unit.withColumn("split", split).localCheckpoint(eager=False)
     # cluster-size table: bounded by n_clusters, reused for the dup-doc
     # facet; the straddle count is a 1-row scalar (provably 0 — every
     # cluster hashes to exactly one split) cross-joined broadcast-style
