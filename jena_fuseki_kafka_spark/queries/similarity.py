@@ -44,16 +44,21 @@ def _norm_spark(a):
 
 
 def _nan_to_null(col):
-    """NaN cosines must not survive: a NaN/Inf embedding component (a
-    failed encoder emits them) makes the cosine NaN, and BOTH engines
-    order NaN above every real number and evaluate ``NaN >= t`` as TRUE
-    — so without this guard one corrupt vector near-duplicates the
-    entire corpus and ranks first in every top-k.  Mapping NaN -> NULL
-    gives it the zero-norm treatment: it falls out of thresholds and
-    sorts NULLS LAST in the (explicitly pinned) ranking windows.  The
-    SQL twin wraps _COS_SQL in ``nullif(..., 'nan')`` — NaN = NaN is
-    TRUE under both engines' total order, so nullif catches it."""
-    return F.nanvl(col, F.lit(None).cast("double"))
+    """Non-finite cosines must not survive: a NaN/Inf embedding component
+    (a failed encoder emits them) makes the cosine NaN or ±Inf, and BOTH
+    engines order NaN/+Inf above every real number and evaluate
+    ``NaN >= t`` / ``Inf >= t`` as TRUE — so without this guard one
+    corrupt vector near-duplicates the entire corpus and ranks first in
+    every top-k.  Mapping non-finite -> NULL gives it the zero-norm
+    treatment: it falls out of thresholds and sorts NULLS LAST in the
+    (explicitly pinned) ranking windows.  Routed through the shared
+    ``queries.finite_spark`` (ADVICE r11) so there is ONE non-finite
+    helper definition repo-wide — the bare ``nanvl`` this replaces let a
+    ±Inf cosine (overflowing dot with a finite norm product) through.
+    The SQL twin wraps _COS_SQL in nested ``nullif``s for 'nan', 'inf'
+    and '-inf' — NaN = NaN and Inf = Inf are TRUE under both engines'
+    total order, so nullif catches all three."""
+    return finite_spark(col)
 
 
 def _cos_spark(a, b):
@@ -75,11 +80,11 @@ def _cos_spark(a, b):
 
 
 _COS_SQL = (
-    "nullif("
+    "nullif(nullif(nullif("
     "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
     " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
-    ", CAST('nan' AS DOUBLE))"
+    ", CAST('nan' AS DOUBLE)), CAST('inf' AS DOUBLE)), CAST('-inf' AS DOUBLE))"
 )
 
 
