@@ -1750,7 +1750,7 @@ class TestNonFiniteNumericBuiltins:
     ceil() return LONG and clamp non-finite to Long.Max/MinValue (and
     floor(NaN) to 0).  Both builtin sites in translate.py — the
     term-construction branch (bare SELECT projection) and the plain
-    value path (inside xsd:integer() &c.) — pass any |x| >= 2^53
+    value path (inside xsd:integer() &c.) — pass any |x| >= 2^52
     through unchanged, so a later xsd:integer() try_cast NULLs
     non-finite naturally: type error -> unbound, never a clamped
     9223372036854775807.  Reference behavior: Jena ARQ delegates to
@@ -1804,7 +1804,7 @@ class TestNonFiniteNumericBuiltins:
         assert r is None
 
     def test_big_finite_double_is_identity(self, nfeng):
-        # |x| >= 2^53 doubles are already integral: passthrough, no clamp
+        # |x| >= 2^52 doubles are already integral: passthrough, no clamp
         r = self._one(nfeng, f'FLOOR("1e300"^^<{self.XSD}double>)')
         assert float(r["value"]) == 1e300
 
