@@ -926,7 +926,7 @@ def d07(spark, sf_dir):
     — E[lanes/16] = J is the property the whole LSH scale path rests on,
     and this gate pins the signature agreement down to exact integers per
     pair (a single corrupted lane hash breaks it).  Cost shape: the
-    16-lane signature relation is the PERSISTED one _minhash_pairs already
+    16-lane signature relation is the MATERIALIZED one _minhash_pairs already
     materialized for pair verification (no second shingle scan + shuffle
     — ADVICE r7 fix), plus two signature joins on the (tiny)
     verified-pair relation."""

@@ -395,27 +395,47 @@ def q10(spark, sf_dir):
 @query(
     "q11_order_offset_pagination",
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10 OFFSET 20
+    SELECT 1 AS page, o_orderkey, o_totalprice FROM
+      (SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 10 OFFSET 20)
+    UNION ALL
+    SELECT 2 AS page, o_orderkey, o_totalprice FROM
+      (SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 10 OFFSET 200)
+    ORDER BY page, o_totalprice DESC, o_orderkey
     """,
 )
 def q11(spark, sf_dir):
     """ORDER BY + LIMIT + OFFSET (SPARQL solution modifiers; OFFSET via
-    Spark's native offset)."""
-    return (
+    Spark's native offset).  Widened r13: TWO pages at different offsets
+    (20 and 200) under the same total order, so the hash pins the OFFSET
+    arithmetic at two rank positions — an off-by-one or an unstable sort
+    shifts at least one page boundary.  Each page is a top-(offset+k)
+    heap per partition (TakeOrderedAndProject), never a full global
+    sort, so the second page costs one more bounded pass, not a
+    shuffle."""
+    ordered = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .offset(20)
-        .limit(10)
+    )
+    p1 = ordered.offset(20).limit(10).withColumn("page", F.lit(1))
+    p2 = ordered.offset(200).limit(10).withColumn("page", F.lit(2))
+    return p1.unionByName(p2).orderBy(
+        "page", F.desc("o_totalprice"), "o_orderkey"
     )
 
 
 @query(
     "q12_subquery_above_avg",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_above FROM customer
+    SELECT c_mktsegment, COUNT(*) AS n_above,
+           CAST(SUM(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_above,
+           ROUND(MIN(c_acctbal), 2) AS boundary_bal
+    FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -424,14 +444,23 @@ def q12(spark, sf_dir):
     """Scalar subquery (SPARQL nested SELECT). Decorrelated by Catalyst
     when written as a cross join with a 1-row aggregate.  Widened r8
     (VERDICT r7 item 4 family): per-segment rows instead of one global
-    count, so the hash pins the above-average set's distribution."""
+    count, so the hash pins the above-average set's distribution.
+    Widened r13: the guarded decimal sum of the qualifying balances
+    (their mass, not just their count) and the per-segment MINIMUM
+    qualifying balance — the row closest to the average threshold, so a
+    one-row boundary flip between the engines' float summation orders
+    cannot hash-hide inside a count."""
     c = load(spark, sf_dir, "customer")
     avg = c.agg(F.avg("c_acctbal").alias("a"))
     return (
         c.join(F.broadcast(avg))
         .filter(F.col("c_acctbal") > F.col("a"))
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_above"))
+        .agg(
+            F.count("*").alias("n_above"),
+            _dsumf(F.col("c_acctbal"), "sum_above"),
+            F.round(F.min("c_acctbal"), 2).alias("boundary_bal"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -732,7 +761,8 @@ def q19(spark, sf_dir):
            ROUND(quantile_cont(tp, 0.75), 2) AS p75,
            ROUND(quantile_cont(tp, 0.9), 2) AS p90,
            ROUND(quantile_cont(tp, 0.99), 2) AS p99,
-           ROUND(quantile_cont(tp, 0.75) - quantile_cont(tp, 0.25), 2) AS iqr
+           ROUND(quantile_cont(tp, 0.75) - quantile_cont(tp, 0.25), 2) AS iqr,
+           COUNT(tp) AS n_vals
     FROM og GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -769,6 +799,12 @@ def q24(spark, sf_dir):
                 - F.percentile("tp", F.lit(0.25)),
                 2,
             ).alias("iqr"),
+            # r13 facet: the quantile INPUT mass — pins that the finite
+            # guard admits every real row (equals the group size on
+            # clean data, drops exactly the non-finite rows on hazard
+            # corpora), so a guard that over-filters cannot hash-hide
+            # behind stable-looking quantiles.
+            F.count("tp").alias("n_vals"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1174,7 +1210,9 @@ def q37(spark, sf_dir):
                               THEN l_extendedprice END, 0.50) AS DOUBLE) AS exact_p50,
            CAST(quantile_cont(CASE WHEN isfinite(l_extendedprice)
                               THEN l_extendedprice END, 0.95) AS DOUBLE) AS exact_p95,
-           1 AS p25_ok, 1 AS p50_ok, 1 AS p95_ok
+           1 AS p25_ok, 1 AS p50_ok, 1 AS p95_ok,
+           COUNT(CASE WHEN isfinite(l_extendedprice)
+                 THEN l_extendedprice END) AS n_vals
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -1205,6 +1243,9 @@ def q38(spark, sf_dir):
             F.expr(f"approx_percentile(lep_f, {q}, 10000)").alias(f"a{n}")
             for n, q in pcts.items()
         ],
+        # r13 facet: the sketch INPUT mass (see q24) — an over-filtering
+        # guard cannot hide behind in-tolerance sketch gates.
+        F.count("lep_f").alias("n_vals"),
     )
     def ok(approx, exact):
         return F.when(
@@ -1214,6 +1255,7 @@ def q38(spark, sf_dir):
         "l_returnflag",
         *[F.round(f"exact_{n}", 4).alias(f"exact_{n}") for n in pcts],
         *[ok(f"a{n}", f"exact_{n}").alias(f"{n}_ok") for n in pcts],
+        "n_vals",
     ).orderBy("l_returnflag")
 
 

@@ -228,8 +228,16 @@ class TestJoinStrategy:
         )
         assert m, opt
         # exactly query_id, vec_id, then the computed coarse_cos — no
-        # embedding/qv passthrough into the window exchange
-        assert re.match(r"query_id#\d+L, vec_id#\d+L, round\(", m.group(1)), m.group(1)
+        # embedding/qv passthrough into the window exchange (they appear
+        # only INSIDE the cosine expression).  Since r13 the cosine rides
+        # finite_spark, so the third column is CASE WHEN NOT abs(nanvl(
+        # ...)) = Inf THEN round(...) END rather than a bare round(...).
+        cols = m.group(1)
+        assert re.match(
+            r"query_id#\d+L, vec_id#\d+L, (CASE WHEN |round\()", cols
+        ), cols
+        assert re.search(r" AS coarse_cos#\d+\]$", cols), cols
+        assert cols.count(" AS ") == 1, cols
 
     def test_s09_prune_candidates_ride_cell_equi_join(self, spark):
         # SemDeDup pruning must inherit s03's cost envelope: the only
