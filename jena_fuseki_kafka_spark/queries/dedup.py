@@ -277,7 +277,12 @@ def _signature_relations(spark, sf_dir):
     relation feeds multiple downstream joins, and checkpoint storage is
     released with the RDD when the query's references drop, where
     persist() pinned executor cache across bench repeats until LRU
-    eviction (the d10/d11 ADVICE r10 class)."""
+    eviction (the d10/d11 ADVICE r10 class).  Accepted trade (same as
+    d10/d11): localCheckpoint truncates lineage, so losing an executor
+    holding checkpoint blocks mid-query fails the query instead of
+    recomputing — acceptable for a retryable batch job, but if this
+    engine ever runs under dynamic allocation, swap to reliable
+    checkpoint() or persist()+explicit unpersist."""
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).select(
         "doc_id", _hash60_spark(F.col("shingle")).alias("sh")

@@ -436,8 +436,9 @@ def _edge_events():
         # needs the shared finite_spark/finite_sql guard.  SCOPE NOTE:
         # the same hazard covers the TPC-H DOUBLE columns — the
         # lineitem-edge corpus below probes them; r12 guarded the
-        # mandatory-cohort callers via _dsumf, the remaining _dsum
-        # callers migrate in r13 (EXPECTED_FAIL_LINEITEM_EDGE pins them)
+        # mandatory-cohort callers via _dsumf and r13 migrated every
+        # remaining caller and DELETED _dsum (that corpus's dict is
+        # empty — the probe now guards against regression only)
         (18, 14, 9, "purchase", float("nan"), "{}"),
         (19, 15, 9, "view", float("inf"), "{}"),
         (20, 16, 9, "click", float("-inf"), "{}"),
