@@ -48,6 +48,38 @@ disjunctive join+agg, q18 star join+agg top-k).  q18's HAVING
 (n_items >= 5) and LIMIT survive scaling because every count scales by
 the same k and the ORDER BY total_qty ranking is scale-invariant.
 
+Widened (r13, second pass): three more scaling legs beyond lineitem,
+each with its own exact identity family —
+
+  customer leg (c_custkey offset per copy):
+    q10 — counts and the guarded decimal sum scale by k while MIN/MAX/
+      AVG/COUNT(DISTINCT segment)/bool_or are k-invariant (AVG because
+      the decimal sum is exact: k*S / k*n == S/n).  var/std facets are
+      deliberately UNCHECKED: sample variance uses an n-1 denominator,
+      so duplication shifts it by (n-1)k/(nk-1) — a semantic change,
+      not an engine bug.
+    q12 — the crown identity: the global AVG threshold is invariant
+      under exact duplication, so the above-average SET is the same
+      rows k times over — n_above and sum_above scale exactly by k and
+      the per-segment boundary row is unchanged.  Pins the scalar
+      subquery + broadcast + threshold semantics at scale.
+  orders leg (o_orderkey offset; o_custkey deliberately unchanged):
+    q16 — conditional counts scale by k; COUNT(DISTINCT custkey) is
+      k-invariant because the copies reuse the same customers; EVERY/
+      ANY (min/max over 0/1) are k-invariant; the basis-points facet is
+      k-invariant EXACTLY because floor((k*a*10000)/(k*b)) ==
+      floor((a*10000)/b).
+  documents leg (doc_id offset per copy, text verbatim):
+    d01 — exact dedup under k-fold corpus duplication: n_unique is
+      invariant (same fingerprint set), n_docs and max_group_size scale
+      by k, EVERY group becomes a duplicate group (n_dup_groups ==
+      small n_unique, n_duplicates == k*n_docs - n_unique), and the
+      keeper rule is pinned at scale: keep-MIN(doc_id) must select the
+      copy-0 member of every group, so dup_keeper_checksum equals the
+      sum of per-group MIN(doc_id) over ALL small-scale groups — an
+      auxiliary 3-line aggregate the probe computes itself (no DuckDB
+      at the big scale).
+
 Usage: python tools/scale_probe.py [--k 10] [--sf-dir /root/testdata/sf0.1]
 Exit 0 iff every invariant holds.
 """
@@ -67,37 +99,107 @@ from pyspark.sql import functions as F  # noqa: E402
 from jena_fuseki_kafka_spark.session import build_session  # noqa: E402
 from jena_fuseki_kafka_spark.queries import QUERIES, load  # noqa: E402
 
-# (query, group-key columns, count facets, decimal-sum facets)
+# facet rules: "xk" (scales exactly by k), "const" (k-invariant), or a
+# callable (small_row, k, aux) -> expected big-scale value.  Ints/strings/
+# bools compare exactly; floats at REL_TOL (the exact decimal work happens
+# before the final double cast, so only ulp-level noise is legal).
+# PROBES: (query, leg, group-key columns, {facet: rule})
 PROBES = [
-    ("q01_pricing_summary", ["l_returnflag", "l_linestatus"],
-     ["count_order"], ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]),
-    ("q04_forecast_revenue", [], [], ["revenue"]),
-    ("q19_disjunctive_predicate_join", ["brand"], ["n_items"], ["revenue", "total_qty"]),
-    ("q18_multi_join_part_supplier_stats", ["p_brand", "s_name"],
-     ["n_items"], ["total_qty"]),
+    ("q01_pricing_summary", "lineitem", ["l_returnflag", "l_linestatus"],
+     {"count_order": "xk", "sum_qty": "xk", "sum_base_price": "xk",
+      "sum_disc_price": "xk", "sum_charge": "xk"}),
+    ("q04_forecast_revenue", "lineitem", [], {"revenue": "xk"}),
+    ("q19_disjunctive_predicate_join", "lineitem", ["brand"],
+     {"n_items": "xk", "revenue": "xk", "total_qty": "xk"}),
+    ("q18_multi_join_part_supplier_stats", "lineitem", ["p_brand", "s_name"],
+     {"n_items": "xk", "total_qty": "xk"}),
+    # ROLLUP: every grouping set's sum scales by the same k — subtotal and
+    # grand-total rows included (gid keys keep the levels apart).
+    ("q15_rollup_revenue", "lineitem", ["returnflag", "linestatus", "gid"],
+     {"total": "xk"}),
+    ("q10_aggregate_functions", "customer", ["n_name"],
+     {"n_cust": "xk", "total_bal": "xk", "min_bal": "const",
+      "max_bal": "const", "avg_bal": "const", "n_segments": "const",
+      "has_debt": "const"}),
+    ("q12_subquery_above_avg", "customer", ["c_mktsegment"],
+     {"n_above": "xk", "sum_above": "xk", "boundary_bal": "const"}),
+    ("q16_conditional_agg_case", "orders", ["o_orderpriority"],
+     {"total": "xk", "n_finished": "xk", "n_large": "xk",
+      "n_large_custs": "const", "all_finished": "const",
+      "any_large": "const", "large_bp": "const"}),
+    ("d01_exact_dedup", "documents", [],
+     {"n_unique": "const", "n_docs": "xk", "max_group_size": "xk",
+      "n_dup_groups": lambda srow, k, aux: srow["n_unique"],
+      "n_duplicates": lambda srow, k, aux: k * srow["n_docs"] - srow["n_unique"],
+      "dup_keeper_checksum": lambda srow, k, aux: aux["d01_all_keepers_sum"]}),
 ]
 
 FATAL_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+# Same contract as tests/test_plan_lint.py's BNLJ allowlist: a
+# BroadcastNestedLoopJoin is legal ONLY when the broadcast side is bounded
+# by construction — and that boundedness is exactly scale-invariant, so the
+# kx run inherits the exemption.  Keep in sync with the test's dict.
+BNLJ_ALLOWLIST = {
+    "q12_subquery_above_avg": "scalar AVG subquery: broadcast side is one row",
+}
 REL_TOL = 1e-9
 TIME_TRIPWIRE = 25.0
 
+# leg -> (fact table, key column to offset per copy).  Offsetting ONLY the
+# PK keeps every identity exact: lineitem keeps the (orderkey, linenumber)
+# PK unique with identical join fan-out; orders keeps o_custkey so distinct-
+# customer facets stay k-invariant; documents keeps text verbatim so the
+# fingerprint set is unchanged and copy 0 holds every group's MIN(doc_id).
+LEGS = {
+    "lineitem": ("lineitem", "l_orderkey"),
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "documents": ("documents", "doc_id"),
+}
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
-def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int) -> None:
-    """Materialize k x lineitem (orderkey-offset per copy); link dims."""
-    li = load(spark, sf_dir, "lineitem")
-    max_key = li.agg(F.max("l_orderkey")).collect()[0][0]
+
+def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int, leg: str) -> None:
+    """Materialize k x <fact> (PK-offset per copy); link the other tables."""
+    fact, pk = LEGS[leg]
+    t = load(spark, sf_dir, fact)
+    max_key = t.agg(F.max(pk)).collect()[0][0]
     copies = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * (max_key + 1)))
+        t.withColumn(pk, F.col(pk) + F.lit(i * (max_key + 1)))
         for i in range(k)
     ]
     big = copies[0]
     for c in copies[1:]:
         big = big.unionByName(c)
-    big.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
-    for dim in ("part", "supplier", "orders", "customer", "nation", "region"):
+    big.write.mode("overwrite").parquet(os.path.join(out_dir, f"{fact}.parquet"))
+    for dim in ALL_TABLES:
+        if dim == fact:
+            continue
         src = os.path.join(sf_dir, f"{dim}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(out_dir, f"{dim}.parquet"))
+
+
+def compute_aux(spark, sf_dir: str) -> dict:
+    """Small-scale facts the k-fold identities need beyond the gate's own
+    output.  d01_all_keepers_sum: at kx every fingerprint group is a dup
+    group, so the checksum must equal the sum of per-group MIN(doc_id)
+    over ALL small-scale groups (same fingerprint as d01:
+    md5(canon_text) — queries.canon_text_spark is the single shared
+    definition, so a drift here is a probe bug, not a tolerance)."""
+    from jena_fuseki_kafka_spark.queries import canon_text_spark
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(canon_text_spark(F.col("text")).cast("binary"))
+    val = (
+        d.select(F.col("doc_id"), h.alias("h"))
+        .groupBy("h").agg(F.min("doc_id").alias("keeper"))
+        .agg(F.sum("keeper")).collect()[0][0]
+    )
+    return {"d01_all_keepers_sum": int(val)}
 
 
 def rows_by_key(df, keys):
@@ -108,7 +210,23 @@ def rows_by_key(df, keys):
     return out
 
 
-def check_query(spark, name, keys, counts, sums, sf_dir, big_dir, k):
+def expected(rule, srow, facet, k, aux):
+    if rule == "xk":
+        return k * srow[facet]
+    if rule == "const":
+        return srow[facet]
+    return rule(srow, k, aux)
+
+
+def values_match(got, want):
+    if isinstance(want, float) or isinstance(got, float):
+        if want == 0:
+            return got == 0
+        return abs(got - want) <= REL_TOL * abs(want)
+    return got == want
+
+
+def check_query(spark, name, keys, facets, sf_dir, big_dir, k, aux):
     QUERIES[name](spark, sf_dir).collect()  # JVM/codegen warmup, untimed
     t0 = time.time()
     small = rows_by_key(QUERIES[name](spark, sf_dir), keys)
@@ -116,7 +234,10 @@ def check_query(spark, name, keys, counts, sums, sf_dir, big_dir, k):
 
     big_df = QUERIES[name](spark, big_dir)
     plan = big_df._jdf.queryExecution().executedPlan().toString()
-    bad_nodes = [n for n in FATAL_PLAN_NODES if n in plan]
+    bad_nodes = [
+        n for n in FATAL_PLAN_NODES
+        if n in plan and not (n == "BroadcastNestedLoopJoin" and name in BNLJ_ALLOWLIST)
+    ]
 
     t0 = time.time()
     big = rows_by_key(big_df, keys)
@@ -129,18 +250,10 @@ def check_query(spark, name, keys, counts, sums, sf_dir, big_dir, k):
         brow = big.get(gk)
         if brow is None:
             continue
-        for c in counts:
-            if brow[c] != k * srow[c]:
-                errs.append(f"{gk}.{c}: {brow[c]} != {k} * {srow[c]}")
-        for c in sums:
-            want = k * srow[c]
-            got = brow[c]
-            if want == 0:
-                ok = got == 0
-            else:
-                ok = abs(got - want) <= REL_TOL * abs(want)
-            if not ok:
-                errs.append(f"{gk}.{c}: {got} !~ {k} * {srow[c]}")
+        for c, rule in facets.items():
+            want = expected(rule, srow, c, k, aux)
+            if not values_match(brow[c], want):
+                errs.append(f"{gk}.{c}: {brow[c]} != expected {want} (rule {rule}, small {srow[c]})")
     ratio = t_big / t_small if t_small > 0 else float("inf")
     if ratio > TIME_TRIPWIRE:
         errs.append(f"runtime tripwire: {t_big:.1f}s at {k}x vs {t_small:.1f}s ({ratio:.1f}x > {TIME_TRIPWIRE}x)")
@@ -155,23 +268,30 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("queries", nargs="*", help="probe only these query names")
     args = ap.parse_args()
 
     spark = build_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
-    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    probes = [p for p in PROBES if not args.queries or p[0] in args.queries]
+    aux = compute_aux(spark, args.sf_dir)
+    leg_dirs: dict[str, str] = {}
     try:
-        t0 = time.time()
-        build_scaled_dir(spark, args.sf_dir, tmp, args.k)
-        print(f"materialized {args.k}x lineitem in {time.time() - t0:.1f}s at {tmp}")
         ok = True
-        for name, keys, counts, sums in PROBES:
-            ok &= check_query(spark, name, keys, counts, sums, args.sf_dir, tmp, args.k)
+        for name, leg, keys, facets in probes:
+            if leg not in leg_dirs:
+                tmp = tempfile.mkdtemp(prefix=f"scale_probe_{leg}_")
+                t0 = time.time()
+                build_scaled_dir(spark, args.sf_dir, tmp, args.k, leg)
+                print(f"materialized {args.k}x {leg} in {time.time() - t0:.1f}s at {tmp}")
+                leg_dirs[leg] = tmp
+            ok &= check_query(spark, name, keys, facets, args.sf_dir, leg_dirs[leg], args.k, aux)
         print("scale invariants hold" if ok else "SCALE INVARIANT VIOLATIONS")
         return 0 if ok else 1
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        for tmp in leg_dirs.values():
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
