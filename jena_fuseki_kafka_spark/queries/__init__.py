@@ -90,6 +90,36 @@ def finite_sql(expr: str) -> str:
     return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
+def valid_vector_spark(col, dim: int):
+    """TRUE iff an array<float> column is STRUCTURALLY valid: non-NULL,
+    exactly ``dim`` components, no NULL components.  A truncated write,
+    a failed encoder batch, or a schema-evolved row produces short/NULL
+    vectors in any real 100 TB embedding store, and the two engines'
+    primitives DIVERGE on them: Spark's ``aggregate``/``zip_with``
+    NULL-poison the dot product (zip pads the short side with NULL),
+    while DuckDB's ``list_sum`` SKIPS NULLs and returns a silently
+    partial dot.  Filtering malformed rows at the scan — the same
+    quarantine an ingest pipeline applies — is row-local (no exchange),
+    cheap next to any cosine, and exactly mirrored by valid_vector_sql,
+    so neither engine ever evaluates the divergent primitive.  NON-
+    finite components are deliberately NOT structural: NaN/Inf rows
+    keep their documented cosine-level NULL routing (finite_spark)."""
+    from pyspark.sql import functions as F
+
+    return (
+        col.isNotNull()
+        & (F.size(col) == dim)
+        & ~F.exists(col, lambda v: v.isNull())
+    )
+
+
+def valid_vector_sql(expr: str, dim: int) -> str:
+    """DuckDB twin of valid_vector_spark.  list_count counts non-NULL
+    elements, so ``list_count = len = dim`` pins both the width and the
+    no-NULL-component rule; a NULL array yields NULL and is filtered."""
+    return f"({expr} IS NOT NULL AND len({expr}) = {dim} AND list_count({expr}) = {dim})"
+
+
 def lower_markstrip_spark(col):
     """Cross-engine case fold: lower, then combining marks (\\p{Mn})
     stripped AFTER the lower.  Java's toLowerCase maps U+0130-class

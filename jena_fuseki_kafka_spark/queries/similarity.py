@@ -18,13 +18,30 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, finite_spark, load, query
+from . import fan_out, finite_spark, load, query, valid_vector_spark, valid_vector_sql
 
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id 0..4 are the query set
 N_PLANES = 8
 DIM = 64
 NEAR_DUP_COSINE = 0.95
+
+
+def _emb(spark, sf_dir):
+    """Embeddings scan with the structural-validity quarantine: NULL
+    arrays, wrong-width vectors and NULL components are dropped at the
+    scan on BOTH engines (see queries.valid_vector_spark for why the
+    engines' list primitives diverge on such rows — DuckDB's list_sum
+    would compute silently PARTIAL dots).  Row-local predicate, no
+    exchange; at 100 TB the same rule runs once at ingest and the
+    per-query filter collapses against the already-clean store."""
+    return load(spark, sf_dir, "embeddings").filter(
+        valid_vector_spark(F.col("embedding"), DIM)
+    )
+
+
+# oracle twin: every s-gate's SQL reads embeddings through this relation
+_EMB = f"(SELECT * FROM embeddings WHERE {valid_vector_sql('embedding', DIM)})"
 
 
 def _dot_spark(a, b):
@@ -91,12 +108,12 @@ _COS_SQL = (
 @query(
     "s01_ann_bruteforce_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {_EMB}
                WHERE vec_id < {N_QUERY_VECS}),
     scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND({_COS_SQL.format(a='q.qv', b='e.embedding')}, 4) AS cosine
-      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      FROM q JOIN {_EMB} e ON e.vec_id != q.query_id
     ),
     ranked AS (
       SELECT query_id, vec_id, cosine,
@@ -114,7 +131,7 @@ def s01(spark, sf_dir):
     candidate-generation stage."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm_spark(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -206,7 +223,7 @@ def _bucket_spark(vec):
     "s02_ann_lsh_bucketed",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM {_EMB}
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
           WHERE vec_id < {N_QUERY_VECS}),
@@ -241,7 +258,7 @@ def s02(spark, sf_dir):
     partition the ranking window already shuffled, so no extra exchange."""
     from pyspark.sql import Window
 
-    e = fan_out(load(spark, sf_dir, "embeddings"))
+    e = fan_out(_emb(spark, sf_dir))
     b = e.select(
         "vec_id",
         "embedding",
@@ -272,7 +289,7 @@ CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
 def _near_dup_oracle(threshold: float) -> str:
     return f"""
     WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding AS cv FROM {_EMB}
       WHERE vec_id % {CENTROID_MOD} = 0
     ),
     cell AS (
@@ -281,7 +298,7 @@ def _near_dup_oracle(threshold: float) -> str:
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
-        FROM embeddings e CROSS JOIN c
+        FROM {_EMB} e CROSS JOIN c
       )
     ),
     blocks AS (SELECT vec_id, embedding, cid FROM cell WHERE crk <= {N_PROBE}),
@@ -310,7 +327,7 @@ def _near_dup(spark, sf_dir, threshold: float):
     block failure the previous label-blocked version had at scale."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm_spark(F.col("embedding")))
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -405,7 +422,7 @@ def s06(spark, sf_dir):
     "s04_ann_ivf",
     oracle=f"""
     WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding AS cv FROM {_EMB}
       WHERE vec_id % {CENTROID_MOD} = 0
     ),
     cell AS (
@@ -414,7 +431,7 @@ def s06(spark, sf_dir):
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
-        FROM embeddings e CROSS JOIN c
+        FROM {_EMB} e CROSS JOIN c
       )
     ),
     assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
@@ -448,7 +465,7 @@ def s04(spark, sf_dir):
     table is written bucketed by cell id."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm_spark(F.col("embedding")))
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -549,12 +566,12 @@ def s05(spark, sf_dir):
 # bit-identical everywhere).
 @query(
     "s07_int8_quantization",
-    oracle="""
+    oracle=f"""
     WITH scaled AS (
       SELECT vec_id,
              list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s,
              embedding
-      FROM embeddings
+      FROM {_EMB}
     ),
     quant AS (
       SELECT vec_id,
@@ -586,7 +603,7 @@ def s07(spark, sf_dir):
     candidate join (s02/s04 supply candidates at scale).  Everything is
     JVM ``transform``/``aggregate`` expressions — no Python UDF, no
     driver collect."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
     s = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0
     scaled = e.withColumn("s", s)
     # a non-finite scale (any NaN component makes max_abs NaN; any Inf
@@ -634,12 +651,12 @@ COARSE_C = 50
 @query(
     "s08_prefix_dim_rerank",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {_EMB}
                WHERE vec_id < {N_QUERY_VECS}),
     coarse AS (
       SELECT q.query_id, e.vec_id, e.embedding, q.qv,
              ROUND({_COS_SQL.format(a='q.qv[1:16]', b='e.embedding[1:16]')}, 4) AS coarse_cos
-      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      FROM q JOIN {_EMB} e ON e.vec_id != q.query_id
     ),
     cand AS (
       SELECT query_id, vec_id, embedding, qv, coarse_cos,
@@ -691,7 +708,7 @@ def s08(spark, sf_dir):
     on an optimizer rewrite."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -738,7 +755,7 @@ SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
     "s09_semdedup_prune",
     oracle=f"""
     WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding AS cv FROM {_EMB}
       WHERE vec_id % {CENTROID_MOD} = 0
     ),
     cell AS (
@@ -747,7 +764,7 @@ SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                {{cos_ec}} AS sim
-        FROM embeddings e CROSS JOIN c
+        FROM {_EMB} e CROSS JOIN c
       )
     ),
     assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
@@ -765,7 +782,7 @@ SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
                 ELSE ROUND({{cos_su}}, 4) END AS cover_cos
     FROM assign s
     LEFT JOIN cover ON cover.v = s.vec_id
-    LEFT JOIN embeddings u ON u.vec_id = cover.covered_by
+    LEFT JOIN {_EMB} u ON u.vec_id = cover.covered_by
     ORDER BY s.vec_id
     """.format(
         cos_ec=_COS_SQL.format(a="e.embedding", b="c.cv"),
@@ -792,7 +809,7 @@ def s09(spark, sf_dir):
     representative lookup is an equi-join back to embeddings.  No
     all-pairs work anywhere; every stage is linear in rows at fixed cell
     geometry."""
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm_spark(F.col("embedding")))
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )

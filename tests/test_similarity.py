@@ -131,3 +131,92 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([("a", "b")], ["doc_a", "doc_b"])
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_rounds=0)
+
+
+class TestVectorValidityQuarantine:
+    """Structurally malformed embeddings (NULL array, NULL component,
+    wrong width, empty) must be dropped at the scan by BOTH engines'
+    validity predicates — the engines' list primitives diverge on them
+    (Spark zip_with/aggregate NULL-poison the dot product; DuckDB
+    list_sum SKIPS NULL elements and returns a silently partial dot),
+    so a malformed row reaching a cosine splits the engines."""
+
+    ROWS = [
+        (0, [1.0, 2.0, 3.0], True),
+        (1, None, False),          # NULL array
+        (2, [1.0, None, 3.0], False),  # NULL component
+        (3, [1.0, 2.0], False),    # truncated width
+        (4, [], False),            # empty
+        (5, [0.0, 0.0, 0.0], True),  # zero-norm is VALID (cosine-level NULL)
+        (6, [float("nan"), 1.0, 2.0], True),  # non-finite is VALID (finite_spark path)
+    ]
+
+    def test_spark_and_duckdb_predicates_agree(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from jena_fuseki_kafka_spark.queries import (
+            valid_vector_spark,
+            valid_vector_sql,
+        )
+
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in self.ROWS], type=pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in self.ROWS], type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            path,
+        )
+        want = {r[0] for r in self.ROWS if r[2]}
+
+        got_spark = {
+            r.vec_id
+            for r in spark.read.parquet(path)
+            .filter(valid_vector_spark(F.col("embedding"), 3))
+            .collect()
+        }
+        assert got_spark == want
+
+        con = duckdb.connect()
+        got_duck = {
+            r[0]
+            for r in con.execute(
+                f"SELECT vec_id FROM read_parquet('{path}') "
+                f"WHERE {valid_vector_sql('embedding', 3)}"
+            ).fetchall()
+        }
+        assert got_duck == want
+
+    def test_emb_loader_quarantines(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jena_fuseki_kafka_spark.queries.similarity import DIM, _emb
+
+        rows = [
+            (0, [0.5] * DIM, 0),
+            (1, None, 1),
+            (2, [0.5] * (DIM // 2), 2),
+            (3, ([0.5] * (DIM - 1)) + [None], 3),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in rows], type=pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        got = {r.vec_id for r in _emb(spark, str(tmp_path)).collect()}
+        assert got == {0}

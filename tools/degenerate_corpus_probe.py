@@ -106,6 +106,18 @@ def _edge_embeddings():
     # fall out of thresholds and sort last, like zero-norm
     rows.append((12, vec(lambda i: float("nan") if i == 3 else 0.25), 2))
     rows.append((13, vec(lambda i: float("inf") if i == 7 else 0.25), 3))
+    # STRUCTURALLY malformed rows (r13): NULL array, NULL component,
+    # truncated width, empty array — a failed encoder batch or a
+    # schema-evolved writer produces all four in a real store.  These
+    # must be QUARANTINED at the scan (similarity._emb +
+    # queries.valid_vector_*): the engines' list primitives diverge on
+    # them (Spark zip_with/aggregate NULL-poison the dot; DuckDB
+    # list_sum SKIPS NULL elements and returns a silently partial dot),
+    # so any gate that let one reach a cosine would split the engines.
+    rows.append((14, None, 4))
+    rows.append((15, [0.25 if i != 5 else None for i in range(DIM)], 5))
+    rows.append((16, vec(lambda i: 0.5)[: DIM // 2], 6))
+    rows.append((17, [], 7))
     return rows
 
 
