@@ -132,6 +132,20 @@ PROBES = [
       "n_dup_groups": lambda srow, k, aux: srow["n_unique"],
       "n_duplicates": lambda srow, k, aux: k * srow["n_docs"] - srow["n_unique"],
       "dup_keeper_checksum": lambda srow, k, aux: aux["d01_all_keepers_sum"]}),
+    # events leg: event_id offset, ts/user/type/value verbatim -> every
+    # (hour, event_type) window keeps its identity with k-fold mass, and
+    # st01 must converge to the same scaled answer THROUGH the streaming
+    # machinery (watermark + window + availableNow) — the streaming
+    # family's only scale-axis evidence.  st02's dropDuplicates on
+    # (user_id, event_type) collapses the copies, so its counts are
+    # k-INVARIANT — a state-store dedup that leaked duplicate keys at
+    # bigger input would multiply them instead.
+    ("q20_tumbling_window_hourly", "events", ["hour", "event_type"],
+     {"n_events": "xk", "total_value": "xk"}),
+    ("st01_streaming_tumbling_window", "events", ["hour", "event_type"],
+     {"n_events": "xk", "total_value": "xk"}),
+    ("st02_streaming_dedup_count", "events", ["user_id"],
+     {"n_types": "const"}),
 ]
 
 FATAL_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
@@ -155,6 +169,7 @@ LEGS = {
     "customer": ("customer", "c_custkey"),
     "orders": ("orders", "o_orderkey"),
     "documents": ("documents", "doc_id"),
+    "events": ("events", "event_id"),
 }
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -165,6 +180,32 @@ ALL_TABLES = (
 def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int, leg: str) -> None:
     """Materialize k x <fact> (PK-offset per copy); link the other tables."""
     fact, pk = LEGS[leg]
+    if fact == "events":
+        # the streaming gates read the directory with
+        # pathGlobFilter=events.parquet, which matches leaf FILE names —
+        # a Spark-written events.parquet/ directory's part files would
+        # not match and the stream would silently see zero input.  Build
+        # the copies with pyarrow into ONE file (also preserves the
+        # fixture's exact timestamp[us] schema through the round-trip).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        max_key = pc.max(t[pk]).as_py()
+        idx = t.schema.get_field_index(pk)
+        copies = [
+            t.set_column(idx, pk, pc.add(t[pk], i * (max_key + 1)))
+            for i in range(k)
+        ]
+        pq.write_table(pa.concat_tables(copies), os.path.join(out_dir, "events.parquet"))
+        for dim in ALL_TABLES:
+            if dim == fact:
+                continue
+            src = os.path.join(sf_dir, f"{dim}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(out_dir, f"{dim}.parquet"))
+        return
     t = load(spark, sf_dir, fact)
     max_key = t.agg(F.max(pk)).collect()[0][0]
     copies = [
