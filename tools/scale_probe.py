@@ -79,6 +79,28 @@ each with its own exact identity family —
       sum of per-group MIN(doc_id) over ALL small-scale groups — an
       auxiliary 3-line aggregate the probe computes itself (no DuckDB
       at the big scale).
+  events leg (event_id offset; single-file pyarrow build because the
+  streaming source's pathGlobFilter matches leaf file names):
+    q20 — hourly windows keep their identity with k-fold mass;
+    st01 — the SAME identity through the real streaming machinery
+      (watermark + window + availableNow into a memory sink) — the
+      streaming family's only scale-axis evidence;
+    st02 — dropDuplicates state must collapse the k copies exactly
+      (n_types k-invariant); a state store that leaked duplicate keys
+      at bigger input would multiply them.
+  embeddings leg (vec_id offset, vectors verbatim; requires k >= 10):
+    s01 — brute-force top-k has a CLOSED-FORM answer at kx: each query
+      gains k-1 exact duplicates at cosine 1.0 (out-ranking the
+      near-orthogonal corpus), so ranks 1..k-1 are the query's own
+      copies in vec_id order and rank k is copy 0 of the small rank-1
+      hit with its small cosine — pins the ranking window, tie-break,
+      and broadcast join at 10x corpus size.
+
+BroadcastNestedLoopJoin exemptions are imported from
+tests/test_plan_lint.py's BNLJ_ALLOWED (single source of truth): each
+exemption's boundedness argument (a collected query set, a centroid
+table, a scalar subquery row) is scale-invariant, so the kx run
+inherits it verbatim.
 
 Usage: python tools/scale_probe.py [--k 10] [--sf-dir /root/testdata/sf0.1]
 Exit 0 iff every invariant holds.
@@ -100,9 +122,10 @@ from jena_fuseki_kafka_spark.session import build_session  # noqa: E402
 from jena_fuseki_kafka_spark.queries import QUERIES, load  # noqa: E402
 
 # facet rules: "xk" (scales exactly by k), "const" (k-invariant), or a
-# callable (small_row, k, aux) -> expected big-scale value.  Ints/strings/
-# bools compare exactly; floats at REL_TOL (the exact decimal work happens
-# before the final double cast, so only ulp-level noise is legal).
+# callable (small_row, k, aux, small_rows_by_key) -> expected big-scale
+# value.  Ints/strings/bools compare exactly; floats at REL_TOL (the exact
+# decimal work happens before the final double cast, so only ulp-level
+# noise is legal).
 # PROBES: (query, leg, group-key columns, {facet: rule})
 PROBES = [
     ("q01_pricing_summary", "lineitem", ["l_returnflag", "l_linestatus"],
@@ -129,9 +152,9 @@ PROBES = [
       "any_large": "const", "large_bp": "const"}),
     ("d01_exact_dedup", "documents", [],
      {"n_unique": "const", "n_docs": "xk", "max_group_size": "xk",
-      "n_dup_groups": lambda srow, k, aux: srow["n_unique"],
-      "n_duplicates": lambda srow, k, aux: k * srow["n_docs"] - srow["n_unique"],
-      "dup_keeper_checksum": lambda srow, k, aux: aux["d01_all_keepers_sum"]}),
+      "n_dup_groups": lambda srow, k, aux, small: srow["n_unique"],
+      "n_duplicates": lambda srow, k, aux, small: k * srow["n_docs"] - srow["n_unique"],
+      "dup_keeper_checksum": lambda srow, k, aux, small: aux["d01_all_keepers_sum"]}),
     # events leg: event_id offset, ts/user/type/value verbatim -> every
     # (hour, event_type) window keeps its identity with k-fold mass, and
     # st01 must converge to the same scaled answer THROUGH the streaming
@@ -146,16 +169,42 @@ PROBES = [
      {"n_events": "xk", "total_value": "xk"}),
     ("st02_streaming_dedup_count", "events", ["user_id"],
      {"n_types": "const"}),
+    # embeddings leg: vec_id offset, vectors verbatim -> the brute-force
+    # top-k at kx has a CLOSED-FORM expected answer: each query vector
+    # (vec_id < 5 lives only in copy 0) gains k-1 exact duplicates whose
+    # cosine is 1.0 (rounded; they out-rank everything in the
+    # near-orthogonal corpus), so ranks 1..k-1 are the query's own
+    # copies ordered by vec_id (copy i has id qid + i*(max+1)) and rank
+    # k is copy 0 of the small run's rank-1 hit with its small cosine.
+    # A ranking window, tie-break, or broadcast-join bug at 10x breaks
+    # the identity immediately.  (k must be > TOP_K-1 per the formula
+    # below; the default k=10 fills ranks 1..9 + rank 10.)
+    ("s01_ann_bruteforce_topk", "embeddings", ["query_id", "rk"],
+     {"vec_id": lambda srow, k, aux, small: (
+         srow["query_id"] + srow["rk"] * aux["emb_offset"]
+         if srow["rk"] < k else small[(srow["query_id"], 1)]["vec_id"]),
+      "cosine": lambda srow, k, aux, small: (
+          1.0 if srow["rk"] < k else small[(srow["query_id"], 1)]["cosine"])}),
 ]
 
 FATAL_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
-# Same contract as tests/test_plan_lint.py's BNLJ allowlist: a
-# BroadcastNestedLoopJoin is legal ONLY when the broadcast side is bounded
-# by construction — and that boundedness is exactly scale-invariant, so the
-# kx run inherits the exemption.  Keep in sync with the test's dict.
-BNLJ_ALLOWLIST = {
-    "q12_subquery_above_avg": "scalar AVG subquery: broadcast side is one row",
-}
+
+
+def _bnlj_allowlist() -> dict:
+    """Single source of truth: tests/test_plan_lint.py's BNLJ_ALLOWED.
+    A BroadcastNestedLoopJoin is legal ONLY when the broadcast side is
+    bounded by construction — and that boundedness argument is exactly
+    scale-invariant, so the kx run inherits each exemption verbatim."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", os.path.join(os.path.dirname(__file__), "..", "tests", "test_plan_lint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.BNLJ_ALLOWED
+
+
 REL_TOL = 1e-9
 TIME_TRIPWIRE = 25.0
 
@@ -170,6 +219,7 @@ LEGS = {
     "orders": ("orders", "o_orderkey"),
     "documents": ("documents", "doc_id"),
     "events": ("events", "event_id"),
+    "embeddings": ("embeddings", "vec_id"),
 }
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -240,7 +290,10 @@ def compute_aux(spark, sf_dir: str) -> dict:
         .groupBy("h").agg(F.min("doc_id").alias("keeper"))
         .agg(F.sum("keeper")).collect()[0][0]
     )
-    return {"d01_all_keepers_sum": int(val)}
+    emb_max = (
+        load(spark, sf_dir, "embeddings").agg(F.max("vec_id")).collect()[0][0]
+    )
+    return {"d01_all_keepers_sum": int(val), "emb_offset": int(emb_max) + 1}
 
 
 def rows_by_key(df, keys):
@@ -251,12 +304,12 @@ def rows_by_key(df, keys):
     return out
 
 
-def expected(rule, srow, facet, k, aux):
+def expected(rule, srow, facet, k, aux, small):
     if rule == "xk":
         return k * srow[facet]
     if rule == "const":
         return srow[facet]
-    return rule(srow, k, aux)
+    return rule(srow, k, aux, small)
 
 
 def values_match(got, want):
@@ -267,7 +320,7 @@ def values_match(got, want):
     return got == want
 
 
-def check_query(spark, name, keys, facets, sf_dir, big_dir, k, aux):
+def check_query(spark, name, keys, facets, sf_dir, big_dir, k, aux, bnlj_ok):
     QUERIES[name](spark, sf_dir).collect()  # JVM/codegen warmup, untimed
     t0 = time.time()
     small = rows_by_key(QUERIES[name](spark, sf_dir), keys)
@@ -277,7 +330,7 @@ def check_query(spark, name, keys, facets, sf_dir, big_dir, k, aux):
     plan = big_df._jdf.queryExecution().executedPlan().toString()
     bad_nodes = [
         n for n in FATAL_PLAN_NODES
-        if n in plan and not (n == "BroadcastNestedLoopJoin" and name in BNLJ_ALLOWLIST)
+        if n in plan and not (n == "BroadcastNestedLoopJoin" and name in bnlj_ok)
     ]
 
     t0 = time.time()
@@ -292,7 +345,7 @@ def check_query(spark, name, keys, facets, sf_dir, big_dir, k, aux):
         if brow is None:
             continue
         for c, rule in facets.items():
-            want = expected(rule, srow, c, k, aux)
+            want = expected(rule, srow, c, k, aux, small)
             if not values_match(brow[c], want):
                 errs.append(f"{gk}.{c}: {brow[c]} != expected {want} (rule {rule}, small {srow[c]})")
     ratio = t_big / t_small if t_small > 0 else float("inf")
@@ -316,7 +369,13 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     probes = [p for p in PROBES if not args.queries or p[0] in args.queries]
+    if args.k < 10:
+        # the s01 closed-form (ranks 1..k-1 = query copies, rank k =
+        # small rank-1) holds only for k >= TOP_K
+        probes = [p for p in probes if p[1] != "embeddings"]
+        print(f"k={args.k} < 10: skipping the embeddings leg (identity needs k >= TOP_K)")
     aux = compute_aux(spark, args.sf_dir)
+    bnlj_ok = _bnlj_allowlist()
     leg_dirs: dict[str, str] = {}
     try:
         ok = True
@@ -327,7 +386,7 @@ def main() -> int:
                 build_scaled_dir(spark, args.sf_dir, tmp, args.k, leg)
                 print(f"materialized {args.k}x {leg} in {time.time() - t0:.1f}s at {tmp}")
                 leg_dirs[leg] = tmp
-            ok &= check_query(spark, name, keys, facets, args.sf_dir, leg_dirs[leg], args.k, aux)
+            ok &= check_query(spark, name, keys, facets, args.sf_dir, leg_dirs[leg], args.k, aux, bnlj_ok)
         print("scale invariants hold" if ok else "SCALE INVARIANT VIOLATIONS")
         return 0 if ok else 1
     finally:
