@@ -226,7 +226,9 @@ _CHECK_PRIORITY = [
     # against "no verdict older than 2 rounds at judging".  Window
     # composition this round: 29 mandatory r10-cohort leads (the exact
     # set tools/rotation_planner.py prints) + 15 touched by the r13
-    # burn-down + 6 rotation fill from the r11 cohort = 50 exactly.
+    # burn-down + 6 rotation fill from the r11 cohort = 50 exactly;
+    # the second pass swapped fill slot q32 out for s07 (see the
+    # touched-section note) — still 50 exactly: 29 + 16 + 5.
     # Touched this round (VERDICT r12 items 1-4): the _dsum->_dsumf
     # migration + _dsum deletion (q01 x4, q10 over customer.c_acctbal,
     # q15, q19 x2, q25 — all r13-mandatory except q25) plus q31/q36's
@@ -275,7 +277,12 @@ _CHECK_PRIORITY = [
     # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r12 hazard list):
     # _dsum deletion ripples (q25 + q31/q36 inline casts), q38/q24
     # percentile finite guards, d10 via _signature_relations'
-    # localCheckpoint, s01-s09 (minus s07) via the cosine-Inf reroute --
+    # localCheckpoint, s01-s09 via the cosine-Inf reroute; the r13
+    # second pass then touched the WHOLE s-family again (structural
+    # embedding quarantine: _emb loader + _EMB oracle relation) —
+    # including s07, whose oracle now reads through _EMB, so it joins
+    # the touched set and q32 rotates past the boundary (age 2 at the
+    # r13 check = legal; it leads r14's mandatory set) --
     "q24_exact_percentiles",
     "q25_cube_aggregation",
     "q31_grouping_sets",
@@ -289,6 +296,7 @@ _CHECK_PRIORITY = [
     "s04_ann_ivf",
     "s05_ann_recall_gate",
     "s06_embedding_dup_clusters",
+    "s07_int8_quantization",
     "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
     # ---- rotation fill from the r11 cohort (oldest unstale; eases
@@ -298,8 +306,8 @@ _CHECK_PRIORITY = [
     "q23_funnel_signup_to_purchase",
     "q27_sliding_window",
     "q28_set_operations",
-    "q32_approx_distinct",
     # ---- window boundary here (50 above) ----
+    "q32_approx_distinct",
     # r11-green remainder: age 3 at the r14 check if skipped -- these
     # lead r14's mandatory set (rotate to the very top next round).
     "q33_semi_anti_join",
