@@ -169,6 +169,14 @@ PROBES = [
      {"n_events": "xk", "total_value": "xk"}),
     ("st02_streaming_dedup_count", "events", ["user_id"],
      {"n_types": "const"}),
+    # the RDF surface rides the same leg: each duplicated event (fresh
+    # event_id -> fresh subject IRI) projects k-fold quads, so the
+    # reference's acceptance count and the BGP-join aggregate scale
+    # exactly; r02's LIMIT 20 survives because every total_value scales
+    # by the same k (rank order invariant, user_iri tie-break stable).
+    ("r01_sparql_acceptance_count", "events", [], {"C": "xk"}),
+    ("r02_bgp_join_filter", "events", ["user_iri"],
+     {"n": "xk", "total_value": "xk"}),
     # embeddings leg: vec_id offset, vectors verbatim -> the brute-force
     # top-k at kx has a CLOSED-FORM expected answer: each query vector
     # (vec_id < 5 lives only in copy 0) gains k-1 exact duplicates whose
