@@ -227,8 +227,8 @@ _CHECK_PRIORITY = [
     # composition this round: 29 mandatory r10-cohort leads (the exact
     # set tools/rotation_planner.py prints) + 15 touched by the r13
     # burn-down + 6 rotation fill from the r11 cohort = 50 exactly;
-    # the second pass swapped fill slot q32 out for s07 (see the
-    # touched-section note) — still 50 exactly: 29 + 16 + 5.
+    # the second pass swapped five fill slots (q21/q22/q23/q27/q32) out
+    # for s07 + st01/st02/st03/st09 — still 50 exactly: 29 + 20 + 1.
     # Touched this round (VERDICT r12 items 1-4): the _dsum->_dsumf
     # migration + _dsum deletion (q01 x4, q10 over customer.c_acctbal,
     # q15, q19 x2, q25 — all r13-mandatory except q25) plus q31/q36's
@@ -299,14 +299,25 @@ _CHECK_PRIORITY = [
     "s07_int8_quantization",
     "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
-    # ---- rotation fill from the r11 cohort (oldest unstale; eases
-    # r14's mandatory floor from 27 to 21) ----
+    # streaming non-finite/NULL-ts burn-down (r13 second pass; the first
+    # full events-edge st sweep found six latents): st10/st11 are
+    # mandatory above; st01 (shared windowed_event_counts guard +
+    # watermark mirror), st02 (count("event_type") over the deduped
+    # NULL type), st03/st09 (watermark NULL-ts mirrors) join here --
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st09_streaming_bounded_dedup",
+    # ---- rotation fill from the r11 cohort (oldest unstale) ----
+    "q28_set_operations",
+    # ---- window boundary here (50 above) ----
+    # q21/q22/q23/q27/q32: swapped out for the r13 second pass's touched
+    # gates (s07 + the four streaming fixes); all age 2 at the r13 check
+    # = legal, and they lead r14's mandatory set.
     "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
     "q27_sliding_window",
-    "q28_set_operations",
-    # ---- window boundary here (50 above) ----
     "q32_approx_distinct",
     # r11-green remainder: age 3 at the r14 check if skipped -- these
     # lead r14's mandatory set (rotate to the very top next round).

@@ -19,7 +19,7 @@ import itertools
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from . import load, query
+from . import finite_spark, load, query
 from .streaming_ops import windowed_event_counts
 
 _sink_ids = itertools.count()
@@ -63,8 +63,13 @@ def _run_to_table(df: DataFrame, mode: str) -> str:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL  -- withWatermark drops NULL event times: a row
+                          -- with no event time cannot be assigned a
+                          -- window (batch q20 KEEPS the NULL-hour group;
+                          -- the divergence is the streaming semantic)
     GROUP BY 1, 2
     ORDER BY hour, event_type
     LIMIT 100
@@ -98,7 +103,14 @@ def st02(spark, sf_dir):
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    counts = deduped.groupBy("user_id").agg(F.count("*").alias("n_types"))
+    # count("event_type"), not count("*"): COUNT(DISTINCT event_type)
+    # skips NULL on the oracle side, so the deduped (user, NULL) row
+    # must not count as a type — but it must stay in the stream so a
+    # user whose every event has a NULL type still emits its 0 row
+    # (events-edge, measured r13)
+    counts = deduped.groupBy("user_id").agg(
+        F.count("event_type").alias("n_types")
+    )
     name = _run_to_table(counts, mode="complete")
     return spark.table(name).orderBy("user_id")
 
@@ -113,6 +125,11 @@ def st02(spark, sf_dir):
                      >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WHERE user_id < 50
+        AND ts IS NOT NULL  -- session_window is event-time state: a
+                            -- NULL event time is dropped by the
+                            -- watermark, while this batch CTE would
+                            -- glue it onto the user's LAST session
+                            -- (NULLS LAST + the CASE's ELSE branch)
     ),
     sess AS (
       SELECT user_id, ts,
@@ -546,6 +563,9 @@ def st08(spark, sf_dir):
            COUNT(*) AS n_unique,
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id
     FROM events WHERE user_id < 100
+      AND ts IS NOT NULL  -- dropDuplicatesWithinWatermark keys state by
+                          -- event time: NULL-ts rows are dropped by the
+                          -- watermark before the dedup state sees them
     GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -610,10 +630,14 @@ atexit.register(_cleanup_sink_cache)
     "st10_streaming_file_sink_exactly_once",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
            COUNT(DISTINCT event_id) AS n_ids,
            CAST(0 AS BIGINT) AS rerun_added
     FROM events WHERE user_id < 100
+      AND ts IS NOT NULL  -- the stream is watermarked on ts: NULL event
+                          -- times never reach the sink (streaming
+                          -- semantic, mirrored; events-edge r13)
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -704,7 +728,8 @@ def st10(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.sum(finite_spark(F.col("value"))
+                  .cast("decimal(28,6)")).cast("double").alias("sum_value"),
             F.countDistinct("event_id").alias("n_ids"),
             F.lit(int(n_second - n_first)).cast("long").alias("rerun_added"),
         )
@@ -781,7 +806,7 @@ def _st11_apply_batch(spark, root: str, bdf, batch_id: int) -> None:
     dec = "decimal(28,6)"
     agg = bdf.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.col("value").cast(dec)).cast(dec).alias("sum_value"),
+        F.sum(finite_spark(F.col("value")).cast(dec)).cast(dec).alias("sum_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -822,9 +847,12 @@ def _st11_apply_batch(spark, root: str, bdf, batch_id: int) -> None:
     oracle="""
     WITH st AS (
       SELECT user_id, event_type, COUNT(*) AS n_events,
-             SUM(CAST(value AS DECIMAL(28,6))) AS sv,
+             SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                      AS DECIMAL(28,6))) AS sv,
              MIN(ts) AS fts, MAX(ts) AS lts
       FROM events WHERE user_id < 100
+        AND ts IS NOT NULL  -- watermarked stream: NULL event times are
+                            -- dropped before the foreachBatch merge
       GROUP BY user_id, event_type
     )
     SELECT event_type,

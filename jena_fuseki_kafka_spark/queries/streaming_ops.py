@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import finite_spark
+
 
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
@@ -25,7 +27,13 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+            # finite_spark: the same guard every batch value-sum carries
+            # (q20/q44 et al.) — Spark's non-finite -> decimal cast
+            # silently NULLs where DuckDB's ERRORS, so an unguarded
+            # streaming sum silently drops on one engine and aborts the
+            # oracle on the other (events-edge, measured r13)
+            F.sum(finite_spark(F.col("value"))
+                  .cast("decimal(28,6)")).cast("double").alias("total_value"),
         )
         .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
     )
