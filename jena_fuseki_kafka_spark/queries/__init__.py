@@ -227,8 +227,9 @@ _CHECK_PRIORITY = [
     # composition this round: 29 mandatory r10-cohort leads (the exact
     # set tools/rotation_planner.py prints) + 15 touched by the r13
     # burn-down + 6 rotation fill from the r11 cohort = 50 exactly;
-    # the second pass swapped five fill slots (q21/q22/q23/q27/q32) out
-    # for s07 + st01/st02/st03/st09 — still 50 exactly: 29 + 20 + 1.
+    # the second pass swapped ALL six fill slots (q21/q22/q23/q27/q28/
+    # q32) out for s07 + st01/st02/st03/st09 + u01 — still 50 exactly:
+    # 29 mandatory + 21 touched.
     # Touched this round (VERDICT r12 items 1-4): the _dsum->_dsumf
     # migration + _dsum deletion (q01 x4, q10 over customer.c_acctbal,
     # q15, q19 x2, q25 — all r13-mandatory except q25) plus q31/q36's
@@ -308,12 +309,15 @@ _CHECK_PRIORITY = [
     "st02_streaming_dedup_count",
     "st03_streaming_session_window",
     "st09_streaming_bounded_dedup",
-    # ---- rotation fill from the r11 cohort (oldest unstale) ----
-    "q28_set_operations",
+    # u01's oracle gained the empty-corpus shape guard (per-graph rows
+    # vanish with their quads instead of hard-coding 0-count rows) --
+    "u01_update_sequence",
     # ---- window boundary here (50 above) ----
-    # q21/q22/q23/q27/q32: swapped out for the r13 second pass's touched
-    # gates (s07 + the four streaming fixes); all age 2 at the r13 check
-    # = legal, and they lead r14's mandatory set.
+    # q21/q22/q23/q27/q28/q32: swapped out for the r13 second pass's
+    # touched gates (s07, the four streaming fixes, u01's oracle shape
+    # guard); all age 2 at the r13 check = legal, they lead r14's
+    # mandatory set.
+    "q28_set_operations",
     "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",

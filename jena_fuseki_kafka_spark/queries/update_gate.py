@@ -41,6 +41,13 @@ from .rdf_surface import EX, _customer_quads
            (SELECT COUNT(DISTINCT s) FROM subj WHERE seg <> 'BUILDING') AS n_subjects,
            (SELECT MIN(s) FROM subj WHERE seg <> 'BUILDING') AS min_subject,
            (SELECT MAX(s) FROM subj WHERE seg <> 'BUILDING') AS max_subject
+    -- in the quad-table model an empty graph is an ABSENT graph (the
+    -- invariant the scratch cycle below proves), so the per-graph rows
+    -- derived from customer must vanish with their quads on a
+    -- degenerate corpus instead of hard-coding a 0-count row (the r16
+    -- oracle-shape artifact class; found by the empty-corpus probe r13)
+    WHERE (SELECT COUNT(*) FROM subj WHERE seg <> 'BUILDING')
+            + (SELECT COUNT(*) FROM subj WHERE seg = 'MACHINERY') > 0
     UNION ALL
     SELECT 'http://example.org/copied', 3, 3,
            'http://example.org/l0', 'http://example.org/l2'
@@ -56,6 +63,7 @@ from .rdf_surface import EX, _customer_quads
            (SELECT COUNT(DISTINCT s) FROM subj WHERE seg = 'BUILDING'),
            (SELECT MIN(s) FROM subj WHERE seg = 'BUILDING'),
            (SELECT MAX(s) FROM subj WHERE seg = 'BUILDING')
+    WHERE (SELECT COUNT(*) FROM subj WHERE seg = 'BUILDING') > 0
     ORDER BY graph
     """,
 )
