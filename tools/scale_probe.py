@@ -177,6 +177,15 @@ PROBES = [
     ("r01_sparql_acceptance_count", "events", [], {"C": "xk"}),
     ("r02_bgp_join_filter", "events", ["user_iri"],
      {"n": "xk", "total_value": "xk"}),
+    # the skew family — the gates that exist BECAUSE of scale — at 10x
+    # the hot-key mass: q35's salted aggregation masses scale by k, and
+    # q40's salted fact-dim join keeps the exact same qualifying set
+    # because its division-free predicate cancels k exactly in decimal
+    # (v * (k*n) > k*sum <=> v*n > sum), so n_above/sum_above scale by k.
+    ("q35_salted_skew_agg", "events", ["event_type"],
+     {"n": "xk", "sum_value": "xk"}),
+    ("q40_salted_fact_dim_join", "events", ["event_type"],
+     {"n_above": "xk", "sum_above": "xk"}),
     # embeddings leg: vec_id offset, vectors verbatim -> the brute-force
     # top-k at kx has a CLOSED-FORM expected answer: each query vector
     # (vec_id < 5 lives only in copy 0) gains k-1 exact duplicates whose
