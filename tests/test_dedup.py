@@ -538,13 +538,20 @@ class TestDsumFiniteGuard:
         """s07's quantizer routes a non-finite scale (any NaN/Inf
         component) to the zero vector, like zero-norm — the int cast
         aborted on BOTH engines before r12."""
-        from jena_fuseki_kafka_spark.queries.similarity import s07
+        from jena_fuseki_kafka_spark.queries.similarity import DIM, s07
+
+        # vectors must be DIM-wide: the r13 structural quarantine
+        # (similarity._emb) drops wrong-width rows at the scan, and this
+        # test is about the QUANTIZER's non-finite handling, which only
+        # structurally-valid rows reach
+        def vec(head):
+            return head + [0.0] * (DIM - len(head))
 
         rows = [
-            (1, [3.0, -6.0, 0.0, 1.5]),            # clean: max_abs 6 -> 127
-            (2, [float("nan"), 1.0, 1.0, 1.0]),    # NaN component
-            (3, [float("inf"), 1.0, 1.0, 1.0]),    # Inf component
-            (4, [0.0, 0.0, 0.0, 0.0]),             # zero norm
+            (1, vec([3.0, -6.0, 0.0, 1.5])),          # clean: max_abs 6 -> 127
+            (2, vec([float("nan"), 1.0, 1.0, 1.0])),  # NaN component
+            (3, vec([float("inf"), 1.0, 1.0, 1.0])),  # Inf component
+            (4, vec([])),                              # zero norm
         ]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         import os
