@@ -186,6 +186,13 @@ PROBES = [
      {"n": "xk", "sum_value": "xk"}),
     ("q40_salted_fact_dim_join", "events", ["event_type"],
      {"n_above": "xk", "sum_above": "xk"}),
+    # leakage-safe time split: per-split event masses scale by k while
+    # the split BOUNDARIES are k-invariant — distinct users, first/last
+    # timestamps per (split, type), and the summary row's train->test
+    # gap and embargo verdict must not move when the corpus grows.
+    ("p06_time_embargo_split", "events", ["split", "event_type"],
+     {"n_events": "xk", "n_users": "const", "first_ts": "const",
+      "last_ts": "const", "gap_us": "const", "embargo_ok": "const"}),
     # embeddings leg: vec_id offset, vectors verbatim -> the brute-force
     # top-k at kx has a CLOSED-FORM expected answer: each query vector
     # (vec_id < 5 lives only in copy 0) gains k-1 exact duplicates whose
