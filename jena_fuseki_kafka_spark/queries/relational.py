@@ -615,7 +615,8 @@ def q16(spark, sf_dir):
            replace(p_name, 'a', '@') AS name_subst,
            sha256(p_name) AS name_sha256,
            starts_with(p_name, 'a') AS starts_a,
-           split_part(p_type, ' ', 2) AS type_mid,
+           CASE WHEN p_type IS NULL THEN NULL
+                ELSE split_part(p_type, ' ', 2) END AS type_mid,
            levenshtein(p_brand, 'Brand#11') AS brand_dist,
            instr(p_name, 'le') AS le_pos,
            reverse(p_type) AS type_rev,
@@ -632,7 +633,13 @@ def q17(spark, sf_dir):
     split/reverse/pad/translate forms ARQ exposes via its fn: library.
     All row-local, zero shuffles beyond the final ORDER BY; p_* strings
     here are ASCII so lower() is engine-parity-safe (the non-ASCII
-    lower() boundary is probed by tools/unicode_parity_probe.py)."""
+    lower() boundary is probed by tools/unicode_parity_probe.py).
+    NULL-input parity (part-supplier-edge corpus, r13): every function
+    here is NULL-in/NULL-out on both engines EXCEPT DuckDB's
+    split_part, which returns '' on NULL input where Spark (and
+    Postgres) return NULL — the oracle carries an explicit IS NULL
+    CASE mirror on type_mid; the engine keeps the standard
+    NULL-propagating semantic."""
     p = load(spark, sf_dir, "part")
     return (
         p.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 20) & F.col("p_name").rlike("a.*e"))

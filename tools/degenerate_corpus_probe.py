@@ -409,6 +409,101 @@ LINEITEM_GATES = [
 ]
 
 
+# r13 close-out: the LAST two unprobed double columns in the schema —
+# part.p_retailprice (never read by any gate: scan-pruning evidence
+# only) and supplier.s_acctbal (q08's `> 9000` filter: NaN compares
+# GREATER than any real on BOTH engines, so the NaN/Inf holders flow
+# INTO the union output and the hash pins that agreement) — plus the
+# NULL hazards the part/supplier readers never met: NULL p_brand/p_type
+# through q17's 16-expression builtin surface (every function is
+# NULL-in/NULL-out on both engines), NULL p_size/p_name through the
+# q08/q17/q18/q19 filter predicates (three-valued logic drops them
+# identically), NULL s_name into q08's output, NULL s_nationkey into
+# q03's join (inner-join drop on both).  Part hazard rows take NEGATIVE
+# partkeys: p_partkey is the PK (uniqueness preserved) and q17 is
+# `ORDER BY p_partkey LIMIT 50`, so negative keys rank FIRST and the
+# hazard rows actually enter the compared window on both engines —
+# max+1 keys would sort past the limit and leave the expression surface
+# unprobed while the dict claimed it measured.
+# Measured 2026-08-16: the FIRST run caught a real engine-primitive
+# divergence — DuckDB's split_part returns '' on NULL input where
+# Spark (and Postgres) return NULL, so q17's type_mid split the
+# engines on the NULL-p_type hazard row.  FIXED same session (q17 is
+# r13-window): the oracle carries an IS NULL CASE mirror; the engine
+# keeps the standard NULL-propagating semantic.  Dict empty after the
+# fix; the corpus stays as the regression tripwire.
+EXPECTED_FAIL_PART_SUPPLIER_EDGE: dict[str, str] = {}
+
+
+def _part_supplier_edge_tables():
+    """sf0.001 part + supplier, each with hazard rows appended
+    column-wise via pyarrow (a pandas round-trip would NULL the NaN)."""
+    nan, inf = float("nan"), float("inf")
+
+    part = pq.read_table(os.path.join(FIXTURES, "part.parquet"))
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    part_hazards = [
+        (-1, "apple grove hazard", None, None, 15, nan),
+        (-2, "azure pane", "Brand#12", "ECONOMY BRASS", None, inf),
+        (-3, None, "Brand#23", "STANDARD", 50, -inf),
+        (-4, "", "Brand#15", "PROMO", 46, nan),
+        (-5, "a minimal case", "Brand#5", None, 12, 0.0),
+        (-6, "astute name here", None, "ECONOMY ANODIZED", 20, inf),
+    ]
+    cols = {
+        "p_partkey": pa.array([h[0] for h in part_hazards], type=pa.int64()),
+        "p_name": pa.array([h[1] for h in part_hazards]),
+        "p_brand": pa.array([h[2] for h in part_hazards]),
+        "p_type": pa.array([h[3] for h in part_hazards]),
+        "p_size": pa.array([h[4] for h in part_hazards], type=pa.int32()),
+        "p_retailprice": pa.array([h[5] for h in part_hazards], type=pa.float64()),
+    }
+    part_out = pa.concat_tables(
+        [part, pa.table({n: cols[n] for n in part.schema.names}).cast(part.schema)]
+    )
+    rp = part_out.column("p_retailprice").to_pylist()
+    assert any(v is not None and v != v for v in rp), "NaN hazard lost"
+
+    supp = pq.read_table(os.path.join(FIXTURES, "supplier.parquet"))
+    import pyarrow.compute as pc
+
+    base = pc.max(supp.column("s_suppkey")).as_py() + 1
+    # (s_name, s_nationkey, s_acctbal)
+    supp_hazards = [
+        ("Supplier#HAZ00", 15, nan),     # NaN > 9000 TRUE both: in q08 output
+        ("Supplier#HAZ01", 19, inf),     # Inf > 9000 TRUE both
+        ("Supplier#HAZ02", 3, -inf),     # -Inf > 9000 FALSE both
+        ("Supplier#HAZ03", 7, None),     # NULL filter-drop both
+        (None, 15, 9500.0),              # NULL name INTO q08 output
+        ("Supplier#HAZ05", None, 9400.0),  # NULL nationkey: q03 join-drop
+    ]
+    scols = {
+        "s_suppkey": pa.array(
+            [base + i for i in range(len(supp_hazards))], type=pa.int64()
+        ),
+        "s_name": pa.array([h[0] for h in supp_hazards]),
+        "s_nationkey": pa.array([h[1] for h in supp_hazards], type=pa.int32()),
+        "s_acctbal": pa.array([h[2] for h in supp_hazards], type=pa.float64()),
+    }
+    supp_out = pa.concat_tables(
+        [supp, pa.table({n: scols[n] for n in supp.schema.names}).cast(supp.schema)]
+    )
+    bal = supp_out.column("s_acctbal").to_pylist()
+    assert any(v is not None and v != v for v in bal), "NaN hazard lost"
+    return part_out, supp_out
+
+
+# every gate that reads part or supplier (grep-verified: no other
+# module touches either table; neither flows into the quad store)
+PART_SUPPLIER_GATES = [
+    "q03_local_supplier_volume",
+    "q08_union_all_parts_suppliers",
+    "q17_string_functions",
+    "q18_multi_join_part_supplier_stats",
+    "q19_disjunctive_predicate_join",
+]
+
+
 def _edge_events():
     """Synthetic events with every NULL/extreme the real fixtures lack.
     Times are pinned (no wall clock) so verdicts are reproducible."""
@@ -488,6 +583,18 @@ def build_corpus(kind: str, tmp: str) -> None:
             ),
             os.path.join(tmp, "events.parquet"),
         )
+        return
+    if kind == "part-supplier-edge":
+        for t in TABLES:
+            if t in ("part", "supplier"):
+                continue
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        part_out, supp_out = _part_supplier_edge_tables()
+        pq.write_table(part_out, os.path.join(tmp, "part.parquet"))
+        pq.write_table(supp_out, os.path.join(tmp, "supplier.parquet"))
         return
     if kind == "orders-edge":
         for t in TABLES:
@@ -600,6 +707,7 @@ def main() -> int:
         choices=[
             "empty", "edge", "events-edge",
             "lineitem-edge", "customer-edge", "orders-edge",
+            "part-supplier-edge",
         ],
         default="empty",
     )
@@ -612,6 +720,7 @@ def main() -> int:
         "lineitem-edge": EXPECTED_FAIL_LINEITEM_EDGE,
         "customer-edge": EXPECTED_FAIL_CUSTOMER_EDGE,
         "orders-edge": EXPECTED_FAIL_ORDERS_EDGE,
+        "part-supplier-edge": EXPECTED_FAIL_PART_SUPPLIER_EDGE,
     }[args.corpus]
     if args.gates:
         gates = args.gates
@@ -621,6 +730,8 @@ def main() -> int:
         gates = CUSTOMER_GATES
     elif args.corpus == "orders-edge":
         gates = ORDERS_GATES
+    elif args.corpus == "part-supplier-edge":
+        gates = PART_SUPPLIER_GATES
     elif args.corpus == "events-edge":
         # the streaming family is IN this corpus's default sweep (r13):
         # the NaN value + NULL ts rows are exactly the hazards their
