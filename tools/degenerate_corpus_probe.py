@@ -432,6 +432,17 @@ LINEITEM_GATES = [
 # r13-window): the oracle carries an IS NULL CASE mirror; the engine
 # keeps the standard NULL-propagating semantic.  Dict empty after the
 # fix; the corpus stays as the regression tripwire.
+# Systematic follow-up (same session): audited every scalar function
+# the oracles use against NULL inputs in DuckDB — the full
+# non-NULL-propagating set is {split_part, concat, concat_ws,
+# greatest, least, list_sum}.  concat_ws/greatest/least skip NULLs on
+# BOTH engines (no divergence); DuckDB concat skips where Spark
+# F.concat NULL-poisons, but every F.concat site is an IRI builder
+# whose NULL components are dropped pre-quad with IS NOT NULL oracle
+# mirrors (events-edge/orders-edge probe that), and SPARQL CONCAT's
+# NULL-in/unbound-out matches ARQ; list_sum's NULL-element skipping is
+# exactly why malformed embeddings are quarantined at the scan.  So
+# split_part was the last unguarded member of the class.
 EXPECTED_FAIL_PART_SUPPLIER_EDGE: dict[str, str] = {}
 
 
