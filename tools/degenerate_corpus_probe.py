@@ -78,6 +78,16 @@ EDGE_DOCS = [
     (11, f"train doc quoting {SHARED_RUN} verbatim in full", "en", "src1"),
     (12, "a perfectly ordinary document with enough distinct words to pass every gate", "en", "src2"),
     (13, None, "en", "src3"),  # NULL text: inevitable in any 100 TB corpus
+    # r13 close-out: NULL metadata — inevitable at 100 TB, and the one
+    # documents hazard class the corpus lacked.  A NULL lang falls out
+    # of d04's (lang, len_bucket) equi-join blocking on BOTH engines
+    # (NULL keys never match: such a doc escapes blocked dedup
+    # entirely — the SQL-join semantic, identical in Spark and DuckDB)
+    # and groups as its own NULL group in the lang aggregates; a NULL
+    # source drops from p03's rate join the same way.  The probe pins
+    # that both engines agree on every such path.
+    (14, "an ordinary enough document with plenty of distinct words", None, "src1"),
+    (15, "another unremarkable document body for the source hazard", "en", None),
     (20, f"benchmark sampled doc containing {SHARED_RUN} inside it", "en", "src3"),
     (52, f"second sampled benchmark doc {SHARED_RUN} again for overlap", "en", "src0"),
 ]
