@@ -1,0 +1,111 @@
+"""NULL-propagation parity tripwire for the oracle SQL surface.
+
+r13's part-supplier-edge corpus caught a real engine-primitive
+divergence: DuckDB's ``split_part`` returns ``''`` on NULL input where
+Spark (and Postgres) return NULL, which split q17's ``type_mid`` on a
+NULL ``p_type`` row.  A same-session audit of every scalar function any
+oracle uses found the full non-NULL-propagating DuckDB set to be
+``{split_part, concat, concat_ws, greatest, least, list_sum}`` — of
+which concat_ws/greatest/least skip NULLs identically on BOTH engines
+(no hazard), bare ``concat`` appears in no oracle (they use the
+NULL-propagating ``||``), list_sum's NULL-element skipping is why
+malformed embeddings are quarantined at the scan, and split_part now
+carries an IS NULL CASE mirror in q17's oracle.
+
+These tests pin each leg of that audit so it cannot silently rot:
+a new oracle adopting a hazard function, a DuckDB upgrade changing a
+primitive's NULL behavior, or a Spark upgrade breaking the "skips
+NULLs on both engines" class all fail here, cheaply (one DuckDB
+connection, one trivial Spark row).
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jena_fuseki_kafka_spark.queries import ORACLES
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def test_no_oracle_uses_bare_concat():
+    # DuckDB concat SKIPS NULL args; Spark F.concat NULL-poisons.  The
+    # oracles must stick to `||`, which NULL-propagates on both.
+    offenders = [
+        name for name, sql in ORACLES.items()
+        if re.search(r"(?<![a-z_])concat\s*\(", sql, re.I)
+        and not re.search(r"(?<![a-z_])concat_ws\s*\(", sql, re.I)
+    ]
+    # concat_ws is allowed (NULL-skipping on BOTH engines); a name that
+    # has bare concat alongside concat_ws would hide in the filter
+    # above, so check precisely: strip concat_ws tokens, then look.
+    precise = [
+        name for name, sql in ORACLES.items()
+        if re.search(r"(?<![a-z_])concat\s*\(", re.sub(r"concat_ws", "", sql, flags=re.I), re.I)
+    ]
+    assert offenders == [] and precise == [], (offenders, precise)
+
+
+def test_split_part_sites_are_null_guarded():
+    # Every oracle-side split_part must sit behind an IS NULL CASE on a
+    # nullable input (DuckDB: split_part(NULL,..) = '', not NULL).
+    for name, sql in ORACLES.items():
+        n_calls = len(re.findall(r"split_part\s*\(", sql, re.I))
+        if not n_calls:
+            continue
+        n_guards = len(re.findall(r"CASE\s+WHEN\s+\S+\s+IS\s+NULL\s+THEN\s+NULL", sql, re.I))
+        assert n_guards >= n_calls, (
+            f"{name}: {n_calls} split_part call(s) but only {n_guards} "
+            "IS-NULL CASE guard(s) — DuckDB split_part returns '' on "
+            "NULL input where Spark returns NULL"
+        )
+
+
+def test_duckdb_null_behavior_pins(con):
+    # The audited DuckDB facts the oracles' guards are built on.  A
+    # DuckDB upgrade flipping any of these invalidates a documented
+    # mirror (q17's split_part CASE, the embeddings quarantine
+    # rationale) — fail loudly so the mirror gets re-justified.
+    row = con.execute(
+        "SELECT split_part(NULL::VARCHAR,' ',2),"
+        "       concat(NULL::VARCHAR,'a'),"
+        "       concat_ws(',',NULL::VARCHAR,'a'),"
+        "       greatest(NULL::DOUBLE, 1.0),"
+        "       least(NULL::DOUBLE, 1.0),"
+        "       list_sum([1.0, NULL])"
+    ).fetchone()
+    assert row[0] == ""        # split_part: non-propagating ('' on NULL)
+    assert row[1] == "a"       # concat: skips NULL args
+    assert row[2] == "a"       # concat_ws: skips NULL args
+    assert row[3] == 1.0       # greatest: ignores NULL
+    assert row[4] == 1.0       # least: ignores NULL
+    assert float(row[5]) == 1.0  # list_sum: SKIPS NULL elements
+
+
+def test_spark_side_class_semantics(spark):
+    # The "safe on both engines" class must stay safe on the Spark
+    # side, and split_part must stay NULL-propagating (the engine-side
+    # semantic q17 keeps).
+    row = (
+        spark.range(1)
+        .select(
+            F.expr("split_part(CAST(NULL AS STRING), ' ', 2)").alias("sp"),
+            F.concat_ws(",", F.lit(None).cast("string"), F.lit("a")).alias("cw"),
+            F.greatest(F.lit(None).cast("double"), F.lit(1.0)).alias("g"),
+            F.least(F.lit(None).cast("double"), F.lit(1.0)).alias("l"),
+            F.concat(F.lit(None).cast("string"), F.lit("a")).alias("c"),
+        )
+        .first()
+    )
+    assert row["sp"] is None   # split_part NULL-propagates in Spark
+    assert row["cw"] == "a"    # concat_ws skips NULLs (matches DuckDB)
+    assert row["g"] == 1.0     # greatest ignores NULL (matches DuckDB)
+    assert row["l"] == 1.0     # least ignores NULL (matches DuckDB)
+    assert row["c"] is None    # concat NULL-poisons — why oracles use ||
