@@ -27,8 +27,10 @@ in ONE session under two deliberately hostile runtime shapes:
 and asserts the order-insensitive value hash (the driver's own compare,
 reused from tools/check_correctness.py — floats at 6 significant
 digits, so only genuine instability trips; ulp noise does not) is
-IDENTICAL.  Streaming gates are exercised on the scale-probe axis
-instead (their micro-batch machinery pins its own state partitioning).
+IDENTICAL.  Three streaming gates are in the default set too: a new
+streaming query takes its state-store partition count from the shuffle
+partitioning, so shape B runs the same pipelines over 47 state
+partitions — the state machinery must converge to the same answer.
 
 Like every probe in this family the measured partition must match
 EXPECTED_DIFFER exactly (exit 0 iff it does): a gate newly diverging
@@ -94,6 +96,14 @@ GATES = [
     "p01_stratified_sample",
     "p06_time_embargo_split",
     "m07_image_phash_neardup",
+    # streaming: state-store partition count follows shuffle partitions
+    # for a NEW query, so shape B runs the same pipeline over 47 state
+    # partitions and tiny input splits — windowed aggregation, dedup
+    # state, and flatMapGroupsWithState-style first-seen all must
+    # converge to the same answer (measured stable 2026-08-16)
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st04_streaming_first_seen",
 ]
 
 SHAPES = {
