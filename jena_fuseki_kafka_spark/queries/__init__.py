@@ -120,6 +120,31 @@ def valid_vector_sql(expr: str, dim: int) -> str:
     return f"({expr} IS NOT NULL AND len({expr}) = {dim} AND list_count({expr}) = {dim})"
 
 
+# Unicode-version skew supplements for the cross-engine case fold.
+# The engine folds with Java's lower() + \\p{Mn} strip; the oracle with
+# utf8proc's (DuckDB) — and the two trail the Unicode standard by
+# different amounts in BOTH directions, so the raw primitives diverge
+# on 218 codepoints (full-space sweep, 2026-08-16):
+#   - 147 combining marks (Unicode 14+: U+0898.. Arabic, U+1ACC..,
+#     the U+1CF00.. Znamenny block) utf8proc strips but Java's regex
+#     tables don't know -> the ENGINE strips them explicitly;
+#   - 70 uppercase letters (Vithkuqi U+10570.., Latin Ext-D additions
+#     like U+A7CB -> U+0264) the JVM lowers but utf8proc keeps -> the
+#     ORACLE maps them via translate() before lower();
+#   - U+1734 HANUNOO PAMUDPOD, reclassified Mn -> Mc, which Java still
+#     strips but utf8proc no longer does -> the ORACLE strips it.
+# With the supplements both folds compute the UNION semantic (fold per
+# the newest tables either engine knows), so fingerprints agree across
+# the entire codepoint space.  Generated by
+# tools/gen_unicode_fold_skew.py (--check re-measures; run after any
+# Spark/JVM or DuckDB upgrade); tests/test_unicode_fold_skew.py pins
+# zero divergence over the candidate sweep.
+_FOLD_ENGINE_STRIP = "\u0898\u0899\u089a\u089b\u089c\u089d\u089e\u089f\u08ca\u08cb\u08cc\u08cd\u08ce\u08cf\u08d0\u08d1\u08d2\u0c3c\u0ece\u180f\u1ac1\u1ac2\u1ac3\u1ac4\u1ac5\u1ac6\u1ac7\u1ac8\u1ac9\u1aca\u1acb\u1acc\u1acd\u1ace\u1dfa\U00010efd\U00010efe\U00010eff\U00010f82\U00010f83\U00010f84\U00010f85\U00011070\U00011073\U00011074\U000110c2\U00011241\U00011f00\U00011f01\U00011f36\U00011f37\U00011f38\U00011f39\U00011f3a\U00011f40\U00011f42\U00013440\U00013447\U00013448\U00013449\U0001344a\U0001344b\U0001344c\U0001344d\U0001344e\U0001344f\U00013450\U00013451\U00013452\U00013453\U00013454\U00013455\U0001cf00\U0001cf01\U0001cf02\U0001cf03\U0001cf04\U0001cf05\U0001cf06\U0001cf07\U0001cf08\U0001cf09\U0001cf0a\U0001cf0b\U0001cf0c\U0001cf0d\U0001cf0e\U0001cf0f\U0001cf10\U0001cf11\U0001cf12\U0001cf13\U0001cf14\U0001cf15\U0001cf16\U0001cf17\U0001cf18\U0001cf19\U0001cf1a\U0001cf1b\U0001cf1c\U0001cf1d\U0001cf1e\U0001cf1f\U0001cf20\U0001cf21\U0001cf22\U0001cf23\U0001cf24\U0001cf25\U0001cf26\U0001cf27\U0001cf28\U0001cf29\U0001cf2a\U0001cf2b\U0001cf2c\U0001cf2d\U0001cf30\U0001cf31\U0001cf32\U0001cf33\U0001cf34\U0001cf35\U0001cf36\U0001cf37\U0001cf38\U0001cf39\U0001cf3a\U0001cf3b\U0001cf3c\U0001cf3d\U0001cf3e\U0001cf3f\U0001cf40\U0001cf41\U0001cf42\U0001cf43\U0001cf44\U0001cf45\U0001cf46\U0001e08f\U0001e2ae\U0001e4ec\U0001e4ed\U0001e4ee\U0001e4ef"
+_FOLD_ORACLE_STRIP = "\u1734"
+_FOLD_ORACLE_UPPER = "\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65"
+_FOLD_ORACLE_LOWER = "\u1c8a\u2c5f\ua7c1\ua7c8\ua7ca\u0264\ua7cd\ua7d1\ua7d7\ua7d9\ua7db\u019b\ua7f6\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c\U0001059d\U0001059e\U0001059f\U000105a0\U000105a1\U000105a3\U000105a4\U000105a5\U000105a6\U000105a7\U000105a8\U000105a9\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6\U000105b7\U000105b8\U000105b9\U000105bb\U000105bc\U00010d70\U00010d71\U00010d72\U00010d73\U00010d74\U00010d75\U00010d76\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82\U00010d83\U00010d84\U00010d85"
+
+
 def lower_markstrip_spark(col):
     """Cross-engine case fold: lower, then combining marks (\\p{Mn})
     stripped AFTER the lower.  Java's toLowerCase maps U+0130-class
@@ -131,12 +156,27 @@ def lower_markstrip_spark(col):
     ws_words/canon_text helpers exist to prevent."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(F.lower(col), r"\p{Mn}", "")
+    folded = F.regexp_replace(
+        F.lower(col), "[\\p{Mn}" + _FOLD_ENGINE_STRIP + "]", ""
+    )
+    # Final-sigma context rule: Java lowers word-final \u03a3 to \u03c2
+    # where utf8proc lowers every \u03a3 to \u03c3 — a CONTEXT-dependent
+    # divergence no per-codepoint supplement can close.  Unicode case
+    # FOLDING maps both sigma forms to \u03c3, so the canonical fold
+    # normalizes \u03c2 -> \u03c3 on both engines.
+    return F.translate(folded, "\u03c2", "\u03c3")
 
 
 def lower_markstrip_sql(expr: str) -> str:
-    """DuckDB twin of lower_markstrip_spark."""
-    return f"regexp_replace(lower({expr}), '\\p{{Mn}}', '', 'g')"
+    """DuckDB twin of lower_markstrip_spark (skew supplements: translate
+    the stale-case uppers before lower, strip the reclassified mark)."""
+    folded = (
+        f"regexp_replace(lower(translate({expr},"
+        f" '{_FOLD_ORACLE_UPPER}', '{_FOLD_ORACLE_LOWER}')),"
+        f" '[\\p{{Mn}}{_FOLD_ORACLE_STRIP}]', '', 'g')"
+    )
+    # final-sigma normalization, mirroring lower_markstrip_spark
+    return f"translate({folded}, '\u03c2', '\u03c3')"
 
 
 def canon_text_spark(col):

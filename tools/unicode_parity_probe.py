@@ -71,6 +71,13 @@ DOCS = [
     (9, f"another train doc with drift {SHARED_RECASED} and more words"),
     (20, f"benchmark sampled doc containing {SHARED_RUN} inside it"),
     (52, f"second sampled benchmark doc {SHARED_RUN} again for overlap"),
+    # r13 close-out: the Unicode-version skew + final-sigma classes the
+    # fold supplements close (queries._FOLD_* + the ς->σ normalization;
+    # tools/gen_unicode_fold_skew.py): Vithkuqi upper \U00010570, Latin
+    # Ext-D Ꟁ/Ɤ, new combining marks ࢘/ᫌ, a Znamenny
+    # mark \U0001CF00, the reclassified ᜴, and word-final Σ.  Any
+    # fold-consuming gate regressing on the supplements trips here.
+    (10, "skew \U00010570ΑΣ n࢘oᫌt Ꟁx Ɤy m\U0001CF00k p᜴q ΟΔΥΣΣΕΥΣ ΣΙΣΥΦΟΣ ends"),
 ]
 
 # gate -> why it is EXPECTED to fail on this corpus today.  EMPTY as of
