@@ -145,6 +145,26 @@ _FOLD_ORACLE_UPPER = "\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7
 _FOLD_ORACLE_LOWER = "\u1c8a\u2c5f\ua7c1\ua7c8\ua7ca\u0264\ua7cd\ua7d1\ua7d7\ua7d9\ua7db\u019b\ua7f6\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c\U0001059d\U0001059e\U0001059f\U000105a0\U000105a1\U000105a3\U000105a4\U000105a5\U000105a6\U000105a7\U000105a8\U000105a9\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6\U000105b7\U000105b8\U000105b9\U000105bb\U000105bc\U00010d70\U00010d71\U00010d72\U00010d73\U00010d74\U00010d75\U00010d76\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82\U00010d83\U00010d84\U00010d85"
 
 
+def _class_ranges(chars: str) -> str:
+    """Compress a set of codepoints into a regex character-class
+    fragment with ranges (first-last).  The supplement set is mostly
+    contiguous blocks (U+0898-089F, U+1CF00-1CF46, ...), so ranges keep
+    the compiled class small — a 147-literal-alternative class measured
+    up to ~2x slower on t03's token path under load, and ranges are
+    never slower than literals."""
+    cps = sorted(ord(c) for c in chars)
+    out = []
+    i = 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        a, b = chr(cps[i]), chr(cps[j])
+        out.append(a if i == j else f"{a}-{b}")
+        i = j + 1
+    return "".join(out)
+
+
 def lower_markstrip_spark(col):
     """Cross-engine case fold: lower, then combining marks (\\p{Mn})
     stripped AFTER the lower.  Java's toLowerCase maps U+0130-class
@@ -157,7 +177,7 @@ def lower_markstrip_spark(col):
     from pyspark.sql import functions as F
 
     folded = F.regexp_replace(
-        F.lower(col), "[\\p{Mn}" + _FOLD_ENGINE_STRIP + "]", ""
+        F.lower(col), "[\\p{Mn}" + _class_ranges(_FOLD_ENGINE_STRIP) + "]", ""
     )
     # Final-sigma context rule: Java lowers word-final \u03a3 to \u03c2
     # where utf8proc lowers every \u03a3 to \u03c3 — a CONTEXT-dependent
