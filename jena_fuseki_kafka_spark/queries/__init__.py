@@ -165,6 +165,12 @@ def _class_ranges(chars: str) -> str:
     return "".join(out)
 
 
+# compiled once: the supplement set is constant, and _class_ranges is a
+# sort + scan over 147 codepoints — recomputing it per call-site build
+# was pure waste (ADVICE r13)
+_ENGINE_STRIP_CLASS = _class_ranges(_FOLD_ENGINE_STRIP)
+
+
 def lower_markstrip_spark(col):
     """Cross-engine case fold: lower, then combining marks (\\p{Mn})
     stripped AFTER the lower.  Java's toLowerCase maps U+0130-class
@@ -177,7 +183,7 @@ def lower_markstrip_spark(col):
     from pyspark.sql import functions as F
 
     folded = F.regexp_replace(
-        F.lower(col), "[\\p{Mn}" + _class_ranges(_FOLD_ENGINE_STRIP) + "]", ""
+        F.lower(col), "[\\p{Mn}" + _ENGINE_STRIP_CLASS + "]", ""
     )
     # Final-sigma context rule: Java lowers word-final \u03a3 to \u03c2
     # where utf8proc lowers every \u03a3 to \u03c3 — a CONTEXT-dependent
@@ -280,36 +286,110 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r13 window (first 50; unlisted queries sort ahead of all of
+    # ---- r14 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Cadence math: 121 registered / 50 slots -> 3-round cycle, legal
-    # against "no verdict older than 2 rounds at judging".  Window
-    # composition this round: 29 mandatory r10-cohort leads (the exact
-    # set tools/rotation_planner.py prints) + 15 touched by the r13
-    # burn-down + 6 rotation fill from the r11 cohort = 50 exactly;
-    # the second pass swapped ALL six fill slots (q21/q22/q23/q27/q28/
-    # q32) out for s07 + st01/st02/st03/st09 + u01 — still 50 exactly:
-    # 29 mandatory + 21 touched.
-    # Touched this round (VERDICT r12 items 1-4): the _dsum->_dsumf
-    # migration + _dsum deletion (q01 x4, q10 over customer.c_acctbal,
-    # q15, q19 x2, q25 — all r13-mandatory except q25) plus q31/q36's
-    # inline decimal-cast guards; q38/q24's percentile finite guards;
-    # persist->localCheckpoint on the shared minhash helpers + d04 +
-    # p04 (touches d02/d06/d07/d04/p04 — mandatory — and d10); and the
-    # ADVICE r11 cosine reroute _nan_to_null -> queries.finite_spark
-    # (touches s01-s06/s03b/s08/s09 directly, s05 via its s01+s04
-    # composition; s07 does NOT use the cosine helpers and stays
-    # r12-cohort).  Zero free slots -> NO new gate names this round
-    # (an unlisted name sorts first and would evict a fill slot).
-    # ---- NEW this round (no prior verdict; registered names are
-    # appended here as each lands -- unlisted new names sort first
-    # regardless, so a forgotten entry still gets checked) ----
-    # ---- r10-green, untouched: age 3 at the r13 check if skipped --
+    # Window math (tools/rotation_planner.py at r14 open): 24 mandatory
+    # (the r11 cohort — age 3 at this check if skipped) + 1 new gate +
+    # u01 (touched: the quadstore anti/semi-join column rename, VERDICT
+    # r13 item 3) + 24 r12-cohort re-verifications = 50 exactly.  The
+    # r12 cohort is 47 strong and reaches age 3 at r15: spending 24
+    # slots on it now (the complex gates, per VERDICT r14 item 1) caps
+    # r15's mandatory floor at the 23 simple leftovers below the
+    # boundary.
+    # ---- NEW this round (no prior verdict; sorts first regardless) ----
+    "s10_incremental_ann_admission",
+    # ---- r11-green, untouched: age 3 at the r14 check if skipped --
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
+    "d03_simhash",
+    "d08_substring_span_dedup",
+    "d09_duplication_fraction",
+    "d11_fuzzy_decontamination",
+    "p02_curation_pipeline",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q23_funnel_signup_to_purchase",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q37_running_frames",
+    "q40_salted_fact_dim_join",
+    "q44_incremental_agg_merge",
+    "st04_streaming_first_seen",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    "t09_url_domain_stats",
+    "t11_bigram_lm_perplexity",
+    # ---- TOUCHED THIS ROUND -> re-verify: the quadstore null-safe
+    # anti/semi-join right-side column rename (WARN-spam fix) is
+    # behavior-neutral by construction, but u01 exercises exactly that
+    # join, so it re-verifies in-window rather than riding an argument --
+    "u01_update_sequence",
+    # ---- r12-cohort re-verifications (age 2, legal to skip — spent
+    # here deliberately to keep r15's floor at 23; the complex half:
+    # multi-join/window/decorrelation relational, the SPARQL omnibus +
+    # property paths + BGP, both stream-stream joins, the two dedup
+    # heavyweights, the multimodal kernels) ----
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q16_conditional_agg_case",
+    "q18_multi_join_part_supplier_stats",
+    "q26_cohort_retention",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q35_salted_skew_agg",
+    "q39_correlated_scalar_subquery",
+    "q41_pivot_wide_metrics",
+    "q42_changelog_latest_compaction",
+    "q43_scd2_validity_intervals",
+    "r02_bgp_join_filter",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "st07_stream_stream_join",
+    "st08_stream_stream_outer_join",
+    "d01_exact_dedup",
+    "d05_decontamination",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "m07_image_phash_neardup",
+    "m08_image_resize_facets",
+    # ---- window boundary here (50 above) ----
+    # r12-green remainder: age 3 at the r15 check — these ARE r15's
+    # mandatory floor (23) and rotate to the very top next round.
+    "p01_stratified_sample",
+    "p03_mixture_rebalance",
+    "p06_time_embargo_split",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q20_tumbling_window_hourly",
+    "r01_sparql_acceptance_count",
+    "r03_graph_quantification",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r08_construct_quads",
+    "r09_values_inline_data",
+    "r10_ask",
+    "r11_describe_subject",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "r18_negated_property_set",
+    "t01_language_id",
+    # ---- r13-green, code untouched -> tail (fine until r16) ----
     "d02_minhash_lsh",
     "d04_ngram_jaccard_blocked",
     "d06_dedup_clusters",
     "d07_minhash_estimator_fidelity",
+    "d10_incremental_corpus_dedup",
     "m01_image_features",
     "m02_audio_features",
     "m05_scene_changes",
@@ -328,28 +408,11 @@ _CHECK_PRIORITY = [
     "q15_rollup_revenue",
     "q17_string_functions",
     "q19_disjunctive_predicate_join",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "st10_streaming_file_sink_exactly_once",
-    "st11_foreachbatch_merge_exactly_once",
-    "t07_repetition_ratio",
-    "t08_pii_scrub",
-    "t10_char_entropy",
-    # ---- TOUCHED THIS ROUND -> re-verify (VERDICT r12 hazard list):
-    # _dsum deletion ripples (q25 + q31/q36 inline casts), q38/q24
-    # percentile finite guards, d10 via _signature_relations'
-    # localCheckpoint, s01-s09 via the cosine-Inf reroute; the r13
-    # second pass then touched the WHOLE s-family again (structural
-    # embedding quarantine: _emb loader + _EMB oracle relation) —
-    # including s07, whose oracle now reads through _EMB, so it joins
-    # the touched set and q32 rotates past the boundary (age 2 at the
-    # r13 check = legal; it leads r14's mandatory set) --
     "q24_exact_percentiles",
     "q25_cube_aggregation",
     "q31_grouping_sets",
     "q36_per_group_outlier_filter",
     "q38_approx_percentile",
-    "d10_incremental_corpus_dedup",
     "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
     "s03_embedding_near_dup",
@@ -360,103 +423,17 @@ _CHECK_PRIORITY = [
     "s07_int8_quantization",
     "s08_prefix_dim_rerank",
     "s09_semdedup_prune",
-    # streaming non-finite/NULL-ts burn-down (r13 second pass; the first
-    # full events-edge st sweep found six latents): st10/st11 are
-    # mandatory above; st01 (shared windowed_event_counts guard +
-    # watermark mirror), st02 (count("event_type") over the deduped
-    # NULL type), st03/st09 (watermark NULL-ts mirrors) join here --
     "st01_streaming_tumbling_window",
     "st02_streaming_dedup_count",
     "st03_streaming_session_window",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
     "st09_streaming_bounded_dedup",
-    # u01's oracle gained the empty-corpus shape guard (per-graph rows
-    # vanish with their quads instead of hard-coding 0-count rows) --
-    "u01_update_sequence",
-    # ---- window boundary here (50 above) ----
-    # q21/q22/q23/q27/q28/q32: swapped out for the r13 second pass's
-    # touched gates (s07, the four streaming fixes, u01's oracle shape
-    # guard); all age 2 at the r13 check = legal, they lead r14's
-    # mandatory set.
-    "q28_set_operations",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q23_funnel_signup_to_purchase",
-    "q27_sliding_window",
-    "q32_approx_distinct",
-    # r11-green remainder: age 3 at the r14 check if skipped -- these
-    # lead r14's mandatory set (rotate to the very top next round).
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q37_running_frames",
-    "q40_salted_fact_dim_join",
-    "q44_incremental_agg_merge",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st04_streaming_first_seen",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    "t09_url_domain_stats",
-    "t11_bigram_lm_perplexity",
-    "d03_simhash",
-    "d08_substring_span_dedup",
-    "d09_duplication_fraction",
-    "d11_fuzzy_decontamination",
-    "p02_curation_pipeline",
-    # ---- r12-green, code untouched -> tail (fine until r15) ----
-    "d01_exact_dedup",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "m07_image_phash_neardup",
-    "m08_image_resize_facets",
-    "p01_stratified_sample",
-    "p03_mixture_rebalance",
-    "p06_time_embargo_split",
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q16_conditional_agg_case",
-    "q18_multi_join_part_supplier_stats",
-    "q26_cohort_retention",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "q39_correlated_scalar_subquery",
-    "q41_pivot_wide_metrics",
-    "q42_changelog_latest_compaction",
-    "q43_scd2_validity_intervals",
-    "st07_stream_stream_join",
-    "st08_stream_stream_outer_join",
-    "st09_streaming_bounded_dedup",
-    "t01_language_id",
-    "r01_sparql_acceptance_count",
-    "r02_bgp_join_filter",
-    "r03_graph_quantification",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r13_subselect",
-    "r14_degree_histogram",
-    "r15_optional_unbound_compat",
-    "r16_from_named_dataset",
-    "r17_minus_compat",
-    "r18_negated_property_set",
-    "u01_update_sequence",
-    "q20_tumbling_window_hourly",
-    "s07_int8_quantization",
-    "d05_decontamination",
+    "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
+    "t07_repetition_ratio",
+    "t08_pii_scrub",
+    "t10_char_entropy",
 ]
 
 

@@ -858,3 +858,183 @@ def s09(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------- s10 incremental admission
+# The vector-side twin of d10: a continuously-fed corpus admits each
+# incoming EMBEDDING batch against the accumulated index, not against
+# itself.  vec_id % S10_BATCH_MOD == 0 plays the ~20% incoming batch; the
+# rest is the accumulated corpus whose IVF cell assignment is, in
+# production, the PERSISTED index (built once, bucketed by cell id — the
+# test_bucketing.py layout contract makes the admission join exchange-free
+# on the corpus side).  Only the batch pays centroid scoring per round.
+S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
+
+
+@query(
+    "s10_incremental_ann_admission",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} = 0
+    ),
+    corp AS (
+      SELECT vec_id, embedding FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} <> 0
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM corp
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    corp_cell AS (
+      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {{cos_ec}} AS sim
+        FROM corp e CROSS JOIN c
+      )
+    ),
+    assign AS (SELECT vec_id, embedding, cid FROM corp_cell WHERE crk = 1),
+    probe_cell AS (
+      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {{cos_bc}} AS sim
+        FROM b e CROSS JOIN c
+      )
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM probe_cell WHERE crk <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({{cos_qa}}, 4) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid
+    ),
+    nn AS (
+      SELECT query_id, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored WHERE cosine IS NOT NULL
+    ),
+    agg AS (
+      SELECT query_id,
+             COUNT(*) AS n_cands,
+             SUM(CASE WHEN cosine >= {NEAR_DUP_COSINE} THEN 1 ELSE 0 END)
+               AS n_matches,
+             MAX(cosine) AS best_cos
+      FROM scored WHERE cosine IS NOT NULL GROUP BY query_id
+    )
+    SELECT b.vec_id,
+           CAST(COALESCE(agg.n_cands, 0) AS BIGINT) AS n_cands,
+           CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches,
+           agg.best_cos AS best_cos,
+           nn1.vec_id AS nearest,
+           CAST(CASE WHEN COALESCE(agg.n_matches, 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_new
+    FROM b
+    LEFT JOIN agg ON agg.query_id = b.vec_id
+    LEFT JOIN (SELECT query_id, vec_id FROM nn WHERE rk = 1) nn1
+      ON nn1.query_id = b.vec_id
+    ORDER BY b.vec_id
+    """.format(
+        cos_ec=_COS_SQL.format(a="e.embedding", b="c.cv"),
+        cos_bc=_COS_SQL.format(a="e.embedding", b="c.cv"),
+        cos_qa=_COS_SQL.format(a="p.qv", b="a.embedding"),
+    ),
+)
+def s10(spark, sf_dir):
+    """INCREMENTAL ANN ADMISSION — admit an incoming embedding batch
+    against the accumulated corpus via the IVF index (s04's geometry),
+    emitting one verdict row per batch vector: is_new (no corpus
+    near-duplicate at the s03 threshold among probed cells), n_matches,
+    best_cos and the nearest corpus vector — so the downstream keep/drop
+    filter is a column predicate, exactly like d10's text-side verdict.
+
+    Scale shape — what is NOT paid per batch: the corpus cell assignment
+    is the persisted IVF index (recomputed inline here only because the
+    gate must be self-contained); the batch side scores the bounded
+    broadcast centroid table and probes N_PROBE cells, so the candidate
+    join is an asymmetric batch-probes x corpus-cells EQUI-join on cell
+    id whose cost scales with |batch| x expected cell population
+    (~n/{CENTROID_MOD} x {N_PROBE}), never |batch| x |corpus| and never
+    corpus x corpus.  NULL cosines (zero-norm / quarantined-adjacent
+    rows) are excluded from candidacy on both engines, so a corrupt
+    vector can neither admit nor block a batch row.  Reference scope
+    note: the reference engine has no similarity surface (SURVEY.md §2
+    — LLM-pipeline operators are this repo's extension family)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm_spark(F.col("embedding")))
+    is_batch = (F.col("vec_id") % S10_BATCH_MOD) == 0
+    batch = e.filter(is_batch)
+    corpus = e.filter(~is_batch)
+    c = corpus.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim = _nan_to_null(
+        F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    )
+    # corpus side: single-cell assignment as a hash aggregate (s04's
+    # max_by tiebreak) — in production this relation is the persisted,
+    # cid-bucketed index, not a per-batch computation
+    assign = (
+        corpus.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    # batch side: N_PROBE nearest cells per incoming vector; the window
+    # runs over |batch| x |centroids| rows only
+    wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
+    probes = (
+        batch.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
+    )
+    cos = F.round(
+        _nan_to_null(
+            F.try_divide(_dot_spark(F.col("qv"), F.col("embedding")), F.col("qn") * F.col("nrm"))
+        ),
+        4,
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum(F.when(F.col("cosine") >= NEAR_DUP_COSINE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.max("cosine").alias("best_cos"),
+        F.max_by("vec_id", F.struct(F.col("cosine"), -F.col("vec_id"))).alias("nearest"),
+    )
+    return (
+        batch.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_cos",
+            "nearest",
+            F.when(F.coalesce(F.col("n_matches"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_new"),
+        )
+        .orderBy("vec_id")
+    )

@@ -54,18 +54,38 @@ def test_no_oracle_uses_bare_concat():
 
 
 def test_split_part_sites_are_null_guarded():
-    # Every oracle-side split_part must sit behind an IS NULL CASE on a
-    # nullable input (DuckDB: split_part(NULL,..) = '', not NULL).
+    # Every oracle-side split_part must sit behind an IS NULL CASE on
+    # ITS OWN first argument (DuckDB: split_part(NULL,..) = '', not
+    # NULL).  The guard is matched against the extracted argument, not
+    # just counted — an unrelated NULL CASE elsewhere in the SQL must
+    # not mask an unguarded call (ADVICE r13).
     for name, sql in ORACLES.items():
         n_calls = len(re.findall(r"split_part\s*\(", sql, re.I))
-        if not n_calls:
-            continue
-        n_guards = len(re.findall(r"CASE\s+WHEN\s+\S+\s+IS\s+NULL\s+THEN\s+NULL", sql, re.I))
-        assert n_guards >= n_calls, (
-            f"{name}: {n_calls} split_part call(s) but only {n_guards} "
-            "IS-NULL CASE guard(s) — DuckDB split_part returns '' on "
-            "NULL input where Spark returns NULL"
+        sites = list(re.finditer(r"split_part\s*\(\s*([A-Za-z0-9_.]+)\s*,", sql, re.I))
+        # a call whose first argument is an expression (parens, casts)
+        # slips the extractor — fail loudly instead of silently skipping
+        assert len(sites) == n_calls, (
+            f"{name}: {n_calls} split_part call(s) but only {len(sites)} "
+            "with an extractable simple-column first argument — extend "
+            "the extractor before adding expression-argument calls"
         )
+        for m in sites:
+            arg = m.group(1)
+            guard = (
+                r"CASE\s+WHEN\s+" + re.escape(arg) + r"\s+IS\s+NULL\s+THEN\s+NULL"
+            )
+            assert re.search(guard, sql, re.I), (
+                f"{name}: split_part({arg}, ...) has no "
+                f"'CASE WHEN {arg} IS NULL THEN NULL' guard — DuckDB "
+                "split_part returns '' on NULL input where Spark "
+                "returns NULL"
+            )
+            # the guard must route around the call, not merely coexist:
+            # it has to appear BEFORE the call in the same expression
+            assert re.search(guard, sql[: m.start()], re.I), (
+                f"{name}: the IS NULL guard for split_part({arg}, ...) "
+                "must precede the call (ELSE-branch routing)"
+            )
 
 
 def test_duckdb_null_behavior_pins(con):

@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     "broadcast back for exact rerank",
     "s09_semdedup_prune": "broadcast centroid table for cell assignment "
     "(n_cells fixed); pair join is a cell equi-join",
+    "s10_incremental_ann_admission": "broadcast centroid table (n_cells "
+    "fixed) scores both the corpus assignment and the batch probes; the "
+    "admission join itself is a cell-id equi-join",
 }
 
 # Queries whose construction executes driver-side iterative jobs (fixpoint

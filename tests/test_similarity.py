@@ -220,3 +220,90 @@ class TestVectorValidityQuarantine:
         )
         got = {r.vec_id for r in _emb(spark, str(tmp_path)).collect()}
         assert got == {0}
+
+
+class TestIncrementalAdmission:
+    """s10 behavioral contract: the admission verdict covers every batch
+    vector, and a batch vector planted as an exact duplicate of a corpus
+    vector is rejected (is_new=0) with its duplicate as the nearest
+    neighbor — the keep/drop semantics a continuously-fed corpus needs."""
+
+    def _write(self, tmp_path, vecs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jena_fuseki_kafka_spark.queries.similarity import DIM
+
+        ids = sorted(vecs)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(
+                        [vecs[i] for i in ids], type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * len(ids), type=pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+
+    def test_verdict_covers_batch_and_flags_planted_dup(self, spark, tmp_path):
+        import random
+
+        from jena_fuseki_kafka_spark.queries.similarity import (
+            DIM,
+            S10_BATCH_MOD,
+        )
+
+        rng = random.Random(7)
+        # corpus: ids not divisible by 5, including id 61 (a centroid
+        # seed) so the cell geometry is non-degenerate; batch: mod-5 ids
+        vecs = {}
+        for i in range(1, 130):
+            if i % S10_BATCH_MOD == 0:
+                continue
+            vecs[i] = [rng.uniform(-1, 1) for _ in range(DIM)]
+        batch_ids = [5, 10, 15, 20]
+        for i in batch_ids:
+            vecs[i] = [rng.uniform(-1, 1) for _ in range(DIM)]
+        # plant: batch vec 10 duplicates corpus vec 61 exactly
+        vecs[10] = list(vecs[61])
+        self._write(tmp_path, vecs)
+
+        out = {
+            r.vec_id: r
+            for r in QUERIES["s10_incremental_ann_admission"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # one verdict row per batch vector, always
+        assert set(out) == set(batch_ids)
+        dup = out[10]
+        assert dup.is_new == 0 and dup.n_matches >= 1
+        assert dup.nearest == 61 and dup.best_cos == 1.0
+        # and the whole result matches the DuckDB oracle bit-for-bit
+        oracle = _oracle_rows(
+            ORACLES["s10_incremental_ann_admission"], str(tmp_path)
+        )
+        got = sorted(tuple(r) for r in out.values())
+        assert got == sorted(tuple(r) for r in oracle)
+
+    def test_no_corpus_candidates_means_new(self, spark, tmp_path):
+        # a corpus whose only centroid-eligible cells exist but whose
+        # batch vector is orthogonal to everything must still get a
+        # verdict row: is_new=1 once nothing clears the threshold
+        from jena_fuseki_kafka_spark.queries.similarity import DIM
+
+        e = lambda k: [1.0 if d == k else 0.0 for d in range(DIM)]
+        vecs = {61: e(0), 122: e(1), 5: e(2)}
+        self._write(tmp_path, vecs)
+        rows = QUERIES["s10_incremental_ann_admission"](
+            spark, str(tmp_path)
+        ).collect()
+        assert len(rows) == 1 and rows[0].vec_id == 5
+        assert rows[0].is_new == 1 and rows[0].n_matches == 0
+        oracle = _oracle_rows(
+            ORACLES["s10_incremental_ann_admission"], str(tmp_path)
+        )
+        assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)

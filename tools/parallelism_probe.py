@@ -91,6 +91,7 @@ GATES = [
     "s01_ann_bruteforce_topk",
     "s04_ann_ivf",
     "s07_int8_quantization",
+    "s10_incremental_ann_admission",
     "t05_feature_hash_embedding",
     "t11_bigram_lm_perplexity",
     "p01_stratified_sample",
