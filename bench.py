@@ -40,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from jena_fuseki_kafka_spark.queries import QUERIES  # noqa: E402
 from jena_fuseki_kafka_spark.session import build_session  # noqa: E402
 
+_LOADAVG_START = None
+
 # headline set: the scan/join/agg relational core + one of each
 # training-data operator family + the RDF quad surface
 HEADLINE_BATCH = [
@@ -92,6 +94,7 @@ HEADLINE_BATCH = [
     "d10_incremental_corpus_dedup",
     "d11_fuzzy_decontamination",
     "p07_packing_efficiency_census",
+    "s10_incremental_ann_admission",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store
@@ -146,6 +149,10 @@ SLIM_ROTATION_POOL = [
     "q31_grouping_sets",
     "t08_pii_scrub",
     "q14_window_top_order_per_cust",
+    # s10 is the longest headline name; its admission join reuses s04's
+    # cell machinery (still always-listed), so its regressions stay
+    # visible on the line through s04 in its excluded rounds
+    "s10_incremental_ann_admission",
     # half B (excluded on odd rounds)
     "q29_asof_join",
     "q30_interval_join",
@@ -156,6 +163,9 @@ SLIM_ROTATION_POOL = [
     "p02_curation_pipeline",
     "m06_audio_vad_segments",
     "s07_int8_quantization",
+    # d05's verbatim 8-gram collision join is d11's sibling shape
+    # (d11 stays always-listed)
+    "d05_decontamination",
 ]
 
 
@@ -233,6 +243,12 @@ def bench_http_four_ops(spark) -> float:
 
 
 def main():
+    global _LOADAVG_START
+    try:
+        with open("/proc/loadavg") as lf:
+            _LOADAVG_START = lf.read().split()[:3]
+    except OSError:
+        _LOADAVG_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -393,6 +409,16 @@ def main():
     full["queries"] = timings  # the full record carries every row
     full["failed_query_names"] = failed
     full["spreads"] = spreads
+    # host-contention forensics (r13 ledger lesson: a clean calibration
+    # median can coexist with a PARTIAL contention wave — the calibration
+    # samples run at the end and can dodge a mid-run stretch; row-inflation
+    # uniformity against loadavg is the mechanical tell)
+    try:
+        with open("/proc/loadavg") as lf:
+            full["loadavg_end"] = lf.read().split()[:3]
+        full["loadavg_start"] = _LOADAVG_START
+    except OSError:
+        pass
     full["samples"] = {n: v for n, v in samples.items()}
     full["queries_normalized"] = {
         n: (round(v / calibration, 2) if v is not None and calibration else None)
