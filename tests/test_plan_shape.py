@@ -111,6 +111,25 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "CartesianProduct" not in p, p
 
+    def test_s10_admission_join_is_cell_keyed(self, spark):
+        # incremental ANN admission: the ONLY nested-loop broadcasts are
+        # the two bounded centroid-table scorings (the allowlisted s04
+        # class — corpus assignment + batch probes); the admission join
+        # itself must be a HASH join KEYED on the cell id with the
+        # cosine/threshold work as a residual condition, and the final
+        # verdict join must NOT broadcast (the batch side is ~20% of the
+        # corpus at scale — a broadcast there is the scale failure, so
+        # it rides a keyed shuffle join on query_id)
+        p = plan(spark, "s10_incremental_ann_admission")
+        assert "CartesianProduct" not in p, p
+        assert len(re.findall(r"BroadcastNestedLoopJoin Cross", p)) == 2, p
+        bhj = re.search(
+            r"\(\d+\) BroadcastHashJoin\nLeft keys \[1\]: \[cid#", p
+        )
+        assert bhj, p  # cell-id-keyed admission join
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) LeftOuter", p), p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
     def test_r15_compat_join_stays_keyed(self, spark):
         # SPARQL compatible-mapping OPTIONAL: the maybe-unbound shared var
         # becomes a null-or-equal RESIDUAL condition, but the join itself
