@@ -69,17 +69,24 @@ def main() -> int:
     current = committed_round()
     planning = args.round if args.round is not None else current + 1
 
-    # If the CURRENT round's artifact hasn't landed yet (the tool is run
-    # mid-round), project the registered window as checked in the current
-    # round — the driver will check exactly these 50 at the snapshot.
-    if current not in rounds:
+    # Project every not-yet-landed round up to (but excluding) the round
+    # being planned as checked with the CURRENT registered window: the
+    # driver checks exactly these 50 at its snapshot.  This covers both
+    # the tool's normal use (planning ROUND+1 mid-round, before that
+    # round's artifact lands — ROUND is updated at round END, so the
+    # in-flight round is ROUND+1) and forward forecasts (--round N+1
+    # while round N is in flight; previously that errored with an
+    # "unpayable" mandatory set because round N looked unchecked).
+    projected_rounds = [r for r in range(1, planning) if r not in rounds]
+    if projected_rounds:
         projected = list(QUERIES)[:WINDOW]
-        for name in projected:
-            last_checked[name] = max(last_checked.get(name, 0), current)
+        for rnd in projected_rounds:
+            for name in projected:
+                last_checked[name] = max(last_checked.get(name, 0), rnd)
         print(
-            f"note: CORRECTNESS_r{current:02d}.json not on disk yet — "
-            f"projecting the current {WINDOW}-slot window as checked in "
-            f"round {current}\n"
+            "note: no CORRECTNESS artifact yet for round(s) "
+            f"{projected_rounds} — projecting the current {WINDOW}-slot "
+            "window as checked there\n"
         )
 
     by_round: dict[int, list[str]] = defaultdict(list)
