@@ -525,6 +525,72 @@ PART_SUPPLIER_GATES = [
 ]
 
 
+# r14: the LAST two tables without a hazard corpus — nation and region
+# (the dimension tables).  With this corpus every table in the schema
+# has hazard coverage.  The interesting surface is r12: nation flows
+# into an AD-HOC quad builder (F.concat IRI subjects, raw n_name
+# literals) and then through the SPARQL engine's GROUP_CONCAT/SAMPLE
+# path — the one quad-construction site the events/orders corpora never
+# reach.  Measured 2026-08-16 (first run, zero latents): the engine and
+# the SQL oracle agree EXACTLY on every hazard row, for a non-obvious
+# reason this corpus now pins — the relational translation treats NULL
+# as a joinable term end-to-end (the BGP join is null-safe, so a
+# NULL-IRI subject still pairs its own name/region quads), SPARQL
+# GROUP_CONCAT skips the unbound ?n exactly where SQL string_agg skips
+# NULL, and COUNT(*) counts the row on both.  A future "cleanup" that
+# drops NULL components in r12's quad builder without mirroring the
+# oracle (or vice versa) fails here.  Production ingest never stores
+# NULL terms (events_to_quads drops them pre-quad); this gate's ad-hoc
+# builder is deliberately rawer than ingest, and the agreement is
+# engine-semantics evidence, not an ingest contract.
+EXPECTED_FAIL_DIMS_EDGE: dict[str, str] = {}
+
+
+def _dims_edge_tables():
+    """sf0.001 nation + region with NULL/empty/non-ASCII hazard rows
+    (column-wise pyarrow append, same discipline as the other corpora)."""
+    nat = pq.read_table(os.path.join(FIXTURES, "nation.parquet"))
+    # (n_nationkey, n_name, n_regionkey)
+    nat_hazards = [
+        (100, None, 0),               # NULL name: ?n unbound; string_agg skip
+        (None, "NATION_NULLKEY", 1),  # NULL pk -> NULL IRI subject (null-safe BGP)
+        (101, "NATION_NULLREG", None),  # NULL regionkey -> NULL region IRI group
+        (102, "", 2),                 # empty-string name: substr('')='' both
+        (103, "zęta nation", 3),  # non-ASCII: UTF-8 binary collation both
+    ]
+    cols = {
+        "n_nationkey": pa.array([h[0] for h in nat_hazards], type=pa.int32()),
+        "n_name": pa.array([h[1] for h in nat_hazards]),
+        "n_regionkey": pa.array([h[2] for h in nat_hazards], type=pa.int32()),
+    }
+    nat_out = pa.concat_tables(
+        [nat, pa.table({n: cols[n] for n in nat.schema.names}).cast(nat.schema)]
+    )
+    reg = pq.read_table(os.path.join(FIXTURES, "region.parquet"))
+    # (r_regionkey, r_name)
+    reg_hazards = [
+        (90, None),        # NULL name: q03's r_name filter drops on both
+        (None, "NOWHERE"),  # NULL key: q03 join-drop on both
+    ]
+    rcols = {
+        "r_regionkey": pa.array([h[0] for h in reg_hazards], type=pa.int32()),
+        "r_name": pa.array([h[1] for h in reg_hazards]),
+    }
+    reg_out = pa.concat_tables(
+        [reg, pa.table({n: rcols[n] for n in reg.schema.names}).cast(reg.schema)]
+    )
+    return nat_out, reg_out
+
+
+# every gate that reads nation or region (grep-verified: relational q03/
+# q10 and rdf_surface r12 are the only readers of either table)
+DIMS_GATES = [
+    "q03_local_supplier_volume",
+    "q10_aggregate_functions",
+    "r12_group_concat",
+]
+
+
 def _edge_events():
     """Synthetic events with every NULL/extreme the real fixtures lack.
     Times are pinned (no wall clock) so verdicts are reproducible."""
@@ -616,6 +682,18 @@ def build_corpus(kind: str, tmp: str) -> None:
         part_out, supp_out = _part_supplier_edge_tables()
         pq.write_table(part_out, os.path.join(tmp, "part.parquet"))
         pq.write_table(supp_out, os.path.join(tmp, "supplier.parquet"))
+        return
+    if kind == "dims-edge":
+        for t in TABLES:
+            if t in ("nation", "region"):
+                continue
+            os.symlink(
+                os.path.join(FIXTURES, f"{t}.parquet"),
+                os.path.join(tmp, f"{t}.parquet"),
+            )
+        nat_out, reg_out = _dims_edge_tables()
+        pq.write_table(nat_out, os.path.join(tmp, "nation.parquet"))
+        pq.write_table(reg_out, os.path.join(tmp, "region.parquet"))
         return
     if kind == "orders-edge":
         for t in TABLES:
@@ -728,7 +806,7 @@ def main() -> int:
         choices=[
             "empty", "edge", "events-edge",
             "lineitem-edge", "customer-edge", "orders-edge",
-            "part-supplier-edge",
+            "part-supplier-edge", "dims-edge",
         ],
         default="empty",
     )
@@ -742,6 +820,7 @@ def main() -> int:
         "customer-edge": EXPECTED_FAIL_CUSTOMER_EDGE,
         "orders-edge": EXPECTED_FAIL_ORDERS_EDGE,
         "part-supplier-edge": EXPECTED_FAIL_PART_SUPPLIER_EDGE,
+        "dims-edge": EXPECTED_FAIL_DIMS_EDGE,
     }[args.corpus]
     if args.gates:
         gates = args.gates
@@ -753,6 +832,8 @@ def main() -> int:
         gates = ORDERS_GATES
     elif args.corpus == "part-supplier-edge":
         gates = PART_SUPPLIER_GATES
+    elif args.corpus == "dims-edge":
+        gates = DIMS_GATES
     elif args.corpus == "events-edge":
         # the streaming family is IN this corpus's default sweep (r13):
         # the NaN value + NULL ts rows are exactly the hazards their
