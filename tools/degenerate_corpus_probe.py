@@ -642,6 +642,19 @@ def _edge_events():
     return rows
 
 
+def _symlink_except(tmp: str, *hazard_tables: str) -> None:
+    """Symlink every fixture table into the corpus dir except the ones a
+    corpus replaces with hazard versions — one definition, so a layout
+    change (a new table, non-symlink handling) edits one place."""
+    for t in TABLES:
+        if t in hazard_tables:
+            continue
+        os.symlink(
+            os.path.join(FIXTURES, f"{t}.parquet"),
+            os.path.join(tmp, f"{t}.parquet"),
+        )
+
+
 def build_corpus(kind: str, tmp: str) -> None:
     if kind == "empty":
         for t in TABLES:
@@ -649,13 +662,7 @@ def build_corpus(kind: str, tmp: str) -> None:
             pq.write_table(schema.empty_table(), os.path.join(tmp, f"{t}.parquet"))
         return
     if kind == "events-edge":
-        for t in TABLES:
-            if t == "events":
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "events")
         ev = _edge_events()
         pq.write_table(
             pa.table(
@@ -672,66 +679,31 @@ def build_corpus(kind: str, tmp: str) -> None:
         )
         return
     if kind == "part-supplier-edge":
-        for t in TABLES:
-            if t in ("part", "supplier"):
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "part", "supplier")
         part_out, supp_out = _part_supplier_edge_tables()
         pq.write_table(part_out, os.path.join(tmp, "part.parquet"))
         pq.write_table(supp_out, os.path.join(tmp, "supplier.parquet"))
         return
     if kind == "dims-edge":
-        for t in TABLES:
-            if t in ("nation", "region"):
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "nation", "region")
         nat_out, reg_out = _dims_edge_tables()
         pq.write_table(nat_out, os.path.join(tmp, "nation.parquet"))
         pq.write_table(reg_out, os.path.join(tmp, "region.parquet"))
         return
     if kind == "orders-edge":
-        for t in TABLES:
-            if t == "orders":
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "orders")
         pq.write_table(_orders_edge_table(), os.path.join(tmp, "orders.parquet"))
         return
     if kind == "customer-edge":
-        for t in TABLES:
-            if t == "customer":
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "customer")
         pq.write_table(_customer_edge_table(), os.path.join(tmp, "customer.parquet"))
         return
     if kind == "lineitem-edge":
-        for t in TABLES:
-            if t == "lineitem":
-                continue
-            os.symlink(
-                os.path.join(FIXTURES, f"{t}.parquet"),
-                os.path.join(tmp, f"{t}.parquet"),
-            )
+        _symlink_except(tmp, "lineitem")
         pq.write_table(_lineitem_edge_table(), os.path.join(tmp, "lineitem.parquet"))
         return
     # edge: real relational fixtures, adversarial documents + embeddings
-    for t in TABLES:
-        if t in ("documents", "embeddings"):
-            continue
-        os.symlink(
-            os.path.join(FIXTURES, f"{t}.parquet"), os.path.join(tmp, f"{t}.parquet")
-        )
+    _symlink_except(tmp, "documents", "embeddings")
     ids = [d[0] for d in EDGE_DOCS]
     texts = [d[1] for d in EDGE_DOCS]
     pq.write_table(

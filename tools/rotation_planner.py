@@ -69,24 +69,43 @@ def main() -> int:
     current = committed_round()
     planning = args.round if args.round is not None else current + 1
 
-    # Project every not-yet-landed round up to (but excluding) the round
-    # being planned as checked with the CURRENT registered window: the
-    # driver checks exactly these 50 at its snapshot.  This covers both
-    # the tool's normal use (planning ROUND+1 mid-round, before that
-    # round's artifact lands — ROUND is updated at round END, so the
-    # in-flight round is ROUND+1) and forward forecasts (--round N+1
-    # while round N is in flight; previously that errored with an
-    # "unpayable" mandatory set because round N looked unchecked).
-    projected_rounds = [r for r in range(1, planning) if r not in rounds]
-    if projected_rounds:
+    # Project ONLY the single in-flight round (the one after the last
+    # landed artifact) as checked with the CURRENT registered window:
+    # the driver checks exactly these 50 at its snapshot.  This covers
+    # both the tool's normal use (planning ROUND+1 mid-round, before
+    # that round's artifact lands — ROUND is updated at round END, so
+    # the in-flight round is ROUND+1) and the one-ahead forecast
+    # (--round N+1 while round N is in flight; previously that errored
+    # with an "unpayable" mandatory set because round N looked
+    # unchecked).  Deliberately NOT projected: holes in history (a
+    # missing/corrupted artifact for a round BELOW the last landed one
+    # must surface its queries as mandatory, never be papered over),
+    # and forecasts more than one round ahead (later windows are
+    # re-planned each round; pretending they all equal today's window
+    # would fabricate coverage).
+    last_landed = max(rounds) if rounds else 0
+    in_flight = last_landed + 1
+    if planning > in_flight + 1:
+        raise SystemExit(
+            f"cannot plan round {planning}: only round {in_flight} is in "
+            f"flight (last artifact r{last_landed}); windows beyond it are "
+            "re-planned each round — plan at most one round ahead"
+        )
+    if planning > in_flight:
         projected = list(QUERIES)[:WINDOW]
-        for rnd in projected_rounds:
-            for name in projected:
-                last_checked[name] = max(last_checked.get(name, 0), rnd)
+        for name in projected:
+            last_checked[name] = max(last_checked.get(name, 0), in_flight)
         print(
-            "note: no CORRECTNESS artifact yet for round(s) "
-            f"{projected_rounds} — projecting the current {WINDOW}-slot "
-            "window as checked there\n"
+            f"note: CORRECTNESS_r{in_flight:02d}.json not on disk yet — "
+            f"projecting the current {WINDOW}-slot window as checked in "
+            f"round {in_flight}\n"
+        )
+    missing_history = [r for r in range(1, last_landed) if r not in rounds]
+    if missing_history:
+        print(
+            f"WARNING: artifact hole(s) in history {missing_history} — NOT "
+            "projected; affected queries fall back to their older verdicts "
+            "and may surface as mandatory (conservative)\n"
         )
 
     by_round: dict[int, list[str]] = defaultdict(list)
