@@ -875,7 +875,10 @@ S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
     "s10_incremental_ann_admission",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} = 0
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+      FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} = 0
     ),
     corp AS (
       SELECT vec_id, embedding FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} <> 0
@@ -931,7 +934,9 @@ S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
            agg.best_cos AS best_cos,
            nn1.vec_id AS nearest,
            CAST(CASE WHEN COALESCE(agg.n_matches, 0) = 0 THEN 1 ELSE 0 END
-                AS BIGINT) AS is_new
+                AS BIGINT) AS is_new,
+           CAST(CASE WHEN isfinite(b.nrm) AND b.nrm > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS scorable
     FROM b
     LEFT JOIN agg ON agg.query_id = b.vec_id
     LEFT JOIN (SELECT query_id, vec_id FROM nn WHERE rk = 1) nn1
@@ -958,9 +963,22 @@ def s10(spark, sf_dir):
     join is an asymmetric batch-probes x corpus-cells EQUI-join on cell
     id whose cost scales with |batch| x expected cell population
     (~n/{CENTROID_MOD} x {N_PROBE}), never |batch| x |corpus| and never
-    corpus x corpus.  NULL cosines (zero-norm / quarantined-adjacent
-    rows) are excluded from candidacy on both engines, so a corrupt
-    vector can neither admit nor block a batch row.  Reference scope
+    corpus x corpus.  The ONLY broadcast sides are the bounded centroid
+    table (twice): the probe relation is |batch| x N_PROBE rows — a
+    real fraction of the corpus — so the admission join deliberately
+    carries NO broadcast hint (review r14: a copied F.broadcast from
+    s04, where the query set is 5 rows, would OOM here at scale); with
+    the corpus index bucketed by cid only the batch side shuffles.
+
+    Corrupt-vector routing is side-specific: a corrupt CORPUS vector's
+    NULL cosines are excluded from candidacy on both engines, so it can
+    neither admit nor block any batch row; a corrupt BATCH vector
+    (zero-norm / non-finite — structurally valid, so it passes the _emb
+    quarantine) scores NULL against everything and would otherwise be
+    silently admitted as "new", accumulating unmatchable junk in a
+    continuously-fed corpus — the row-local ``scorable`` facet flags
+    exactly those rows (norm finite and > 0) so the downstream keep
+    predicate is ``is_new = 1 AND scorable = 1``.  Reference scope
     note: the reference engine has no similarity surface (SURVEY.md §2
     — LLM-pipeline operators are this repo's extension family)."""
     from pyspark.sql import Window
@@ -1009,8 +1027,14 @@ def s10(spark, sf_dir):
         ),
         4,
     )
+    # NO broadcast hint on the admission join: probes is |batch| x
+    # N_PROBE rows (~the batch itself, a real fraction of the corpus) —
+    # AQE may still choose a broadcast from measured sizes at small SF,
+    # but forcing one would OOM at the 100 TB design point, where this
+    # is a shuffle equi-join on cid that moves only the batch side
+    # against the cid-bucketed corpus index
     scored = (
-        assign.join(F.broadcast(probes), "cid")
+        assign.join(probes, "cid")
         .select("query_id", "vec_id", cos.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
     )
@@ -1022,8 +1046,12 @@ def s10(spark, sf_dir):
         F.max("cosine").alias("best_cos"),
         F.max_by("vec_id", F.struct(F.col("cosine"), -F.col("vec_id"))).alias("nearest"),
     )
+    # scorable is row-local over the batch vector's own norm: finite and
+    # nonzero, else every cosine it touches is NULL and "new" is
+    # meaningless (see docstring) — finite_spark NULLs non-finite norms
+    # and NULL > 0 falls to the otherwise(0) branch
     return (
-        batch.select(F.col("vec_id").alias("query_id"))
+        batch.select(F.col("vec_id").alias("query_id"), "nrm")
         .join(per_q, "query_id", "left")
         .select(
             F.col("query_id").alias("vec_id"),
@@ -1035,6 +1063,10 @@ def s10(spark, sf_dir):
             .otherwise(0)
             .cast("long")
             .alias("is_new"),
+            F.when(finite_spark(F.col("nrm")) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("scorable"),
         )
         .orderBy("vec_id")
     )

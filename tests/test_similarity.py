@@ -133,6 +133,23 @@ class TestConnectedComponents:
             connected_components(pairs, max_rounds=0)
 
 
+def _write_embeddings_parquet(path, ids, vectors, labels=None):
+    """One embeddings-fixture writer for every test class in this file —
+    the schema (vec_id int64, embedding list<float32>, optional label
+    int32) must stay in lockstep with the real fixtures, and one
+    definition means one edit when it changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(vectors, type=pa.list_(pa.float32())),
+    }
+    if labels is not None:
+        cols["label"] = pa.array(labels, type=pa.int32())
+    pq.write_table(pa.table(cols), str(path))
+
+
 class TestVectorValidityQuarantine:
     """Structurally malformed embeddings (NULL array, NULL component,
     wrong width, empty) must be dropped at the scan by BOTH engines'
@@ -163,16 +180,8 @@ class TestVectorValidityQuarantine:
         )
 
         path = str(tmp_path / "emb.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "vec_id": pa.array([r[0] for r in self.ROWS], type=pa.int64()),
-                    "embedding": pa.array(
-                        [r[1] for r in self.ROWS], type=pa.list_(pa.float32())
-                    ),
-                }
-            ),
-            path,
+        _write_embeddings_parquet(
+            path, [r[0] for r in self.ROWS], [r[1] for r in self.ROWS]
         )
         want = {r[0] for r in self.ROWS if r[2]}
 
@@ -206,17 +215,11 @@ class TestVectorValidityQuarantine:
             (2, [0.5] * (DIM // 2), 2),
             (3, ([0.5] * (DIM - 1)) + [None], 3),
         ]
-        pq.write_table(
-            pa.table(
-                {
-                    "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
-                    "embedding": pa.array(
-                        [r[1] for r in rows], type=pa.list_(pa.float32())
-                    ),
-                    "label": pa.array([r[2] for r in rows], type=pa.int32()),
-                }
-            ),
-            str(tmp_path / "embeddings.parquet"),
+        _write_embeddings_parquet(
+            tmp_path / "embeddings.parquet",
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            labels=[r[2] for r in rows],
         )
         got = {r.vec_id for r in _emb(spark, str(tmp_path)).collect()}
         assert got == {0}
@@ -229,23 +232,12 @@ class TestIncrementalAdmission:
     neighbor — the keep/drop semantics a continuously-fed corpus needs."""
 
     def _write(self, tmp_path, vecs):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from jena_fuseki_kafka_spark.queries.similarity import DIM
-
         ids = sorted(vecs)
-        pq.write_table(
-            pa.table(
-                {
-                    "vec_id": pa.array(ids, type=pa.int64()),
-                    "embedding": pa.array(
-                        [vecs[i] for i in ids], type=pa.list_(pa.float32())
-                    ),
-                    "label": pa.array([0] * len(ids), type=pa.int32()),
-                }
-            ),
-            str(tmp_path / "embeddings.parquet"),
+        _write_embeddings_parquet(
+            tmp_path / "embeddings.parquet",
+            ids,
+            [vecs[i] for i in ids],
+            labels=[0] * len(ids),
         )
 
     def test_verdict_covers_batch_and_flags_planted_dup(self, spark, tmp_path):
@@ -264,11 +256,15 @@ class TestIncrementalAdmission:
             if i % S10_BATCH_MOD == 0:
                 continue
             vecs[i] = [rng.uniform(-1, 1) for _ in range(DIM)]
-        batch_ids = [5, 10, 15, 20]
+        batch_ids = [5, 10, 15, 20, 25]
         for i in batch_ids:
             vecs[i] = [rng.uniform(-1, 1) for _ in range(DIM)]
         # plant: batch vec 10 duplicates corpus vec 61 exactly
         vecs[10] = list(vecs[61])
+        # plant: batch vec 25 is the zero vector — structurally valid
+        # (passes _emb) but every cosine it touches is NULL, so it must
+        # come back scorable=0 rather than silently "new"
+        vecs[25] = [0.0] * DIM
         self._write(tmp_path, vecs)
 
         out = {
@@ -282,6 +278,9 @@ class TestIncrementalAdmission:
         dup = out[10]
         assert dup.is_new == 0 and dup.n_matches >= 1
         assert dup.nearest == 61 and dup.best_cos == 1.0
+        assert dup.scorable == 1
+        zero = out[25]
+        assert zero.scorable == 0 and zero.n_cands == 0 and zero.is_new == 1
         # and the whole result matches the DuckDB oracle bit-for-bit
         oracle = _oracle_rows(
             ORACLES["s10_incremental_ann_admission"], str(tmp_path)
