@@ -69,32 +69,27 @@ def test_split_part_sites_are_null_guarded():
             "with an extractable simple-column first argument — extend "
             "the extractor before adding expression-argument calls"
         )
-        calls_per_arg: dict[str, int] = {}
+        # one PRECEDING guard per CALL, counted by call rank: the i-th
+        # call on a column needs >= i guards on that column strictly
+        # before its own position, so a single guarded site can never
+        # whitelist a later bare call on the same column, and guards
+        # stacked after a bare call don't count for it (review r14, two
+        # passes: the positional-only check AND the global per-arg
+        # count check each admitted a bypass on their own)
+        rank: dict[str, int] = {}
         for m in sites:
             arg = m.group(1)
-            calls_per_arg[arg] = calls_per_arg.get(arg, 0) + 1
+            rank[arg] = rank.get(arg, 0) + 1
             guard = (
                 r"CASE\s+WHEN\s+" + re.escape(arg) + r"\s+IS\s+NULL\s+THEN\s+NULL"
             )
-            # the guard must route around the call, not merely coexist:
-            # it has to appear BEFORE the call in the same expression
-            assert re.search(guard, sql[: m.start()], re.I), (
-                f"{name}: split_part({arg}, ...) has no preceding "
-                f"'CASE WHEN {arg} IS NULL THEN NULL' guard — DuckDB "
+            n_preceding = len(re.findall(guard, sql[: m.start()], re.I))
+            assert n_preceding >= rank[arg], (
+                f"{name}: call #{rank[arg]} of split_part({arg}, ...) has "
+                f"only {n_preceding} preceding "
+                f"'CASE WHEN {arg} IS NULL THEN NULL' guard(s) — DuckDB "
                 "split_part returns '' on NULL input where Spark "
                 "returns NULL"
-            )
-        # one guard per CALL, not per argument: a single guarded site on
-        # a column must not whitelist a later bare call on the same
-        # column (review r14 — the positional check alone passes that)
-        for arg, n_arg_calls in calls_per_arg.items():
-            guard = (
-                r"CASE\s+WHEN\s+" + re.escape(arg) + r"\s+IS\s+NULL\s+THEN\s+NULL"
-            )
-            n_arg_guards = len(re.findall(guard, sql, re.I))
-            assert n_arg_guards >= n_arg_calls, (
-                f"{name}: {n_arg_calls} split_part({arg}, ...) call(s) "
-                f"but only {n_arg_guards} matching IS-NULL guard(s)"
             )
 
 

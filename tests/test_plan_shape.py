@@ -112,29 +112,25 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in p, p
 
     def test_s10_admission_join_is_cell_keyed(self, spark):
-        # incremental ANN admission: the ONLY nested-loop broadcasts are
-        # the two bounded centroid-table scorings (the allowlisted s04
-        # class — corpus assignment + batch probes); the admission join
-        # itself must be a HASH join KEYED on the cell id with the
-        # cosine/threshold work as a residual condition, and the final
-        # verdict join must NOT broadcast (the batch side is ~20% of the
-        # corpus at scale — a broadcast there is the scale failure, so
-        # it rides a keyed shuffle join on query_id)
+        # incremental ANN admission — pinned properties: (a) the ONLY
+        # nested-loop broadcasts are the two bounded centroid-table
+        # scorings (the allowlisted s04 class — corpus assignment +
+        # batch probes), so candidate generation can never be all-pairs;
+        # (b) exactly TWO FORCED broadcast hints exist — the admission
+        # join and the verdict join must carry none, because probes is
+        # |batch| x N_PROBE rows and the verdict side is the batch —
+        # both real fractions of the corpus, so a forced broadcast
+        # there is the OOM-at-scale failure (review r14 caught a copied
+        # F.broadcast(probes)); AQE may still CHOOSE a broadcast from
+        # measured sizes at test SF, so the hint count — not the
+        # physical operator — is the contract; (c) the verdict join
+        # stays an unhinted keyed join (SMJ/SHJ at test sizes)
         p = plan(spark, "s10_incremental_ann_admission")
         assert "CartesianProduct" not in p, p
         assert len(re.findall(r"BroadcastNestedLoopJoin Cross", p)) == 2, p
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin) LeftOuter", p), p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
-        # exactly TWO FORCED broadcasts — the bounded centroid table for
-        # the corpus assignment and the batch probe ranking.  The
-        # admission join and the verdict join must carry NO hint: probes
-        # is |batch| x N_PROBE rows and the verdict side is the batch —
-        # both real fractions of the corpus, so a forced broadcast there
-        # is the OOM-at-scale failure (review r14 caught a copied
-        # F.broadcast(probes)).  AQE may still CHOOSE a broadcast from
-        # measured sizes at test SF; the hint count is what's pinned.
-        op = optimized_plan(spark, "s10_incremental_ann_admission")
-        assert op.count("strategy=broadcast") == 2, op
+        assert hint_count(spark, "s10_incremental_ann_admission") == 2
 
     def test_r15_compat_join_stays_keyed(self, spark):
         # SPARQL compatible-mapping OPTIONAL: the maybe-unbound shared var

@@ -170,8 +170,6 @@ class TestVectorValidityQuarantine:
 
     def test_spark_and_duckdb_predicates_agree(self, spark, tmp_path):
         import duckdb
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
         from jena_fuseki_kafka_spark.queries import (
@@ -204,9 +202,6 @@ class TestVectorValidityQuarantine:
         assert got_duck == want
 
     def test_emb_loader_quarantines(self, spark, tmp_path):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from jena_fuseki_kafka_spark.queries.similarity import DIM, _emb
 
         rows = [
