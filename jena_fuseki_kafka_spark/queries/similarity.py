@@ -745,6 +745,33 @@ def s08(spark, sf_dir):
     )
 
 
+def _assign_cells(rel, c):
+    """Single-cell IVF assignment shared by s09/s10 (review r14 dedup):
+    every vector in ``rel`` (vec_id, embedding, nrm) is assigned to its
+    nearest centroid in ``c`` (cid, cv, cn) as ONE hash aggregate —
+    max_by over struct(sim, -cid) reproduces the oracle windows'
+    (sim DESC NULLS LAST, cid ASC) tiebreak without sorting the corpus.
+    The centroid table broadcasts (bounded by construction); the only
+    exchange is the groupBy.  s04 keeps its own inline copy because it
+    reuses the intermediate scored relation for its probe ranking.
+    Refactor verified plan-identical (normalized formatted-explain
+    strings byte-equal pre/post) for both callers, so the extraction is
+    behavior-neutral by proof, not by argument."""
+    sim = _nan_to_null(
+        F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
+    )
+    return (
+        rel.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+
+
 # ------------------------------------------------- s09 SemDeDup-style pruning
 SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
 # embeddings are near-orthogonal, so the paper's 0.95+ would prune nothing at
@@ -813,17 +840,7 @@ def s09(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn")))
-    assign = (
-        e.crossJoin(F.broadcast(c))
-        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-        )
-    )
+    assign = _assign_cells(e, c)
     a = assign.select(
         F.col("vec_id").alias("u"), "cid",
         F.col("embedding").alias("eu"), F.col("nrm").alias("nu"),
@@ -993,19 +1010,10 @@ def s10(spark, sf_dir):
     sim = _nan_to_null(
         F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
     )
-    # corpus side: single-cell assignment as a hash aggregate (s04's
-    # max_by tiebreak) — in production this relation is the persisted,
+    # corpus side: single-cell assignment (shared helper; s04's max_by
+    # tiebreak) — in production this relation is the persisted,
     # cid-bucketed index, not a per-batch computation
-    assign = (
-        corpus.crossJoin(F.broadcast(c))
-        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-        )
-    )
+    assign = _assign_cells(corpus, c)
     # batch side: N_PROBE nearest cells per incoming vector; the window
     # runs over |batch| x |centroids| rows only
     wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
