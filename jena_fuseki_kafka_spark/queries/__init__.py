@@ -286,81 +286,18 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r14 window (first 50; unlisted queries sort ahead of all of
+    # ---- r15 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Window math (tools/rotation_planner.py at r14 open): 24 mandatory
-    # (the r11 cohort — age 3 at this check if skipped) + 1 new gate +
-    # u01 (touched: the quadstore anti/semi-join column rename, VERDICT
-    # r13 item 3) + 24 r12-cohort re-verifications = 50 exactly.  The
-    # r12 cohort is 47 strong and reaches age 3 at r15: spending 24
-    # slots on it now (the complex gates, per VERDICT r14 item 1) caps
-    # r15's mandatory floor at the 23 simple leftovers below the
-    # boundary.
-    # ---- NEW this round (no prior verdict; sorts first regardless) ----
-    "s10_incremental_ann_admission",
-    # ---- r11-green, untouched: age 3 at the r14 check if skipped --
+    # Window math (tools/rotation_planner.py at r15 open): 23 mandatory
+    # (the r12-green remainder — age 3 at this check if skipped) + 27
+    # r13-cohort re-verifications = 50 exactly.  The r13 cohort is 49
+    # strong and reaches age 3 at r16: spending 27 slots on it now (the
+    # complex half, mirroring r14's strategy) caps r16's mandatory
+    # floor at the 22 leftovers below the boundary.  New queries added
+    # this round sort ahead of all of these; each one pushes the last
+    # fill entry past the boundary (it then joins r16's floor).
+    # ---- r12-green, untouched: age 3 at the r15 check if skipped --
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
-    "d03_simhash",
-    "d08_substring_span_dedup",
-    "d09_duplication_fraction",
-    "d11_fuzzy_decontamination",
-    "p02_curation_pipeline",
-    "q21_sessionization",
-    "q22_json_props_extract",
-    "q23_funnel_signup_to_purchase",
-    "q27_sliding_window",
-    "q28_set_operations",
-    "q32_approx_distinct",
-    "q33_semi_anti_join",
-    "q34_lead_lag_ntile",
-    "q37_running_frames",
-    "q40_salted_fact_dim_join",
-    "q44_incremental_agg_merge",
-    "st04_streaming_first_seen",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t05_feature_hash_embedding",
-    "t06_topk_bigrams_per_lang",
-    "t09_url_domain_stats",
-    "t11_bigram_lm_perplexity",
-    # ---- TOUCHED THIS ROUND -> re-verify: the quadstore null-safe
-    # anti/semi-join right-side column rename (WARN-spam fix) is
-    # behavior-neutral by construction, but u01 exercises exactly that
-    # join, so it re-verifies in-window rather than riding an argument --
-    "u01_update_sequence",
-    # ---- r12-cohort re-verifications (age 2, legal to skip — spent
-    # here deliberately to keep r15's floor at 23; the complex half:
-    # multi-join/window/decorrelation relational, the SPARQL omnibus +
-    # property paths + BGP, both stream-stream joins, the two dedup
-    # heavyweights, the multimodal kernels) ----
-    "q02_top_revenue_orders",
-    "q03_local_supplier_volume",
-    "q04_forecast_revenue",
-    "q16_conditional_agg_case",
-    "q18_multi_join_part_supplier_stats",
-    "q26_cohort_retention",
-    "q29_asof_join",
-    "q30_interval_join",
-    "q35_salted_skew_agg",
-    "q39_correlated_scalar_subquery",
-    "q41_pivot_wide_metrics",
-    "q42_changelog_latest_compaction",
-    "q43_scd2_validity_intervals",
-    "r02_bgp_join_filter",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
-    "st07_stream_stream_join",
-    "st08_stream_stream_outer_join",
-    "d01_exact_dedup",
-    "d05_decontamination",
-    "m03_video_frame_sample",
-    "m04_frame_dedup",
-    "m07_image_phash_neardup",
-    "m08_image_resize_facets",
-    # ---- window boundary here (50 above) ----
-    # r12-green remainder: age 3 at the r15 check — these ARE r15's
-    # mandatory floor (23) and rotate to the very top next round.
     "p01_stratified_sample",
     "p03_mixture_rebalance",
     "p06_time_embargo_split",
@@ -384,16 +321,41 @@ _CHECK_PRIORITY = [
     "r17_minus_compat",
     "r18_negated_property_set",
     "t01_language_id",
-    # ---- r13-green, code untouched -> tail (fine until r16) ----
+    # ---- r13-cohort re-verifications (age 2, legal to skip — spent
+    # here deliberately to cap r16's floor at 22; the complex half:
+    # the full similarity family, the five dedup heavyweights, all
+    # eight batch-twin streaming gates incl. both exactly-once proofs,
+    # and all four r13 multimodal kernels) ----
+    "s01_ann_bruteforce_topk",
+    "s02_ann_lsh_bucketed",
+    "s03_embedding_near_dup",
+    "s03b_embedding_near_dup_lowt",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "s06_embedding_dup_clusters",
+    "s07_int8_quantization",
+    "s08_prefix_dim_rerank",
+    "s09_semdedup_prune",
     "d02_minhash_lsh",
     "d04_ngram_jaccard_blocked",
     "d06_dedup_clusters",
     "d07_minhash_estimator_fidelity",
     "d10_incremental_corpus_dedup",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
+    "st03_streaming_session_window",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "st09_streaming_bounded_dedup",
+    "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
     "m01_image_features",
     "m02_audio_features",
     "m05_scene_changes",
     "m06_audio_vad_segments",
+    # ---- window boundary here (50 above) ----
+    # r13-green remainder: age 3 at the r16 check — these ARE r16's
+    # mandatory floor (22) and rotate to the very top next round.
     "p04_leakage_safe_split",
     "p05_sequence_packing",
     "p07_packing_efficiency_census",
@@ -413,27 +375,60 @@ _CHECK_PRIORITY = [
     "q31_grouping_sets",
     "q36_per_group_outlier_filter",
     "q38_approx_percentile",
-    "s01_ann_bruteforce_topk",
-    "s02_ann_lsh_bucketed",
-    "s03_embedding_near_dup",
-    "s03b_embedding_near_dup_lowt",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "s06_embedding_dup_clusters",
-    "s07_int8_quantization",
-    "s08_prefix_dim_rerank",
-    "s09_semdedup_prune",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
-    "st03_streaming_session_window",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "st09_streaming_bounded_dedup",
-    "st10_streaming_file_sink_exactly_once",
-    "st11_foreachbatch_merge_exactly_once",
     "t07_repetition_ratio",
     "t08_pii_scrub",
     "t10_char_entropy",
+    # ---- r14-green, code untouched -> tail (fine until r17) ----
+    "s10_incremental_ann_admission",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d05_decontamination",
+    "d08_substring_span_dedup",
+    "d09_duplication_fraction",
+    "d11_fuzzy_decontamination",
+    "m03_video_frame_sample",
+    "m04_frame_dedup",
+    "m07_image_phash_neardup",
+    "m08_image_resize_facets",
+    "p02_curation_pipeline",
+    "q02_top_revenue_orders",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q16_conditional_agg_case",
+    "q18_multi_join_part_supplier_stats",
+    "q21_sessionization",
+    "q22_json_props_extract",
+    "q23_funnel_signup_to_purchase",
+    "q26_cohort_retention",
+    "q27_sliding_window",
+    "q28_set_operations",
+    "q29_asof_join",
+    "q30_interval_join",
+    "q32_approx_distinct",
+    "q33_semi_anti_join",
+    "q34_lead_lag_ntile",
+    "q35_salted_skew_agg",
+    "q37_running_frames",
+    "q39_correlated_scalar_subquery",
+    "q40_salted_fact_dim_join",
+    "q41_pivot_wide_metrics",
+    "q42_changelog_latest_compaction",
+    "q43_scd2_validity_intervals",
+    "q44_incremental_agg_merge",
+    "r02_bgp_join_filter",
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "st04_streaming_first_seen",
+    "st07_stream_stream_join",
+    "st08_stream_stream_outer_join",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "t05_feature_hash_embedding",
+    "t06_topk_bigrams_per_lang",
+    "t09_url_domain_stats",
+    "t11_bigram_lm_perplexity",
+    "u01_update_sequence",
 ]
 
 
