@@ -413,10 +413,10 @@ def main():
     # median can coexist with a PARTIAL contention wave — the calibration
     # samples run at the end and can dodge a mid-run stretch; row-inflation
     # uniformity against loadavg is the mechanical tell)
+    full["loadavg_start"] = _LOADAVG_START  # captured at startup; None-safe
     try:
         with open("/proc/loadavg") as lf:
             full["loadavg_end"] = lf.read().split()[:3]
-        full["loadavg_start"] = _LOADAVG_START
     except OSError:
         pass
     full["samples"] = {n: v for n, v in samples.items()}

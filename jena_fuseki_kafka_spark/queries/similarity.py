@@ -755,8 +755,10 @@ def _assign_cells(rel, c):
     exchange is the groupBy.  s04 keeps its own inline copy because it
     reuses the intermediate scored relation for its probe ranking.
     Refactor verified plan-identical (normalized formatted-explain
-    strings byte-equal pre/post) for both callers, so the extraction is
-    behavior-neutral by proof, not by argument."""
+    strings byte-equal pre/post) for s09 — the only caller that existed
+    before the extraction; s10 was born on this helper, so its coverage
+    is its own oracle-parity gate plus the plan-shape broadcast-count
+    test, not a pre/post plan diff (ADVICE r14)."""
     sim = _nan_to_null(
         F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn"))
     )

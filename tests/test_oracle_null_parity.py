@@ -76,6 +76,16 @@ def test_split_part_sites_are_null_guarded():
         # stacked after a bare call don't count for it (review r14, two
         # passes: the positional-only check AND the global per-arg
         # count check each admitted a bypass on their own)
+        #
+        # Known strictness (ADVICE r14): a single dominating guard whose
+        # ELSE branch nests MULTIPLE split_part calls on the same column
+        # — 'CASE WHEN c IS NULL THEN NULL ELSE f(split_part(c,..),
+        # split_part(c,..)) END' — is legitimately guarded but counts
+        # only ONE preceding guard, so this check false-fails it.  That
+        # failure is LOUD (the fix is to repeat the guard per call or
+        # extend this rule to credit a dominating guard), never a silent
+        # admit, so the strictness is kept until the pattern appears in
+        # a real oracle.
         rank: dict[str, int] = {}
         for m in sites:
             arg = m.group(1)
