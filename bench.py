@@ -95,6 +95,8 @@ HEADLINE_BATCH = [
     "d11_fuzzy_decontamination",
     "p07_packing_efficiency_census",
     "s10_incremental_ann_admission",
+    "s11_pq_adc_topk",
+    "t12_classifier_quality_filter",
 ]
 
 # streaming gates: wall time here is micro-batch trigger + state-store
@@ -144,7 +146,6 @@ SLIM_ROTATION_POOL = [
     "q04_forecast_revenue",
     "q20_tumbling_window_hourly",
     "q21_sessionization",
-    "m05_scene_changes",
     "q19_disjunctive_predicate_join",
     "q31_grouping_sets",
     "t08_pii_scrub",
@@ -153,6 +154,15 @@ SLIM_ROTATION_POOL = [
     # cell machinery (still always-listed), so its regressions stay
     # visible on the line through s04 in its excluded rounds
     "s10_incremental_ann_admission",
+    # the r15 additions enter half A so their FIRST driver-visible
+    # record rides the r15 (odd) line; s11's broadcast/codebook
+    # machinery stays visible through s04 on excluded rounds, t12's
+    # tokenize+hash grain through t03
+    "s11_pq_adc_topk",
+    "t12_classifier_quality_filter",
+    # q43's validity-interval window rides q42's changelog shape
+    # (q42 stays always-listed as the CDC-family sentinel)
+    "q43_scd2_validity_intervals",
     # half B (excluded on odd rounds)
     "q29_asof_join",
     "q30_interval_join",
@@ -166,6 +176,11 @@ SLIM_ROTATION_POOL = [
     # d05's verbatim 8-gram collision join is d11's sibling shape
     # (d11 stays always-listed)
     "d05_decontamination",
+    # moved from half A to keep the halves balanced when s11/t12 landed
+    # (m-family stays visible odd rounds through m01/m07/m08)
+    "m05_scene_changes",
+    # q44's MERGE aggregate is q42/st11's sibling shape
+    "q44_incremental_agg_merge",
 ]
 
 

@@ -288,14 +288,16 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r15 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Window math (tools/rotation_planner.py at r15 open): 23 mandatory
-    # (the r12-green remainder — age 3 at this check if skipped) + 27
-    # r13-cohort re-verifications = 50 exactly.  The r13 cohort is 49
-    # strong and reaches age 3 at r16: spending 27 slots on it now (the
-    # complex half, mirroring r14's strategy) caps r16's mandatory
-    # floor at the 22 leftovers below the boundary.  New queries added
-    # this round sort ahead of all of these; each one pushes the last
-    # fill entry past the boundary (it then joins r16's floor).
+    # Window math (tools/rotation_planner.py at r15 open): 2 new gates
+    # + 23 mandatory (the r12-green remainder — age 3 at this check if
+    # skipped) + 25 r13-cohort re-verifications = 50 exactly.  The r13
+    # cohort is 49 strong and reaches age 3 at r16: spending 25 slots
+    # on it now (the complex half, mirroring r14's strategy) leaves
+    # r16's mandatory floor at the 24 leftovers below the boundary
+    # (22 simple gates + m05/m06, displaced by this round's new ops).
+    # ---- NEW this round (no prior verdict; sort first regardless) ----
+    "s11_pq_adc_topk",
+    "t12_classifier_quality_filter",
     # ---- r12-green, untouched: age 3 at the r15 check if skipped --
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
     "p01_stratified_sample",
@@ -322,10 +324,10 @@ _CHECK_PRIORITY = [
     "r18_negated_property_set",
     "t01_language_id",
     # ---- r13-cohort re-verifications (age 2, legal to skip — spent
-    # here deliberately to cap r16's floor at 22; the complex half:
-    # the full similarity family, the five dedup heavyweights, all
-    # eight batch-twin streaming gates incl. both exactly-once proofs,
-    # and all four r13 multimodal kernels) ----
+    # here deliberately to bound r16's floor; the complex half: the
+    # full similarity family, the five dedup heavyweights, all eight
+    # batch-twin streaming gates incl. both exactly-once proofs, and
+    # the two heaviest r13 multimodal kernels) ----
     "s01_ann_bruteforce_topk",
     "s02_ann_lsh_bucketed",
     "s03_embedding_near_dup",
@@ -351,11 +353,11 @@ _CHECK_PRIORITY = [
     "st11_foreachbatch_merge_exactly_once",
     "m01_image_features",
     "m02_audio_features",
-    "m05_scene_changes",
-    "m06_audio_vad_segments",
     # ---- window boundary here (50 above) ----
     # r13-green remainder: age 3 at the r16 check — these ARE r16's
-    # mandatory floor (22) and rotate to the very top next round.
+    # mandatory floor (24) and rotate to the very top next round.
+    "m05_scene_changes",
+    "m06_audio_vad_segments",
     "p04_leakage_safe_split",
     "p05_sequence_packing",
     "p07_packing_efficiency_census",

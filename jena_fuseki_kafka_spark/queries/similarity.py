@@ -1080,3 +1080,209 @@ def s10(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------- s11 product quantization
+# PQ + ADC — the third leg of the FAISS-style index family: s04 is the
+# COARSE quantizer (IVF cell routing), s07 is SCALAR compression (int8),
+# s11 is the FINE quantizer: each vector is split into PQ_M subspaces and
+# each sub-vector replaced by the id of its nearest codeword, so a DIM
+# float32 vector (256 B) becomes PQ_M uint8 codes (4 B, 64x).  Queries
+# never decompress: ADC (asymmetric distance computation, Jegou et al.
+# 2011) precomputes per-query lookup tables of query-subvector ->
+# codeword distances, and a database vector's approximate distance is
+# PQ_M table lookups + adds.
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # max codewords per subspace codebook
+PQ_CODE_MOD = 37  # vec_id % 37 == 0 and vec_id < 37*16 -> codeword seed
+
+# squared L2 over a subspace slice, left-to-right summation (the oracle's
+# list_sum order), with the family's non-finite -> NULL routing.  A NaN
+# component makes the sum NaN; an overflowing square makes it +Inf; a
+# squared distance can never be -Inf, so two nullifs suffice.
+_L2_SQL = (
+    "nullif(nullif("
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    ", CAST('nan' AS DOUBLE)), CAST('inf' AS DOUBLE))"
+)
+
+# the PQ_M subspace slices, 1-based inclusive bounds shared by both
+# engines: DuckDB list slice [a:b] / Spark slice(col, a, PQ_SUBDIM)
+_PQ_SLICES = [(m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM) for m in range(PQ_M)]
+
+
+def _sub_sql(expr: str, m: int) -> str:
+    a, b = _PQ_SLICES[m]
+    return f"{expr}[{a}:{b}]"
+
+
+def _sub_spark(col, m: int):
+    return F.slice(col, _PQ_SLICES[m][0], PQ_SUBDIM)
+
+
+def _ssq_spark(a, b):
+    """Squared L2 distance, left-to-right summation — the Spark twin of
+    _L2_SQL (same order, so doubles are bit-equal)."""
+    diff2 = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return finite_spark(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+
+
+@query(
+    "s11_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT CAST(vec_id // {PQ_CODE_MOD} + 1 AS INTEGER) AS code,
+             {_sub_sql('embedding', 0)} AS cw0, {_sub_sql('embedding', 1)} AS cw1,
+             {_sub_sql('embedding', 2)} AS cw2, {_sub_sql('embedding', 3)} AS cw3
+      FROM {_EMB}
+      WHERE vec_id % {PQ_CODE_MOD} = 0 AND vec_id < {PQ_CODE_MOD * PQ_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, cb.code,
+             {_L2_SQL.format(a=_sub_sql('e.embedding', 0), b='cb.cw0')} AS d0,
+             {_L2_SQL.format(a=_sub_sql('e.embedding', 1), b='cb.cw1')} AS d1,
+             {_L2_SQL.format(a=_sub_sql('e.embedding', 2), b='cb.cw2')} AS d2,
+             {_L2_SQL.format(a=_sub_sql('e.embedding', 3), b='cb.cw3')} AS d3
+      FROM {_EMB} e CROSS JOIN cb
+    ),
+    ranked AS (
+      SELECT vec_id, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0 ASC NULLS LAST, code) AS r0,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1 ASC NULLS LAST, code) AS r1,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC NULLS LAST, code) AS r2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d3 ASC NULLS LAST, code) AS r3
+      FROM scored
+    ),
+    codes AS (
+      SELECT vec_id,
+             MAX(CASE WHEN r0 = 1 THEN code END) AS c0,
+             MAX(CASE WHEN r1 = 1 THEN code END) AS c1,
+             MAX(CASE WHEN r2 = 1 THEN code END) AS c2,
+             MAX(CASE WHEN r3 = 1 THEN code END) AS c3
+      FROM ranked GROUP BY vec_id
+    ),
+    dt AS (
+      SELECT vec_id AS query_id, code, d0, d1, d2, d3
+      FROM scored WHERE vec_id < {N_QUERY_VECS}
+    ),
+    adc AS (
+      SELECT t0.query_id, c.vec_id, c.c0, c.c1, c.c2, c.c3,
+             ROUND(((t0.d0 + t1.d1) + t2.d2) + t3.d3, 4) AS adc_dist
+      FROM codes c
+      JOIN dt t0 ON t0.code = c.c0
+      JOIN dt t1 ON t1.query_id = t0.query_id AND t1.code = c.c1
+      JOIN dt t2 ON t2.query_id = t0.query_id AND t2.code = c.c2
+      JOIN dt t3 ON t3.query_id = t0.query_id AND t3.code = c.c3
+      WHERE c.vec_id != t0.query_id
+    ),
+    final AS (
+      SELECT query_id, vec_id, c0, c1, c2, c3, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC NULLS LAST, vec_id) AS rk
+      FROM adc
+    )
+    SELECT query_id, vec_id, c0, c1, c2, c3, adc_dist, rk
+    FROM final WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def s11(spark, sf_dir):
+    """PRODUCT QUANTIZATION + ADC top-k (Jegou, Douze, Schmid 2011) — the
+    fine-quantizer leg of the index family (s04 coarse/IVF, s07 scalar).
+    Each vector splits into {PQ_M} x {PQ_SUBDIM}-dim subspaces; each
+    sub-vector is encoded as its nearest codeword id from a bounded
+    deterministic codebook (every {PQ_CODE_MOD}th vec_id below
+    {PQ_CODE_MOD}x{PQ_K} — at scale these are per-subspace k-means
+    codebooks, trained offline, <= {PQ_K} codewords by construction).
+    Queries rank candidates WITHOUT decompression: per query, one
+    distance table per subspace (query sub-vector -> every codeword,
+    squared L2), then a candidate's approximate distance is {PQ_M} map
+    lookups + adds over its codes.
+
+    Scale shape: the codebook broadcasts (<= {PQ_K} rows by
+    construction); encoding is one crossJoin x <= {PQ_K} fan-out and ONE
+    hash aggregate whose shuffle rows carry only (code, 4 doubles) — the
+    embedding itself never rides the encode exchange, and in production
+    the codes are computed once at ingest and PERSISTED (4 B/vector, the
+    64x compression that lets a 100 TB float32 store serve from ~1.6 TB).
+    The query distance tables are {N_QUERY_VECS} x {PQ_K} x {PQ_M}
+    doubles — broadcast as per-subspace maps — so the ADC pass is a
+    row-local lookup-and-add over the codes relation: zero shuffle per
+    candidate, one per-query top-k window at the end.  The argmin per
+    subspace is the family's max_by(code, struct(-d, -code)) idiom —
+    NULLS lose the max exactly like the oracle's ASC NULLS LAST, and a
+    fully-corrupt sub-vector (all-NULL distances) deterministically takes
+    the lowest code on both engines.  Non-finite distances route NULL
+    (``finite_spark``/_L2_SQL nullifs): one corrupt subspace poisons the
+    whole ADC sum to NULL, ranking the row last, never first.  Output
+    pins the ENCODING (c0..c3) next to the ADC distance and rank, so a
+    mis-assigned codeword fails the gate even when the ranking happens
+    to survive.  Reference scope note: the reference engine has no
+    similarity surface (SURVEY.md §2 — the LLM-pipeline operators are
+    this repo's extension family)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    code = F.expr(f"CAST(vec_id div {PQ_CODE_MOD} + 1 AS INT)")
+    cb = (
+        e.filter(
+            (F.col("vec_id") % PQ_CODE_MOD == 0) & (F.col("vec_id") < PQ_CODE_MOD * PQ_K)
+        )
+        .select(
+            code.alias("code"),
+            *[_sub_spark(F.col("embedding"), m).alias(f"cw{m}") for m in range(PQ_M)],
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "code",
+        *[
+            _ssq_spark(_sub_spark(F.col("embedding"), m), F.col(f"cw{m}")).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # per-subspace argmin as ONE hash aggregate (no per-subspace window):
+    # max_by over struct(-d, -code) == (d ASC NULLS LAST, code ASC)
+    codes = scored.groupBy("vec_id").agg(
+        *[
+            F.max_by("code", F.struct(-F.col(f"d{m}"), -F.col("code"))).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    # per-query ADC tables: one map<code, d> per subspace, built from the
+    # same scored relation (the query's own codeword distances)
+    qdt = (
+        scored.filter(F.col("vec_id") < N_QUERY_VECS)
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(
+            *[
+                F.map_from_entries(F.collect_list(F.struct("code", f"d{m}"))).alias(f"dt{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    # left-to-right adds, same order as the oracle's ((d0+d1)+d2)+d3
+    adc = F.round(
+        F.try_element_at("dt0", F.col("c0"))
+        + F.try_element_at("dt1", F.col("c1"))
+        + F.try_element_at("dt2", F.col("c2"))
+        + F.try_element_at("dt3", F.col("c3")),
+        4,
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qdt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "c0", "c1", "c2", "c3", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("adc_dist"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "c0", "c1", "c2", "c3", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    )

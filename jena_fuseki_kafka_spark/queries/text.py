@@ -768,3 +768,104 @@ def t11(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ t12 classifier quality gate
+# Model-based quality FILTERING — the fastText-style linear classifier
+# gate (CCNet / GPT-3 / LLaMA data pipelines) that t02's hand heuristics
+# approximate: score every document with a trained linear model over
+# hashed token features and keep docs the model scores positive.  The
+# model here is a deterministic stand-in (md5-derived weights — at scale
+# you broadcast the trained weight vector instead; same plan), and it is
+# INTEGER-QUANTIZED: weights in [-6, 6], activations are t05's signed
+# token counts, so the logit is an exact integer — per-doc sums commute,
+# no float summation-order skew between engines, and the keep decision
+# is reproducible under any partitioning (the same reason s07 quantizes).
+T12_W_MOD = 13  # weight = (60-bit md5 of 'w:<idx>') % 13 - 6  in [-6, 6]
+
+
+def _t12_weights() -> list[int]:
+    """Driver-side precompute of the literal weight table, matching the
+    oracle's md5 formula bit-for-bit (the s02 _plane_signs idiom)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:15], 16) % T12_W_MOD
+        - T12_W_MOD // 2
+        for i in range(EMB_DIM)
+    ]
+
+
+@query(
+    "t12_classifier_quality_filter",
+    oracle=rf"""
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest({ws_words_sql(_LOWER_MARKSTRIP_SQL)}) AS w
+      FROM documents
+    ),
+    contrib AS (
+      SELECT doc_id,
+             (CASE WHEN (('0x'||substr(md5(w),1,15))::BIGINT >> 6) & 1 = 1
+                   THEN 1 ELSE -1 END)
+             * ((('0x'||substr(md5('w:' || CAST(
+                   ('0x'||substr(md5(w),1,15))::BIGINT % {EMB_DIM}
+                 AS VARCHAR)),1,15))::BIGINT % {T12_W_MOD}) - {T12_W_MOD // 2})
+               AS c
+      FROM tokens
+    ),
+    logits AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS logit FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(l.logit, 0) AS BIGINT) AS logit,
+           CAST(CASE WHEN COALESCE(l.logit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM documents d LEFT JOIN logits l ON l.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def t12(spark, sf_dir):
+    """Linear-classifier quality gate over hashed token features: each
+    token contributes sign(h) * w[h mod {EMB_DIM}] (t05's hashing trick
+    feature, weighted by the integer model table), the document logit is
+    the exact integer sum, and ``kept = logit > 0`` is the filter
+    decision — including for token-less (NULL-text) docs, which score 0
+    and drop: a quality gate must emit a verdict for EVERY document, so
+    the logits left-join back to the corpus instead of silently omitting
+    unscorable rows.
+
+    Scale shape: tokenize/hash/weight-lookup are row-local JVM
+    expressions (the weight table is a 64-int literal baked into the
+    plan, exactly t11's literal-model idiom — at real scale the trained
+    vector broadcasts the same way); the only corpus exchanges are ONE
+    partial-aggregated groupBy(doc_id) for the logit and the verdict
+    left-join back to documents, both keyed on doc_id, so co-partitioned
+    storage makes the join exchange-free.  Integer quantization is the
+    cross-engine exactness lever: floating logits would need a
+    summation-order pin (impossible under a commutative hash aggregate),
+    integer sums commute exactly."""
+    d = load(spark, sf_dir, "documents")
+    w_arr = F.array(*[F.lit(v) for v in _t12_weights()])
+    tokens = fan_out(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(ws_words_spark(lower_markstrip_spark(F.col("text")))).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    sgn = F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    contrib = sgn * F.element_at(w_arr, (h % EMB_DIM + 1).cast("int"))
+    logits = (
+        tokens.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("logit"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(logits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+            F.when(F.coalesce("logit", F.lit(0)) > 0, 1).otherwise(0).cast("long").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -57,6 +57,10 @@ BNLJ_ALLOWED = {
     "s10_incremental_ann_admission": "broadcast centroid table (n_cells "
     "fixed) scores both the corpus assignment and the batch probes; the "
     "admission join itself is a cell-id equi-join",
+    "s11_pq_adc_topk": "broadcast sides are the PQ codebook (<= PQ_K rows "
+    "by construction: vec_id < PQ_CODE_MOD*PQ_K) and the per-query ADC "
+    "distance-table maps (N_QUERY_VECS rows); the ADC pass itself is a "
+    "row-local lookup-and-add over the codes relation",
 }
 
 # Queries whose construction executes driver-side iterative jobs (fixpoint

@@ -269,6 +269,29 @@ class TestJoinStrategy:
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", p):
             assert m.group(1) == "Cross" and m.group(2).startswith("Build"), p
 
+    def test_s11_pq_stays_broadcast_bounded_and_pruned(self, spark):
+        # PQ/ADC — pinned properties: (a) exactly THREE nested-loop
+        # broadcasts, all crosses against bounded sides (the <= PQ_K-row
+        # codebook on the encode and distance-table branches, the
+        # N_QUERY_VECS-row map relation on the ADC pass) and exactly
+        # three matching FORCED hints — any fourth hint would mean a
+        # corpus-sized relation grew one; (b) the query-side branch
+        # prunes at the SCAN (vec_id < N_QUERY_VECS pushed down), so the
+        # distance tables never pay a corpus read; (c) the final top-k
+        # runs a partial WindowGroupLimit below its exchange, so the
+        # rank shuffle carries ~k rows per query per partition, not the
+        # whole candidate set; (d) everything stays JVM-side
+        p = plan(spark, "s11_pq_adc_topk")
+        assert "CartesianProduct" not in p, p
+        assert len(re.findall(r"BroadcastNestedLoopJoin Cross", p)) == 3, p
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", p):
+            assert m.group(1) == "Cross" and m.group(2).startswith("Build"), p
+        assert hint_count(spark, "s11_pq_adc_topk") == 3
+        assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,5\)", p), p
+        assert "WindowGroupLimit" in p, p
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p, p
+
     def test_m07_band_join_never_nested_loop(self, spark):
         # the hamming threshold is enforced AFTER band-bucket candidate
         # generation; a plan regression to an all-pairs nested loop (e.g.

@@ -301,3 +301,77 @@ class TestIncrementalAdmission:
             ORACLES["s10_incremental_ann_admission"], str(tmp_path)
         )
         assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)
+
+
+class TestS11PqAdc:
+    """PQ/ADC invariants the oracle hash can't articulate on its own."""
+
+    def test_output_shape_codes_and_distances(self, spark, sf_dir):
+        from jena_fuseki_kafka_spark.queries.similarity import (
+            N_QUERY_VECS,
+            PQ_K,
+            TOP_K,
+        )
+
+        rows = QUERIES["s11_pq_adc_topk"](spark, sf_dir).collect()
+        assert len(rows) == N_QUERY_VECS * TOP_K
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+            # codes are codebook ids (1-based, bounded by construction)
+            for c in (r.c0, r.c1, r.c2, r.c3):
+                assert 1 <= c <= PQ_K, r
+            # squared-L2 ADC distances are non-negative when defined
+            assert r.adc_dist is None or r.adc_dist >= 0.0, r
+            assert r.vec_id != r.query_id, "self must be excluded"
+        for q, rs in by_q.items():
+            assert sorted(r.rk for r in rs) == list(range(1, TOP_K + 1))
+            # ranking is (adc ASC NULLS LAST, vec_id) — verify monotone
+            dists = [r.adc_dist for r in sorted(rs, key=lambda r: r.rk)]
+            real = [d for d in dists if d is not None]
+            assert real == sorted(real)
+            assert dists[: len(real)] == real, "NULLs must rank last"
+
+    def test_matches_oracle_standing_evidence(self, spark, sf_dir):
+        # the s03b idiom: in-suite bit parity with the DuckDB oracle so a
+        # regression shows up here, not only at the driver's check slot
+        rows = QUERIES["s11_pq_adc_topk"](spark, sf_dir).collect()
+        assert rows, "gate must be non-vacuous"
+        oracle = _oracle_rows(ORACLES["s11_pq_adc_topk"], sf_dir)
+        assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in oracle)
+
+    def test_codeword_encodes_to_itself(self, spark, sf_dir):
+        # a codeword vector's sub-distance to its own codeword is exactly
+        # 0.0 in every subspace, so its PQ code must be its own id in all
+        # four — the invariant a mis-sliced subspace or an off-by-one in
+        # the code numbering breaks first.  Reconstructed through the
+        # same public expressions the gate uses.
+        from pyspark.sql import functions as F
+
+        from jena_fuseki_kafka_spark.queries.similarity import (
+            PQ_CODE_MOD,
+            PQ_K,
+            PQ_M,
+            _emb,
+            _ssq_spark,
+            _sub_spark,
+        )
+
+        e = _emb(spark, sf_dir)
+        cw = e.filter(
+            (F.col("vec_id") % PQ_CODE_MOD == 0)
+            & (F.col("vec_id") < PQ_CODE_MOD * PQ_K)
+        )
+        self_d = cw.select(
+            "vec_id",
+            *[
+                _ssq_spark(
+                    _sub_spark(F.col("embedding"), m), _sub_spark(F.col("embedding"), m)
+                ).alias(f"d{m}")
+                for m in range(PQ_M)
+            ],
+        ).collect()
+        assert self_d, "codebook must be non-empty on testdata"
+        assert len(self_d) <= PQ_K
+        for r in self_d:
+            assert (r.d0, r.d1, r.d2, r.d3) == (0.0, 0.0, 0.0, 0.0), r

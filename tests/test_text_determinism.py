@@ -62,3 +62,40 @@ def test_python_and_duckdb_log10_agree_on_all_model_ratios(sf_dir):
         f"math.log10 and DuckDB LOG10 — t11's micro-unit contract is broken "
         f"on this host: {mismatches[:5]}"
     )
+
+
+def test_t12_weight_table_matches_duckdb_formula():
+    """t12 bakes _t12_weights() (Python hashlib md5) into the Spark plan
+    while its oracle computes the same weights inline with DuckDB's md5 —
+    this pins every one of the 64 table entries to bit-agreement, so a
+    divergence fails here by index instead of as an opaque value-hash
+    mismatch at the driver gate."""
+    from jena_fuseki_kafka_spark.queries.text import EMB_DIM, T12_W_MOD, _t12_weights
+
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT (('0x'||substr(md5('w:' || CAST(i AS VARCHAR)),1,15))::BIGINT"
+            f" % {T12_W_MOD}) - {T12_W_MOD // 2}"
+            f" FROM (SELECT unnest(range(0, {EMB_DIM})) AS i) ORDER BY i"
+        ).fetchall()
+    ]
+    assert duck == _t12_weights()
+
+
+def test_t12_verdict_covers_every_document(spark):
+    """The quality gate must emit exactly one keep/drop verdict per
+    document (NULL-text docs included, scoring 0 and dropping) and must
+    be non-vacuous in both directions on real testdata — a filter that
+    keeps or drops everything is a broken model, not a gate."""
+    from jena_fuseki_kafka_spark.queries import QUERIES, load
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = load(spark, sf_dir, "documents").count()
+    rows = QUERIES["t12_classifier_quality_filter"](spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    kept = {r.kept for r in rows}
+    assert kept == {0, 1}, f"degenerate verdict distribution: {kept}"
+    for r in rows:
+        assert r.kept == (1 if r.logit > 0 else 0)

@@ -65,8 +65,8 @@ EXPECTED_DIFFER: dict[str, str] = {}
 #   sketches: q32 (HLL), q38 (percentile)   outlier stddev: q36
 #   salted join: q40                        RDF agg/concat/fixpoint: r02, r12, r05
 #   dedup: d01 (keeper), d02 (LSH pairs), d03 (simhash), d06 (pointer jumping)
-#   ANN: s01 (ranking), s04 (IVF), s07 (quantization)
-#   text: t05 (feature hash), t11 (LM float sums)
+#   ANN: s01 (ranking), s04 (IVF), s07 (quantization), s11 (PQ argmin/ADC)
+#   text: t05 (feature hash), t11 (LM float sums), t12 (integer logit)
 #   sampling/splits: p01, p06               mapInPandas batch shape: m07
 GATES = [
     "q01_pricing_summary",
@@ -92,8 +92,10 @@ GATES = [
     "s04_ann_ivf",
     "s07_int8_quantization",
     "s10_incremental_ann_admission",
+    "s11_pq_adc_topk",
     "t05_feature_hash_embedding",
     "t11_bigram_lm_perplexity",
+    "t12_classifier_quality_filter",
     "p01_stratified_sample",
     "p06_time_embargo_split",
     "m07_image_phash_neardup",

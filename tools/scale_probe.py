@@ -211,6 +211,55 @@ PROBES = [
           1.0 if srow["rk"] < k else small[(srow["query_id"], 1)]["cosine"])}),
 ]
 
+
+def _s11_rule(facet):
+    """s11's kx closed form.  A copy of query q carries q's own codes, so
+    its ADC distance is the GLOBAL minimum D_q = sum_m min_c dtable_m[c]
+    (aux-derived; never emitted by the small gate since self is
+    excluded).  Candidates whose ROUNDED distance ties D_q are exactly
+    the small gate's leading ranks (the tie-break is vec_id, so they are
+    small ranks 1..n0 in vec_id order).  The big ranking at the D_q
+    level is therefore: the n0 tied ORIGINALS first (all original ids <
+    offset), then k-1 copy blocks each holding the n0 tied members PLUS
+    the query itself, vec_id-sorted within the block.  With k >= 10 the
+    top-10 never leaves that level when n0 >= 1 (n0 + 9*(n0+1) >= 19),
+    and when n0 == 0 ranks 1..k-1 are the query's own copies and rank k
+    is the small rank-1 row verbatim — s01's shape.  Every consulted
+    small row sits inside the small top-10 by construction, so small-
+    window truncation can never silently skew the expectation."""
+
+    def rule(srow, k, aux, small):
+        q, r = srow["query_id"], srow["rk"]
+        off, dq = aux["emb_offset"], aux["s11_self_adc"][q]
+        qc = aux["s11_qcodes"][q]
+        qrow = {"vec_id": q, "adc_dist": dq,
+                "c0": qc[0], "c1": qc[1], "c2": qc[2], "c3": qc[3]}
+        tied = []
+        i = 1
+        while (q, i) in small and small[(q, i)]["adc_dist"] == dq:
+            tied.append(small[(q, i)])
+            i += 1
+        n0 = len(tied)
+        if r <= n0:
+            row = dict(tied[r - 1])  # tied original, verbatim
+        elif n0 == 0 and r > k - 1:
+            row = dict(small[(q, r - (k - 1))])  # past q's k-1 copies
+        else:
+            pos = r - n0 - 1  # 0-based inside the copy blocks
+            blk, j = divmod(pos, n0 + 1)
+            members = sorted(tied + [qrow], key=lambda m: m["vec_id"])
+            row = dict(members[j])
+            row["vec_id"] = row["vec_id"] + (blk + 1) * off
+        return row[facet]
+
+    return rule
+
+
+PROBES.append(
+    ("s11_pq_adc_topk", "embeddings", ["query_id", "rk"],
+     {f: _s11_rule(f) for f in ("vec_id", "adc_dist", "c0", "c1", "c2", "c3")})
+)
+
 FATAL_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
 
@@ -317,7 +366,57 @@ def compute_aux(spark, sf_dir: str) -> dict:
     emb_max = (
         load(spark, sf_dir, "embeddings").agg(F.max("vec_id")).collect()[0][0]
     )
-    return {"d01_all_keepers_sum": int(val), "emb_offset": int(emb_max) + 1}
+
+    # s11 self-ADC facts: a copy of query q carries q's own PQ codes, so
+    # its ADC distance is sum_m min_c dtable_m[c] — the provable GLOBAL
+    # minimum (every candidate's per-subspace entry is >= the table's
+    # min).  The small gate never emits it (self is excluded), so the
+    # probe derives it once here through the gate's own public helpers —
+    # a drift from the gate's arithmetic is a probe bug, not a tolerance.
+    from jena_fuseki_kafka_spark.queries.similarity import (
+        N_QUERY_VECS, PQ_CODE_MOD, PQ_K, PQ_M, _emb, _ssq_spark, _sub_spark,
+    )
+
+    e = _emb(spark, sf_dir)
+    code = F.expr(f"CAST(vec_id div {PQ_CODE_MOD} + 1 AS INT)")
+    cb = e.filter(
+        (F.col("vec_id") % PQ_CODE_MOD == 0) & (F.col("vec_id") < PQ_CODE_MOD * PQ_K)
+    ).select(
+        code.alias("code"),
+        *[_sub_spark(F.col("embedding"), m).alias(f"cw{m}") for m in range(PQ_M)],
+    )
+    qscored = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "code",
+            *[
+                _ssq_spark(_sub_spark(F.col("embedding"), m), F.col(f"cw{m}")).alias(f"d{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .groupBy("vec_id")
+        .agg(
+            *[F.min(f"d{m}").alias(f"min{m}") for m in range(PQ_M)],
+            *[
+                F.max_by("code", F.struct(-F.col(f"d{m}"), -F.col("code"))).alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .collect()
+    )
+    s11_self_adc = {
+        r["vec_id"]: round(((r["min0"] + r["min1"]) + r["min2"]) + r["min3"], 4)
+        for r in qscored
+    }
+    s11_qcodes = {r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)] for r in qscored}
+    return {
+        "d01_all_keepers_sum": int(val),
+        "emb_offset": int(emb_max) + 1,
+        "s11_self_adc": s11_self_adc,
+        "s11_qcodes": s11_qcodes,
+    }
 
 
 def rows_by_key(df, keys):
