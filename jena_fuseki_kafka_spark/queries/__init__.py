@@ -288,16 +288,18 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r15 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Window math (tools/rotation_planner.py at r15 open): 2 new gates
+    # Window math (tools/rotation_planner.py at r15 open): 3 new gates
     # + 23 mandatory (the r12-green remainder — age 3 at this check if
-    # skipped) + 25 r13-cohort re-verifications = 50 exactly.  The r13
-    # cohort is 49 strong and reaches age 3 at r16: spending 25 slots
+    # skipped) + 24 r13-cohort re-verifications = 50 exactly.  The r13
+    # cohort is 49 strong and reaches age 3 at r16: spending 24 slots
     # on it now (the complex half, mirroring r14's strategy) leaves
-    # r16's mandatory floor at the 24 leftovers below the boundary
-    # (22 simple gates + m05/m06, displaced by this round's new ops).
+    # r16's mandatory floor at the 25 leftovers below the boundary
+    # (22 simple gates + m02/m05/m06, displaced by this round's new
+    # ops).
     # ---- NEW this round (no prior verdict; sort first regardless) ----
     "s11_pq_adc_topk",
     "t12_classifier_quality_filter",
+    "p08_epoch_mixture_plan",
     # ---- r12-green, untouched: age 3 at the r15 check if skipped --
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
     "p01_stratified_sample",
@@ -352,10 +354,10 @@ _CHECK_PRIORITY = [
     "st10_streaming_file_sink_exactly_once",
     "st11_foreachbatch_merge_exactly_once",
     "m01_image_features",
-    "m02_audio_features",
     # ---- window boundary here (50 above) ----
     # r13-green remainder: age 3 at the r16 check — these ARE r16's
-    # mandatory floor (24) and rotate to the very top next round.
+    # mandatory floor (25) and rotate to the very top next round.
+    "m02_audio_features",
     "m05_scene_changes",
     "m06_audio_vad_segments",
     "p04_leakage_safe_split",

@@ -688,3 +688,143 @@ def p07(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------- p08
+# Epoch-based mixture UPSAMPLING — the repetition plan p03 cannot
+# express: p03's keep-rate is capped at 1000 permille (<= 1 epoch), but
+# real pretraining mixes run high-value sources at epochs > 1 (GPT-3
+# trained Wikipedia at ~3.4 epochs while Common Crawl ran < 1).  The
+# plan is exact integer arithmetic end-to-end: target_n docs per source
+# (weighted share of a {P08_BUDGET_PERMILLE}/1000 x corpus budget)
+# splits into epochs_int full passes + n_extra fractional-epoch docs,
+# and the fractional epoch selects by RANK of the stable per-doc hash —
+# so n_emitted meets the target EXACTLY (a bucket-gate fractional pass
+# would only meet it in expectation), reproducibly under retries and
+# any partitioning.
+P08_BUDGET_PERMILLE = 1500  # 1.5x the corpus: upsampling is the point
+
+
+@query(
+    "p08_epoch_mixture_plan",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, {_W_SQL} AS w, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM counts
+    ),
+    plan AS (
+      SELECT source, n_docs,
+             (total * {P08_BUDGET_PERMILLE} * w) // (1000 * sum_w) AS target_n
+      FROM counts, tot
+    ),
+    plan2 AS (
+      SELECT source, n_docs, CAST(target_n AS BIGINT) AS target_n,
+             CAST(target_n // n_docs AS BIGINT) AS epochs_int,
+             CAST(target_n % n_docs AS BIGINT) AS n_extra
+      FROM plan
+    ),
+    ranked AS (
+      SELECT doc_id, source, ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    ),
+    extra AS (
+      SELECT r.source, CAST(SUM(r.doc_id) AS BIGINT) AS extra_checksum
+      FROM ranked r JOIN plan2 p ON p.source = r.source
+      WHERE r.rnk <= p.n_extra GROUP BY r.source
+    )
+    SELECT p.source, p.n_docs, p.target_n, p.epochs_int, p.n_extra,
+           CAST(p.n_docs * p.epochs_int + p.n_extra AS BIGINT) AS n_emitted,
+           CAST((p.n_docs * p.epochs_int + p.n_extra) * 10000 //
+                NULLIF(SUM(p.n_docs * p.epochs_int + p.n_extra) OVER (), 0)
+                AS BIGINT) AS share_bp,
+           e.extra_checksum
+    FROM plan2 p LEFT JOIN extra e ON e.source = p.source
+    ORDER BY p.source
+    """,
+)
+def p08(spark, sf_dir):
+    """Per-source epoch plan for an upsampled training mixture: two tiny
+    aggregations (per-source counts, global totals) produce the integer
+    plan — target_n = weighted share of the {P08_BUDGET_PERMILLE}-
+    permille budget, epochs_int = target_n div n_docs full passes,
+    n_extra = target_n mod n_docs fractional-epoch docs — and ONE
+    per-source window ranks docs by the stable md5 hash so the
+    fractional epoch is an exact, reproducible prefix of the shuffled
+    order (rank <= n_extra), pinned by extra_checksum = SUM of the
+    selected doc_ids, not just its (by-construction) count.
+
+    Scale shape: the corpus-sized work is one source-partitioned window
+    — shards rank independently, parallelism = |sources| exactly like
+    p05's per-shard packing — plus a broadcast of the |sources|-row
+    plan; the plan arithmetic is pure integer div/mod so both engines
+    agree bit-exactly, and n_emitted meets target_n EXACTLY where p03's
+    bucket gate meets its rate only in expectation.  A NULL/unparsable
+    source weight propagates NULL through the whole plan row on both
+    engines (its docs never join the extra selection), so a corrupt
+    source label can never silently claim budget."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.expr("cast(substring(source, 4) as int) % 4 + 1")
+    counts = d.groupBy("source").agg(
+        F.first(w).alias("w"), F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w"))
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"(total * {P08_BUDGET_PERMILLE} * w) div (1000 * sum_w)")
+        .cast("long")
+        .alias("target_n"),
+    )
+    plan = plan.select(
+        "source",
+        "n_docs",
+        "target_n",
+        F.expr("target_n div n_docs").cast("long").alias("epochs_int"),
+        F.expr("target_n % n_docs").cast("long").alias("n_extra"),
+    )
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    wr = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = d.select("doc_id", "source", h.alias("h")).withColumn(
+        "rnk", F.row_number().over(wr)
+    )
+    extra = (
+        ranked.join(F.broadcast(plan.select("source", "n_extra")), "source")
+        .filter(F.col("rnk") <= F.col("n_extra"))
+        .groupBy("source")
+        .agg(F.sum("doc_id").cast("long").alias("extra_checksum"))
+    )
+    n_emitted = F.col("n_docs") * F.col("epochs_int") + F.col("n_extra")
+    report = plan.join(extra, "source", "left").select(
+        "source",
+        "n_docs",
+        "target_n",
+        "epochs_int",
+        "n_extra",
+        n_emitted.cast("long").alias("n_emitted"),
+        "extra_checksum",
+    )
+    # Global emitted total as a broadcast 1-row cross (not an
+    # unpartitioned window, which moves the plan rows to one partition
+    # AND logs a WARN per run): the plan relation is |sources| rows, so
+    # both shapes are cheap, but the cross keeps the logs clean and the
+    # shape identical to the target_n totals cross above.
+    emitted_tot = report.agg(F.sum("n_emitted").alias("__tot"))
+    return (
+        report.crossJoin(F.broadcast(emitted_tot))
+        .withColumn(
+            "share_bp",
+            F.expr("(n_emitted * 10000) div nullif(__tot, 0)").cast("long"),
+        )
+        .drop("__tot")
+        .select(
+            "source", "n_docs", "target_n", "epochs_int", "n_extra",
+            "n_emitted", "share_bp", "extra_checksum",
+        )
+        .orderBy("source")
+    )

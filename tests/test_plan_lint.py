@@ -39,6 +39,10 @@ BNLJ_ALLOWED = {
     "against the bounded predicate vocabulary of the dataset",
     "p03_mixture_rebalance": "per-source target-share table (one row per "
     "source label, ≤ distinct sources) broadcast against documents",
+    "p08_epoch_mixture_plan": "the ONE-row global-totals aggregate crossed "
+    "with the per-source counts (twice: the plan subtree feeds both the "
+    "fractional-epoch selection and the final report); every corpus-sized "
+    "join is a source-keyed equi-join",
     "p04_leakage_safe_split": "straddle audit joins the ≤16-row split "
     "summary back; broadcast side bounded by split arity",
     "s01_ann_bruteforce_topk": "broadcast side is the collected query "

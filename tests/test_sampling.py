@@ -35,3 +35,35 @@ def test_p07_identities_and_p05_consistency(spark, sf_dir):
 def test_p07_oracle_registered():
     assert "p07_packing_efficiency_census" in QUERIES
     assert "p07_packing_efficiency_census" in ORACLES
+
+
+def test_p08_budget_met_exactly_and_extras_are_hash_prefix(spark, sf_dir):
+    """The property that separates p08 from p03: the emitted count MEETS
+    the integer target EXACTLY (rank-prefix fractional epoch), not just
+    in expectation — and the extra-epoch docs are precisely the first
+    n_extra docs of the per-source md5 order, pinned via checksum."""
+    import hashlib
+
+    from jena_fuseki_kafka_spark.queries import QUERIES, load
+
+    rows = QUERIES["p08_epoch_mixture_plan"](spark, sf_dir).collect()
+    assert rows
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.doc_id)
+    assert {r.source for r in rows} == set(by_src)
+    saw_upsample = saw_fraction = False
+    for r in rows:
+        assert r.n_emitted == r.target_n, r  # exact, not expected-value
+        assert r.n_emitted == r.n_docs * r.epochs_int + r.n_extra, r
+        saw_upsample |= r.epochs_int >= 1
+        saw_fraction |= 0 < r.n_extra < r.n_docs
+        order = sorted(
+            by_src[r.source],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        want = sum(order[: r.n_extra]) if r.n_extra else None
+        assert r.extra_checksum == want, r
+    assert saw_upsample, "no source ran epochs >= 1 — upsampling untested"
+    assert saw_fraction, "no fractional epoch — the rank prefix untested"

@@ -67,7 +67,8 @@ EXPECTED_DIFFER: dict[str, str] = {}
 #   dedup: d01 (keeper), d02 (LSH pairs), d03 (simhash), d06 (pointer jumping)
 #   ANN: s01 (ranking), s04 (IVF), s07 (quantization), s11 (PQ argmin/ADC)
 #   text: t05 (feature hash), t11 (LM float sums), t12 (integer logit)
-#   sampling/splits: p01, p06               mapInPandas batch shape: m07
+#   sampling/splits: p01, p06, p08 (rank-prefix epoch selection)
+#   mapInPandas batch shape: m07
 GATES = [
     "q01_pricing_summary",
     "q10_aggregate_functions",
@@ -98,6 +99,7 @@ GATES = [
     "t12_classifier_quality_filter",
     "p01_stratified_sample",
     "p06_time_embargo_split",
+    "p08_epoch_mixture_plan",
     "m07_image_phash_neardup",
     # streaming: state-store partition count follows shuffle partitions
     # for a NEW query, so shape B runs the same pipeline over 47 state

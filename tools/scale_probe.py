@@ -150,6 +150,15 @@ PROBES = [
      {"total": "xk", "n_finished": "xk", "n_large": "xk",
       "n_large_custs": "const", "all_finished": "const",
       "any_large": "const", "large_bp": "const"}),
+    # p08's integer plan scales exactly: counts/targets/extras by k (the
+    # mod identity (k*t) % (k*n) == k*(t % n)), epochs and shares are
+    # k-invariant because k cancels in the integer divisions.  The
+    # extra_checksum facet has NO kx closed form (copy doc_ids hash into
+    # interleaved per-source positions), so it is deliberately unprobed
+    # here — the sampling unit test pins it at small scale.
+    ("p08_epoch_mixture_plan", "documents", ["source"],
+     {"n_docs": "xk", "target_n": "xk", "epochs_int": "const",
+      "n_extra": "xk", "n_emitted": "xk", "share_bp": "const"}),
     ("d01_exact_dedup", "documents", [],
      {"n_unique": "const", "n_docs": "xk", "max_group_size": "xk",
       "n_dup_groups": lambda srow, k, aux, small: srow["n_unique"],
