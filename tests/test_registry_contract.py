@@ -118,3 +118,33 @@ def test_check_window_satisfies_staleness_rule():
         f"bound but are NOT in the 50-slot check window — move them to the "
         f"top of _CHECK_PRIORITY: {missing}"
     )
+
+
+def test_round_marker_matches_rotation_comment():
+    """VERDICT r14 item 1: the r14 slip was rotating _CHECK_PRIORITY
+    without bumping ROUND — the staleness tripwire only catches that one
+    round later.  Make the drift structurally impossible NOW: the
+    rotation header comment names the round it was planned for ("rN
+    window"); assert it equals the committed ROUND marker so the two
+    files must move in the same commit."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(
+        repo, "jena_fuseki_kafka_spark", "queries", "__init__.py"
+    )
+    with open(src) as f:
+        m = re.search(r"# ---- r(\d+) window", f.read())
+    assert m, "rotation header comment ('# ---- rN window') not found"
+    comment_round = int(m.group(1))
+    round_marker = os.path.join(repo, "ROUND")
+    if not os.path.exists(round_marker):
+        return  # legacy layout; the staleness test covers it
+    with open(round_marker) as f:
+        current = int(f.read().strip())
+    assert comment_round == current, (
+        f"_CHECK_PRIORITY was rotated for r{comment_round} but ROUND says "
+        f"{current} — bump ROUND and rotate the window in the SAME commit "
+        f"(tools/rotation_planner.py plans the window from the marker)"
+    )
