@@ -286,6 +286,40 @@ N_PROBE = 2
 CENTROID_MOD = 61  # vec_id % 61 == 0 -> centroid seed (~n/61 coarse cells)
 
 
+def _centroid_cte_sql(src: str) -> str:
+    """The shared centroid-seed CTE of the IVF oracle family (s04/s09/
+    s10): every vec_id ≡ 0 (mod CENTROID_MOD) in ``src`` seeds a coarse
+    cell.  VERDICT r14 item 8: the Spark side was deduped into
+    `_assign_cells` with a plan-identity proof; this is the oracle-side
+    counterpart, accepted only because the rendered SQL is byte-identical
+    to the previously inlined strings (asserted by
+    tests/test_similarity.py::test_ivf_oracle_cte_render_stability)."""
+    return f"""c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM {src}
+      WHERE vec_id % {CENTROID_MOD} = 0
+    )"""
+
+
+def _cell_cte_sql(name: str, rel: str, cos: str, extra: str = "") -> str:
+    """The shared nearest-cell ranking CTE: every vector in ``rel``
+    scored against every centroid, ranked per vector by (sim DESC NULLS
+    LAST, cid) — crk = 1 is the single-cell assignment, crk <= N_PROBE
+    the probe set.  ``cos`` is the cosine SQL for the e×c pair (callers
+    with two-stage .format templating pass the literal placeholder);
+    ``extra`` prepends extra projection columns (s04 keeps ``sim``).
+    Byte-identical render to the pre-refactor inline strings — see
+    _centroid_cte_sql."""
+    return f"""{name} AS (
+      SELECT vec_id, embedding, cid, {extra}ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {cos} AS sim
+        FROM {rel} e CROSS JOIN c
+      )
+    )"""
+
+
 def _near_dup_oracle(threshold: float) -> str:
     return f"""
     WITH c AS (
@@ -421,19 +455,8 @@ def s06(spark, sf_dir):
 @query(
     "s04_ann_ivf",
     oracle=f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM {_EMB}
-      WHERE vec_id % {CENTROID_MOD} = 0
-    ),
-    cell AS (
-      SELECT vec_id, embedding, cid, sim, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
-      FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               {_COS_SQL.format(a='e.embedding', b='c.cv')} AS sim
-        FROM {_EMB} e CROSS JOIN c
-      )
-    ),
+    WITH {_centroid_cte_sql(_EMB)},
+    {_cell_cte_sql("cell", _EMB, _COS_SQL.format(a='e.embedding', b='c.cv'), extra="sim, ")},
     assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
     probes AS (
       SELECT vec_id AS query_id, embedding AS qv, cid
@@ -783,19 +806,8 @@ SEMDEDUP_T = 0.30  # same non-vacuity rationale as LOW_T_COSINE: the synthetic
 @query(
     "s09_semdedup_prune",
     oracle=f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM {_EMB}
-      WHERE vec_id % {CENTROID_MOD} = 0
-    ),
-    cell AS (
-      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
-      FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               {{cos_ec}} AS sim
-        FROM {_EMB} e CROSS JOIN c
-      )
-    ),
+    WITH {_centroid_cte_sql(_EMB)},
+    {_cell_cte_sql("cell", _EMB, "{cos_ec}")},
     assign AS (SELECT vec_id, embedding, cid FROM cell WHERE crk = 1),
     cover AS (
       SELECT b.vec_id AS v, MIN(a.vec_id) AS covered_by
@@ -902,29 +914,10 @@ S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
     corp AS (
       SELECT vec_id, embedding FROM {_EMB} WHERE vec_id % {S10_BATCH_MOD} <> 0
     ),
-    c AS (
-      SELECT vec_id AS cid, embedding AS cv FROM corp
-      WHERE vec_id % {CENTROID_MOD} = 0
-    ),
-    corp_cell AS (
-      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
-      FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               {{cos_ec}} AS sim
-        FROM corp e CROSS JOIN c
-      )
-    ),
+    {_centroid_cte_sql("corp")},
+    {_cell_cte_sql("corp_cell", "corp", "{cos_ec}")},
     assign AS (SELECT vec_id, embedding, cid FROM corp_cell WHERE crk = 1),
-    probe_cell AS (
-      SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS crk
-      FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               {{cos_bc}} AS sim
-        FROM b e CROSS JOIN c
-      )
-    ),
+    {_cell_cte_sql("probe_cell", "b", "{cos_bc}")},
     probes AS (
       SELECT vec_id AS query_id, embedding AS qv, cid
       FROM probe_cell WHERE crk <= {N_PROBE}

@@ -375,3 +375,29 @@ class TestS11PqAdc:
         assert len(self_d) <= PQ_K
         for r in self_d:
             assert (r.d0, r.d1, r.d2, r.d3) == (0.0, 0.0, 0.0, 0.0), r
+
+
+def test_ivf_oracle_cte_render_stability():
+    """VERDICT r14 item 8: the triplicated IVF cell-assignment oracle
+    CTEs (s04/s09/s10) were parameterized into _centroid_cte_sql /
+    _cell_cte_sql under the same proof standard as the Spark-side
+    _assign_cells dedup — the refactor landed only because the rendered
+    SQL was byte-identical to the previously inlined strings.  Pin the
+    rendered bytes so a helper edit cannot silently re-shape all three
+    oracles at once: an intentional change must update these hashes AND
+    re-run the three gates' oracle parity in the same commit."""
+    import hashlib
+
+    from jena_fuseki_kafka_spark.queries import ORACLES
+
+    pinned = {
+        "s04_ann_ivf": "8d38c6208801e944",
+        "s09_semdedup_prune": "0c74e843fd651b1c",
+        "s10_incremental_ann_admission": "6d9dc724296f371b",
+    }
+    for name, want in pinned.items():
+        got = hashlib.sha256(ORACLES[name].encode()).hexdigest()[:16]
+        assert got == want, (
+            f"{name}: rendered oracle SQL changed ({got} != {want}) — if "
+            "intentional, update the pin and re-verify the gate vs DuckDB"
+        )
