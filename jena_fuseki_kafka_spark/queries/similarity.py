@@ -934,11 +934,12 @@ S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
     ),
     agg AS (
       SELECT query_id,
-             COUNT(*) AS n_cands,
+             SUM(CASE WHEN cosine IS NOT NULL THEN 1 ELSE 0 END) AS n_cands,
              SUM(CASE WHEN cosine >= {NEAR_DUP_COSINE} THEN 1 ELSE 0 END)
                AS n_matches,
-             MAX(cosine) AS best_cos
-      FROM scored WHERE cosine IS NOT NULL GROUP BY query_id
+             MAX(cosine) AS best_cos,
+             SUM(CASE WHEN cosine IS NULL THEN 1 ELSE 0 END) AS n_null_cands
+      FROM scored GROUP BY query_id
     )
     SELECT b.vec_id,
            CAST(COALESCE(agg.n_cands, 0) AS BIGINT) AS n_cands,
@@ -948,7 +949,8 @@ S10_BATCH_MOD = 5  # vec_id % 5 == 0 -> the incoming batch (~20%); else corpus
            CAST(CASE WHEN COALESCE(agg.n_matches, 0) = 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS is_new,
            CAST(CASE WHEN isfinite(b.nrm) AND b.nrm > 0 THEN 1 ELSE 0 END
-                AS BIGINT) AS scorable
+                AS BIGINT) AS scorable,
+           CAST(COALESCE(agg.n_null_cands, 0) AS BIGINT) AS n_null_cands
     FROM b
     LEFT JOIN agg ON agg.query_id = b.vec_id
     LEFT JOIN (SELECT query_id, vec_id FROM nn WHERE rk = 1) nn1
@@ -990,7 +992,13 @@ def s10(spark, sf_dir):
     silently admitted as "new", accumulating unmatchable junk in a
     continuously-fed corpus — the row-local ``scorable`` facet flags
     exactly those rows (norm finite and > 0) so the downstream keep
-    predicate is ``is_new = 1 AND scorable = 1``.  Reference scope
+    predicate is ``is_new = 1 AND scorable = 1``.  The exclusion is
+    also MEASURED, not just implied (r15 facet): ``n_null_cands``
+    counts the candidate pairs dropped for a NULL cosine per batch
+    vector — nonzero means a corrupt corpus vector sat in a probed
+    cell (or the batch vector itself is corrupt, in which case it
+    equals the full candidate count) — so index-health monitoring is a
+    column aggregate over the verdict relation.  Reference scope
     note: the reference engine has no similarity surface (SURVEY.md §2
     — LLM-pipeline operators are this repo's extension family)."""
     from pyspark.sql import Window
@@ -1036,18 +1044,42 @@ def s10(spark, sf_dir):
     # but forcing one would OOM at the 100 TB design point, where this
     # is a shuffle equi-join on cid that moves only the batch side
     # against the cid-bucketed corpus index
-    scored = (
-        assign.join(probes, "cid")
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
+    scored = assign.join(probes, "cid").select(
+        "query_id", "vec_id", cos.alias("cosine")
     )
-    per_q = scored.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cands"),
-        F.sum(F.when(F.col("cosine") >= NEAR_DUP_COSINE, 1).otherwise(0))
-        .cast("long")
-        .alias("n_matches"),
-        F.max("cosine").alias("best_cos"),
-        F.max_by("vec_id", F.struct(F.col("cosine"), -F.col("vec_id"))).alias("nearest"),
+    # ONE aggregate over ALL candidate rows, NULL cosines included:
+    # n_null_cands makes the corrupt-vector exclusion MEASURED (r14
+    # verdict facet candidate) instead of implicit — a NULL-cosine
+    # candidate is a corrupt corpus vector met in a probed cell (or all
+    # candidates at once when the batch vector itself is corrupt).  The
+    # max_by ordering sorts NULL cosines below every real one (ok flag
+    # leads the struct) and `nearest` is NULLed when no real candidate
+    # exists, so the admission facets are unchanged row-for-row.
+    per_q = (
+        scored.groupBy("query_id")
+        .agg(
+            F.sum(F.col("cosine").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_cands"),
+            F.sum(F.when(F.col("cosine") >= NEAR_DUP_COSINE, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.max("cosine").alias("best_cos"),
+            F.max_by(
+                "vec_id",
+                F.struct(
+                    F.col("cosine").isNotNull().cast("int").alias("ok"),
+                    F.coalesce(F.col("cosine"), F.lit(float("-inf"))).alias("c"),
+                    (-F.col("vec_id")).alias("nv"),
+                ),
+            ).alias("nearest_raw"),
+            F.sum(F.col("cosine").isNull().cast("long"))
+            .cast("long")
+            .alias("n_null_cands"),
+        )
+        .withColumn(
+            "nearest", F.when(F.col("n_cands") > 0, F.col("nearest_raw"))
+        )
     )
     # scorable is row-local over the batch vector's own norm: finite and
     # nonzero, else every cosine it touches is NULL and "new" is
@@ -1070,6 +1102,9 @@ def s10(spark, sf_dir):
             .otherwise(0)
             .cast("long")
             .alias("scorable"),
+            F.coalesce("n_null_cands", F.lit(0))
+            .cast("long")
+            .alias("n_null_cands"),
         )
         .orderBy("vec_id")
     )

@@ -260,6 +260,11 @@ class TestIncrementalAdmission:
         # (passes _emb) but every cosine it touches is NULL, so it must
         # come back scorable=0 rather than silently "new"
         vecs[25] = [0.0] * DIM
+        # plant: corpus vec 73 is ALSO the zero vector — a corrupt
+        # vector already resident in the index; any batch vector that
+        # probes its cell must count it in n_null_cands (r15 facet)
+        # while its NULL cosine keeps it out of n_cands/nearest
+        vecs[73] = [0.0] * DIM
         self._write(tmp_path, vecs)
 
         out = {
@@ -276,6 +281,15 @@ class TestIncrementalAdmission:
         assert dup.scorable == 1
         zero = out[25]
         assert zero.scorable == 0 and zero.n_cands == 0 and zero.is_new == 1
+        # the corrupt BATCH vector's exclusions are measured: every
+        # candidate it touched was dropped for a NULL cosine
+        assert zero.n_null_cands > 0
+        # corpus-side: the corrupt resident vector 73 was met in a
+        # probed cell by at least one healthy batch vector and counted,
+        # without ever entering n_cands or nearest
+        healthy = [out[i] for i in batch_ids if i != 25]
+        assert sum(r.n_null_cands for r in healthy) >= 1
+        assert all(r.nearest != 73 for r in healthy)
         # and the whole result matches the DuckDB oracle bit-for-bit
         oracle = _oracle_rows(
             ORACLES["s10_incremental_ann_admission"], str(tmp_path)
@@ -393,7 +407,9 @@ def test_ivf_oracle_cte_render_stability():
     pinned = {
         "s04_ann_ivf": "8d38c6208801e944",
         "s09_semdedup_prune": "0c74e843fd651b1c",
-        "s10_incremental_ann_admission": "6d9dc724296f371b",
+        # s10 pin updated r15 in the same commit as the n_null_cands
+        # facet widening; parity re-verified vs DuckDB at sf0.01 then.
+        "s10_incremental_ann_admission": "4a2ef4447eff8bd2",
     }
     for name, want in pinned.items():
         got = hashlib.sha256(ORACLES[name].encode()).hexdigest()[:16]
