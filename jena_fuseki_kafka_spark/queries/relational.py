@@ -404,6 +404,11 @@ def q10(spark, sf_dir):
       (SELECT o_orderkey, o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey
        LIMIT 10 OFFSET 200)
+    UNION ALL
+    SELECT 3 AS page, o_orderkey, o_totalprice FROM
+      (SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 10 OFFSET 50000)
     ORDER BY page, o_totalprice DESC, o_orderkey
     """,
 )
@@ -412,10 +417,16 @@ def q11(spark, sf_dir):
     Spark's native offset).  Widened r13: TWO pages at different offsets
     (20 and 200) under the same total order, so the hash pins the OFFSET
     arithmetic at two rank positions — an off-by-one or an unstable sort
-    shifts at least one page boundary.  Each page is a top-(offset+k)
-    heap per partition (TakeOrderedAndProject), never a full global
-    sort, so the second page costs one more bounded pass, not a
-    shuffle."""
+    shifts at least one page boundary.  Widened r15 (VERDICT r14 facet
+    candidate): page 3 requests OFFSET 50000 — BEYOND the end of orders
+    at every correctness SF (sf0.01 has ~15k orders) — pinning the
+    §15.1 boundary contract: a page past the last solution is EMPTY,
+    not an error, not a wrap-around, not a clamp to the final rows.  At
+    sf >= ~0.04 the same literal becomes a real deep page and the facet
+    degrades gracefully into a deep-offset pin under the identical
+    total order.  Each page is a top-(offset+k) heap per partition
+    (TakeOrderedAndProject), never a full global sort, so extra pages
+    cost one more bounded pass each, not a shuffle."""
     ordered = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -423,7 +434,8 @@ def q11(spark, sf_dir):
     )
     p1 = ordered.offset(20).limit(10).withColumn("page", F.lit(1))
     p2 = ordered.offset(200).limit(10).withColumn("page", F.lit(2))
-    return p1.unionByName(p2).orderBy(
+    p3 = ordered.offset(50000).limit(10).withColumn("page", F.lit(3))
+    return p1.unionByName(p2).unionByName(p3).orderBy(
         "page", F.desc("o_totalprice"), "o_orderkey"
     )
 
