@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..checkpointing import stable_checkpoint
 from . import (
     canon_text_spark,
     canon_text_sql,
@@ -286,11 +287,11 @@ def _signature_relations(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).select(
         "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(stable_checkpoint, eager=False)
     hashed = shingles.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
     minhashes = hashed.groupBy("doc_id").agg(
         F.count("*").alias("n"), *_minhash_min_cols()
-    ).localCheckpoint(eager=False)
+    ).transform(stable_checkpoint, eager=False)
     banded = minhashes.select("doc_id", *_band_cols())
     return shingles, minhashes, _band_explode(banded)
 
@@ -316,9 +317,7 @@ def _verify_exact_jaccard(cands, shingles, sizes, left: str, right: str):
         .union(cands.select(F.col(right).alias("doc_id")))
         .distinct()
     )
-    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    s_cand = shingles.join(docs_needed, "doc_id", "left_semi").transform(stable_checkpoint, eager=False)
     sa = s_cand.select(F.col("doc_id").alias(left), "sh")
     sb = s_cand.select(F.col("doc_id").alias(right), "sh")
     inter = (
@@ -355,7 +354,7 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint, eager=False)
     )
     sizes = minhashes.select("doc_id", "n")
     out = _verify_exact_jaccard(cands, shingles, sizes, "doc_a", "doc_b").orderBy(
@@ -449,7 +448,7 @@ def connected_components(pairs, max_rounds: int = 50):
         )
         .withColumnRenamed("doc_a", "src")
         .withColumnRenamed("doc_b", "dst")
-        .localCheckpoint(eager=True)
+        .transform(stable_checkpoint, eager=True)
     )
     # Fused initialization: comp0(v) = min(v, min over neighbors).  The
     # naive init (identity labels) makes round 1's neighbor-min join a
@@ -492,7 +491,7 @@ def connected_components(pairs, max_rounds: int = 50):
                 (F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp")))
                  != F.col("prev")).cast("long").alias("chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(stable_checkpoint, eager=False)
         )
         # the lazy local checkpoint materializes (and truncates lineage)
         # on this aggregate's job, so labels + changed-count cost ONE job
@@ -603,9 +602,7 @@ def d03(spark, sf_dir):
     # fingerprints are n rows x 16 bytes, stored once, joined many times.
     # eager: a lazy checkpoint is not shared between the two join sides
     # within a single action, so the pipeline would still run twice
-    sims = sums.select("doc_id", simhash.cast("long").alias("simhash")).localCheckpoint(
-        eager=True
-    )
+    sims = sums.select("doc_id", simhash.cast("long").alias("simhash")).transform(stable_checkpoint, eager=True)
 
     # rotation-table keys as JOIN COLUMNS (an expression condition would
     # force a nested-loop join): table t keys on the top 16 bits of the
@@ -835,7 +832,7 @@ def d04(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     shingles = _shingles_spark(d).select(
         "doc_id", _hash60_spark(F.col("shingle")).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(stable_checkpoint, eager=False)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
     # block-size guard: the distinct (lang, len_bucket) count table is
@@ -1168,7 +1165,7 @@ def d09(spark, sf_dir):
     # the same materialized frame (lazy localCheckpoint — first action
     # tokenizes and caches executor-side, the same trade d06 makes for its
     # fixpoint), instead of paying the regex-split corpus pass twice
-    tokenized = _tokenized_docs(spark, sf_dir).localCheckpoint(eager=False)
+    tokenized = _tokenized_docs(spark, sf_dir).transform(stable_checkpoint, eager=False)
     toks = tokenized.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
     dup = _cross_doc_flagged_positions(tokenized)
     spans = _merge_spans(dup, D08_NGRAM)
@@ -1273,7 +1270,7 @@ def d10(spark, sf_dir):
         bt.join(cp, ["bi", "bh"])
         .select("doc_b", "doc_c")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint, eager=False)
     )
     sizes = minhashes.select("doc_id", "n")
     matches = _verify_exact_jaccard(cands, shingles, sizes, "doc_b", "doc_c")
@@ -1438,7 +1435,7 @@ def d11(spark, sf_dir):
     hits = (
         train.join(bench, "h")
         .select("doc_id", "pos", "bench_doc")
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint, eager=False)
     )
     pos_hits = hits.select("doc_id", "pos").distinct()
     spans = _merge_spans(pos_hits, D11_NGRAM)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..checkpointing import stable_checkpoint
 from . import canon_text_spark, canon_text_sql, load, query, ws_words_spark, ws_words_sql
 
 # per-mille keep thresholds by language: downsample dominant en, keep
@@ -328,7 +329,7 @@ def p04(spark, sf_dir):
     # the cluster-size table AND the final join; checkpoint storage is
     # released with the RDD when the query's references drop, where
     # persist() pinned executor cache across bench repeats (ADVICE r10)
-    tagged = unit.withColumn("split", split).localCheckpoint(eager=False)
+    tagged = unit.withColumn("split", split).transform(stable_checkpoint, eager=False)
     # cluster-size table: bounded by n_clusters, reused for the dup-doc
     # facet; the straddle count is a 1-row scalar (provably 0 — every
     # cluster hashes to exactly one split) cross-joined broadcast-style
@@ -542,7 +543,7 @@ def p06(spark, sf_dir):
     # scan of events for the summary leg — at 100 TB that doubles the
     # dominant cost.  localCheckpoint pins the 16-row census once (same
     # trade d06 makes for its fixpoint), so events are read exactly once.
-    census = census.localCheckpoint()
+    census = census.transform(stable_checkpoint)
     null_long = F.lit(None).cast("long")
     fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
     census_rows = census.select(

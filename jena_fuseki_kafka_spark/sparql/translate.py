@@ -34,6 +34,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..checkpointing import stable_checkpoint
 from ..model import (
     DEFAULT_GRAPH,
     RdfParseError,
@@ -227,7 +228,7 @@ class Translator:
 
         def ckpt(df: DataFrame) -> DataFrame:
             # lineage truncation + fresh attribute ids (see _closure_pattern)
-            df = df.localCheckpoint(eager=True)
+            df = stable_checkpoint(df, eager=True)
             return df.select(*[F.col(c).alias(c) for c in df.columns])
 
         nodes = None
@@ -876,10 +877,12 @@ class Translator:
         building plan strings long before data size matters.  With it, the
         closure is a flat union of materialized leaves — plan size is linear
         in iterations, and the shuffles stay bounded by the frontier size
-        (the semi-naive property).  On a multi-executor cluster prefer
-        ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-        fault-tolerant truncation; localCheckpoint trades lineage
-        re-computability for speed, which is the right default here.
+        (the semi-naive property).  localCheckpoint trades lineage
+        re-computability for speed — the right default here; under
+        dynamic allocation / preemptible executors set
+        ``spark.graft.reliableCheckpoint=true`` (plus a checkpoint dir)
+        and every truncation site in the repo switches to reliable
+        ``checkpoint()`` (see ``checkpointing.stable_checkpoint``).
         """
         sv, ov = ("var", "__closure_s"), ("var", "__closure_o")
 
@@ -887,7 +890,7 @@ class Translator:
             # truncate lineage, then re-alias every column so the checkpointed
             # leaf gets fresh attribute ids — unions of leaves that share ids
             # break Catalyst's constraint rewriting
-            df = df.localCheckpoint(eager=True)
+            df = stable_checkpoint(df, eager=True)
             return df.select(*[F.col(c).alias(c) for c in df.columns])
 
         edges = ckpt(

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..checkpointing import stable_checkpoint
 from ..model import DEFAULT_GRAPH, QUAD_COLS, QUAD_SCHEMA, RdfParseError
 from ..store import QuadStore
 from ..store.quadstore import _anti_join_quads
@@ -536,7 +537,7 @@ class UpdateEngine:
                 # templates instantiate from it, and later ops' anti-joins
                 # would otherwise re-evaluate the whole pattern lineage
                 if del_tmpl and ins_tmpl:
-                    df = df.localCheckpoint(eager=True)
+                    df = stable_checkpoint(df, eager=True)
                 bounded = _pattern_is_constrained(pattern)
                 if del_tmpl:
                     if _has_bnode(del_tmpl):
