@@ -288,14 +288,15 @@ from . import update_gate  # noqa: E402,F401
 _CHECK_PRIORITY = [
     # ---- r15 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Window math (tools/rotation_planner.py at r15 open): 3 new gates
-    # + 23 mandatory (the r12-green remainder — age 3 at this check if
-    # skipped) + 24 r13-cohort re-verifications = 50 exactly.  The r13
-    # cohort is 49 strong and reaches age 3 at r16: spending 24 slots
-    # on it now (the complex half, mirroring r14's strategy) leaves
-    # r16's mandatory floor at the 25 leftovers below the boundary
-    # (22 simple gates + m02/m05/m06, displaced by this round's new
-    # ops).
+    # Window math (tools/rotation_planner.py at r15 open, amended
+    # mid-round): 3 new gates + 23 mandatory (the r12-green remainder —
+    # age 3 at this check if skipped) + 2 TOUCHED re-verifications (q11
+    # gained the beyond-end page, s10 the n_null_cands facet — both
+    # oracles changed r15, so their prior green verdicts describe a
+    # different shape and the driver must re-hash them THIS round) + 22
+    # r13-cohort re-verifications = 50 exactly.  The r13 cohort reaches
+    # age 3 at r16: the touched-slot swap displaced s01/m01 below the
+    # boundary, so r16's mandatory floor is the 26 leftovers there.
     # ---- NEW this round (no prior verdict; sort first regardless) ----
     "s11_pq_adc_topk",
     "t12_classifier_quality_filter",
@@ -330,7 +331,8 @@ _CHECK_PRIORITY = [
     # full similarity family, the five dedup heavyweights, all eight
     # batch-twin streaming gates incl. both exactly-once proofs, and
     # the two heaviest r13 multimodal kernels) ----
-    "s01_ann_bruteforce_topk",
+    "q11_order_offset_pagination",
+    "s10_incremental_ann_admission",
     "s02_ann_lsh_bucketed",
     "s03_embedding_near_dup",
     "s03b_embedding_near_dup_lowt",
@@ -353,10 +355,12 @@ _CHECK_PRIORITY = [
     "st09_streaming_bounded_dedup",
     "st10_streaming_file_sink_exactly_once",
     "st11_foreachbatch_merge_exactly_once",
-    "m01_image_features",
     # ---- window boundary here (50 above) ----
     # r13-green remainder: age 3 at the r16 check — these ARE r16's
-    # mandatory floor (25) and rotate to the very top next round.
+    # mandatory floor (26) and rotate to the very top next round.
+    # s01/m01 were displaced here by the q11/s10 touched-slot swap.
+    "s01_ann_bruteforce_topk",
+    "m01_image_features",
     "m02_audio_features",
     "m05_scene_changes",
     "m06_audio_vad_segments",
@@ -367,7 +371,6 @@ _CHECK_PRIORITY = [
     "q08_union_all_parts_suppliers",
     "q09_distinct_projection",
     "q10_aggregate_functions",
-    "q11_order_offset_pagination",
     "q12_subquery_above_avg",
     "q13_values_inline_join",
     "q14_window_top_order_per_cust",
