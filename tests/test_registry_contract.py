@@ -148,3 +148,35 @@ def test_round_marker_matches_rotation_comment():
         f"{current} — bump ROUND and rotate the window in the SAME commit "
         f"(tools/rotation_planner.py plans the window from the marker)"
     )
+
+
+def test_readme_counts_match_reality():
+    """ADVICE r14 flagged a stale README probe count, and r15 found the
+    same drift again (31 vs 34 gates, 122 vs 125 queries) — the same
+    failure class as the ROUND/rotation drift, so the same cure: lint
+    the README's numbers against the living registries so docs cannot
+    silently rot as gates are added."""
+    import os
+    import re
+
+    import tools.parallelism_probe as pp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        readme = f.read()
+
+    m = re.search(r"cluster-shape invariance: (\d+)\n\s+hash-sensitive gates \((\d+) batch \+ (\d+) streaming", readme)
+    assert m, "README parallelism-probe sentence not found / reworded"
+    total, batch, streaming = map(int, m.groups())
+    assert total == len(pp.GATES), (
+        f"README says {total} probe gates; tools/parallelism_probe.py has "
+        f"{len(pp.GATES)}"
+    )
+    assert batch + streaming == total
+
+    m = re.search(r"`queries\(\)` \((\d+) oracle-backed", readme)
+    assert m, "README queries() sentence not found / reworded"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} registered queries; the registry has "
+        f"{len(QUERIES)}"
+    )
