@@ -386,7 +386,8 @@ _CHECK_PRIORITY = [
     "t08_pii_scrub",
     "t10_char_entropy",
     # ---- r14-green, code untouched -> tail (fine until r17) ----
-    "s10_incremental_ann_admission",
+    # (s10 moved INTO the r15 window by the touched-slot swap — its
+    # n_null_cands widening changed the oracle; no tail entry)
     "d01_exact_dedup",
     "d03_simhash",
     "d05_decontamination",

@@ -151,7 +151,13 @@ def p02(spark, sf_dir):
 # keep/drop stays a per-row stable-hash decision (retry/speculation-safe).
 _MIX_BUDGET_PERMILLE = 500  # keep ~half the corpus overall
 
-_W_SQL = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
+# TRY_CAST, both engines (review r15): under Spark 4's default ANSI
+# mode a plain CAST on a non-'srcN' label ABORTS the whole mixture
+# plan (DuckDB's CAST likewise errors); a corrupt label should instead
+# degrade to a NULL weight — its row plans NULL and its docs never
+# join the selection, while healthy sources share the healthy weight
+# mass (SUM skips NULL on both engines).
+_W_SQL = "(TRY_CAST(substr(source, 4) AS INT) % 4 + 1)"
 
 
 @query(
@@ -194,7 +200,7 @@ def p03(spark, sf_dir):
     arithmetic (``div``) so Spark and DuckDB agree bit-exactly, and the
     keep decision is the same stable md5 bucket p01/p02 use."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
-    w = F.expr("cast(substring(source, 4) as int) % 4 + 1")
+    w = F.expr("try_cast(substring(source, 4) as int) % 4 + 1")
     counts = d.groupBy("source").agg(
         F.first(w).alias("w"), F.count("*").alias("n_docs")
     )
@@ -765,12 +771,16 @@ def p08(spark, sf_dir):
     p05's per-shard packing — plus a broadcast of the |sources|-row
     plan; the plan arithmetic is pure integer div/mod so both engines
     agree bit-exactly, and n_emitted meets target_n EXACTLY where p03's
-    bucket gate meets its rate only in expectation.  A NULL/unparsable
-    source weight propagates NULL through the whole plan row on both
-    engines (its docs never join the extra selection), so a corrupt
-    source label can never silently claim budget."""
+    bucket gate meets its rate only in expectation.  A NULL or
+    unparsable source label degrades to a NULL weight via try_cast on
+    BOTH engines (plain CAST would abort the whole plan under Spark's
+    ANSI mode and DuckDB alike): the corrupt source's plan row goes
+    NULL, its docs never join the extra selection, and the healthy
+    sources split the healthy weight mass (SUM skips NULL weights on
+    both engines) — a corrupt label can neither claim budget nor crash
+    the planner."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
-    w = F.expr("cast(substring(source, 4) as int) % 4 + 1")
+    w = F.expr("try_cast(substring(source, 4) as int) % 4 + 1")
     counts = d.groupBy("source").agg(
         F.first(w).alias("w"), F.count("*").alias("n_docs")
     )

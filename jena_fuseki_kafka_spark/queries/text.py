@@ -226,6 +226,26 @@ def t04(spark, sf_dir):
 EMB_DIM = 64
 
 
+def _tokhash_sql(expr: str = "w") -> str:
+    """The hashing-trick token hash, SQL side: md5 -> top 60 bits as a
+    BIGINT.  Single definition shared by t05 (features) and t12
+    (classifier input) — the t12 docstring PROMISES its activations are
+    t05's signed counts, so the formula must not be able to drift
+    between them (review r15; byte-identical render to the previously
+    inlined fragments, same proof standard as the IVF oracle CTEs)."""
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+def _tokhash_spark(col):
+    """Spark twin of _tokhash_sql — bit-identical 60-bit token hash."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _toksgn_spark(h):
+    """Hash bit 6 -> feature sign, the shared t05/t12 sign rule."""
+    return F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+
 @query(
     "t05_feature_hash_embedding",
     oracle=rf"""
@@ -236,8 +256,8 @@ EMB_DIM = 64
     ),
     hashed AS (
       SELECT doc_id,
-             ('0x'||substr(md5(w),1,15))::BIGINT % {EMB_DIM} AS idx,
-             CASE WHEN (('0x'||substr(md5(w),1,15))::BIGINT >> 6) & 1 = 1
+             {_tokhash_sql()} % {EMB_DIM} AS idx,
+             CASE WHEN ({_tokhash_sql()} >> 6) & 1 = 1
                   THEN 1 ELSE -1 END AS sgn
       FROM tokens
     )
@@ -261,11 +281,11 @@ def t05(spark, sf_dir):
             ws_words_spark(lower_markstrip_spark(F.col("text")))
         ).alias("w"),
     )
-    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    h = _tokhash_spark(F.col("w"))
     hashed = tokens.select(
         "doc_id",
         (h % EMB_DIM).alias("idx"),
-        F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias("sgn"),
+        _toksgn_spark(h).alias("sgn"),
     )
     return (
         hashed.groupBy("doc_id", "idx")
@@ -783,6 +803,15 @@ def t11(spark, sf_dir):
 # is reproducible under any partitioning (the same reason s07 quantizes).
 T12_W_MOD = 13  # weight = (60-bit md5 of 'w:<idx>') % 13 - 6  in [-6, 6]
 
+# the oracle's weight-table lookup key: 'w:<feature index>', where the
+# index is the shared token hash mod EMB_DIM (rendered through
+# _tokhash_sql so it cannot drift from t05's feature index)
+_T12_WIDX_SQL = (
+    "'w:' || CAST(\n"
+    f"                   {_tokhash_sql()} % {EMB_DIM}\n"
+    "                 AS VARCHAR)"
+)
+
 
 def _t12_weights() -> list[int]:
     """Driver-side precompute of the literal weight table, matching the
@@ -806,11 +835,9 @@ def _t12_weights() -> list[int]:
     ),
     contrib AS (
       SELECT doc_id,
-             (CASE WHEN (('0x'||substr(md5(w),1,15))::BIGINT >> 6) & 1 = 1
+             (CASE WHEN ({_tokhash_sql()} >> 6) & 1 = 1
                    THEN 1 ELSE -1 END)
-             * ((('0x'||substr(md5('w:' || CAST(
-                   ('0x'||substr(md5(w),1,15))::BIGINT % {EMB_DIM}
-                 AS VARCHAR)),1,15))::BIGINT % {T12_W_MOD}) - {T12_W_MOD // 2})
+             * (({_tokhash_sql(_T12_WIDX_SQL)} % {T12_W_MOD}) - {T12_W_MOD // 2})
                AS c
       FROM tokens
     ),
@@ -850,8 +877,8 @@ def t12(spark, sf_dir):
         "doc_id",
         F.explode(ws_words_spark(lower_markstrip_spark(F.col("text")))).alias("w"),
     )
-    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
-    sgn = F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    h = _tokhash_spark(F.col("w"))
+    sgn = _toksgn_spark(h)
     contrib = sgn * F.element_at(w_arr, (h % EMB_DIM + 1).cast("int"))
     logits = (
         tokens.select("doc_id", contrib.alias("c"))

@@ -14,6 +14,12 @@ def test_every_query_has_an_oracle():
 def test_priority_names_are_real():
     ghosts = [n for n in _CHECK_PRIORITY if n not in QUERIES]
     assert not ghosts, f"_CHECK_PRIORITY names unknown queries: {ghosts}"
+    # uniqueness (review r15: a mid-round window swap left a stale tail
+    # copy of a name moved up-list — benign only because the dict build
+    # keeps the first occurrence, but any consumer counting slots off
+    # the literal list would be off by one)
+    dupes = [n for n in set(_CHECK_PRIORITY) if _CHECK_PRIORITY.count(n) > 1]
+    assert not dupes, f"_CHECK_PRIORITY lists these more than once: {dupes}"
 
 
 def test_no_query_dropped_by_reordering():

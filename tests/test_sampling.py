@@ -67,3 +67,38 @@ def test_p08_budget_met_exactly_and_extras_are_hash_prefix(spark, sf_dir):
         assert r.extra_checksum == want, r
     assert saw_upsample, "no source ran epochs >= 1 — upsampling untested"
     assert saw_fraction, "no fractional epoch — the rank prefix untested"
+
+
+def test_p08_corrupt_source_label_degrades_not_crashes(spark, tmp_path):
+    """Review r15: under Spark 4's default ANSI mode a plain CAST on a
+    non-'srcN' label would abort the whole mixture plan (DuckDB's CAST
+    errors the oracle identically).  The try_cast weight derivation must
+    instead degrade the corrupt source to a NULL plan row — no budget
+    claimed, no crash — with BOTH engines agreeing row-for-row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "source": ["src1"] * 5 + ["src2"] * 5 + ["corrupt", None],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    rows = QUERIES["p08_epoch_mixture_plan"](spark, str(tmp_path)).collect()
+    by = {r.source: r for r in rows}
+    assert set(by) == {"src1", "src2", "corrupt", None}
+    for bad in ("corrupt", None):
+        r = by[bad]
+        assert r.target_n is None and r.n_extra is None and r.n_emitted is None
+        assert r.extra_checksum is None  # no budget claimed
+    assert by["src1"].target_n is not None and by["src2"].target_n is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = con.execute(ORACLES["p08_epoch_mixture_plan"]).fetchall()
+    assert sorted(map(tuple, rows), key=str) == sorted(oracle, key=str)

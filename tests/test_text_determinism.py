@@ -84,14 +84,13 @@ def test_t12_weight_table_matches_duckdb_formula():
     assert duck == _t12_weights()
 
 
-def test_t12_verdict_covers_every_document(spark):
+def test_t12_verdict_covers_every_document(spark, sf_dir):
     """The quality gate must emit exactly one keep/drop verdict per
     document (NULL-text docs included, scoring 0 and dropping) and must
     be non-vacuous in both directions on real testdata — a filter that
     keeps or drops everything is a broken model, not a gate."""
     from jena_fuseki_kafka_spark.queries import QUERIES, load
 
-    sf_dir = "/root/testdata/sf0.001"
     n_docs = load(spark, sf_dir, "documents").count()
     rows = QUERIES["t12_classifier_quality_filter"](spark, sf_dir).collect()
     assert len(rows) == n_docs

@@ -126,6 +126,59 @@ from jena_fuseki_kafka_spark.queries import QUERIES, load  # noqa: E402
 # value.  Ints/strings/bools compare exactly; floats at REL_TOL (the exact
 # decimal work happens before the final double cast, so only ulp-level
 # noise is legal).
+
+
+def _p08_plan_at_k(k, small):
+    """Re-derive p08's ENTIRE integer plan for the k-fold corpus from
+    the small-scale per-source census (review r15: "target_n scales by
+    k" is NOT a theorem — floor(k*N/D) == k*floor(N/D) only when D
+    divides N, which the uniform driver fixture happens to satisfy;
+    recomputing the plan from first principles keeps the leg valid for
+    ANY corpus shape).  PK-offset copies preserve source labels, so
+    n_docs scales by k and the weight table is unchanged."""
+    from jena_fuseki_kafka_spark.queries.sampling import P08_BUDGET_PERMILLE
+
+    rows = {key[0]: r for key, r in small.items()}
+
+    def weight(s):
+        try:
+            return int(s[3:]) % 4 + 1
+        except (TypeError, ValueError):
+            return None
+
+    w = {s: weight(s) for s in rows}
+    total = k * sum(r["n_docs"] for r in rows.values())
+    sum_w = sum(v for v in w.values() if v is not None)
+    plan = {}
+    for s, r in rows.items():
+        if w[s] is None:
+            plan[s] = {
+                "target_n": None, "epochs_int": None, "n_extra": None,
+                "n_emitted": None, "share_bp": None,
+            }
+            continue
+        n = k * r["n_docs"]
+        t = (total * P08_BUDGET_PERMILLE * w[s]) // (1000 * sum_w)
+        plan[s] = {
+            "target_n": t, "epochs_int": t // n, "n_extra": t % n,
+            "n_emitted": t,
+        }
+    tot_emit = sum(
+        p["n_emitted"] for p in plan.values() if p.get("n_emitted") is not None
+    )
+    for p in plan.values():
+        if p.get("n_emitted") is not None:
+            p["share_bp"] = (
+                p["n_emitted"] * 10000 // tot_emit if tot_emit else None
+            )
+    return plan
+
+
+def _p08_rule(facet):
+    def rule(srow, k, aux, small):
+        return _p08_plan_at_k(k, small)[srow["source"]][facet]
+
+    return rule
 # PROBES: (query, leg, group-key columns, {facet: rule})
 PROBES = [
     ("q01_pricing_summary", "lineitem", ["l_returnflag", "l_linestatus"],
@@ -150,15 +203,18 @@ PROBES = [
      {"total": "xk", "n_finished": "xk", "n_large": "xk",
       "n_large_custs": "const", "all_finished": "const",
       "any_large": "const", "large_bp": "const"}),
-    # p08's integer plan scales exactly: counts/targets/extras by k (the
-    # mod identity (k*t) % (k*n) == k*(t % n)), epochs and shares are
-    # k-invariant because k cancels in the integer divisions.  The
-    # extra_checksum facet has NO kx closed form (copy doc_ids hash into
-    # interleaved per-source positions), so it is deliberately unprobed
-    # here — the sampling unit test pins it at small scale.
+    # p08's integer plan re-derived EXACTLY at scale k from the small
+    # census via _p08_plan_at_k (not "xk" rules — see its docstring for
+    # why that is not a theorem).  The extra_checksum facet has NO kx
+    # closed form (copy doc_ids hash into interleaved per-source
+    # positions), so it is deliberately unprobed here — the sampling
+    # unit test pins it at small scale.
     ("p08_epoch_mixture_plan", "documents", ["source"],
-     {"n_docs": "xk", "target_n": "xk", "epochs_int": "const",
-      "n_extra": "xk", "n_emitted": "xk", "share_bp": "const"}),
+     {"n_docs": "xk", "target_n": _p08_rule("target_n"),
+      "epochs_int": _p08_rule("epochs_int"),
+      "n_extra": _p08_rule("n_extra"),
+      "n_emitted": _p08_rule("n_emitted"),
+      "share_bp": _p08_rule("share_bp")}),
     ("d01_exact_dedup", "documents", [],
      {"n_unique": "const", "n_docs": "xk", "max_group_size": "xk",
       "n_dup_groups": lambda srow, k, aux, small: srow["n_unique"],
@@ -356,7 +412,7 @@ def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int, leg: str) -> None
             os.symlink(src, os.path.join(out_dir, f"{dim}.parquet"))
 
 
-def compute_aux(spark, sf_dir: str) -> dict:
+def compute_aux(spark, sf_dir: str, need_s11: bool = True) -> dict:
     """Small-scale facts the k-fold identities need beyond the gate's own
     output.  d01_all_keepers_sum: at kx every fingerprint group is a dup
     group, so the checksum must equal the sum of per-group MIN(doc_id)
@@ -375,6 +431,14 @@ def compute_aux(spark, sf_dir: str) -> dict:
     emb_max = (
         load(spark, sf_dir, "embeddings").agg(F.max("vec_id")).collect()[0][0]
     )
+
+    aux = {"d01_all_keepers_sum": int(val), "emb_offset": int(emb_max) + 1}
+    if not need_s11:
+        # the s11 self-ADC job (corpus x codebook cross + aggregate) is
+        # only worth paying when the s11 leg will actually run (review
+        # r15: it used to run unconditionally, even for --k 5 or a
+        # single-query invocation that never reads it)
+        return aux
 
     # s11 self-ADC facts: a copy of query q carries q's own PQ codes, so
     # its ADC distance is sum_m min_c dtable_m[c] — the provable GLOBAL
@@ -420,12 +484,9 @@ def compute_aux(spark, sf_dir: str) -> dict:
         for r in qscored
     }
     s11_qcodes = {r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)] for r in qscored}
-    return {
-        "d01_all_keepers_sum": int(val),
-        "emb_offset": int(emb_max) + 1,
-        "s11_self_adc": s11_self_adc,
-        "s11_qcodes": s11_qcodes,
-    }
+    aux["s11_self_adc"] = s11_self_adc
+    aux["s11_qcodes"] = s11_qcodes
+    return aux
 
 
 def rows_by_key(df, keys):
@@ -506,7 +567,25 @@ def main() -> int:
         # small rank-1) holds only for k >= TOP_K
         probes = [p for p in probes if p[1] != "embeddings"]
         print(f"k={args.k} < 10: skipping the embeddings leg (identity needs k >= TOP_K)")
-    aux = compute_aux(spark, args.sf_dir)
+    need_s11 = any(p[0] == "s11_pq_adc_topk" for p in probes)
+    aux = compute_aux(spark, args.sf_dir, need_s11=need_s11)
+    if need_s11:
+        # the s11 kx identity additionally requires the k-fold copies to
+        # stay OUT of the codebook predicate (vec_id % PQ_CODE_MOD == 0
+        # AND vec_id < PQ_CODE_MOD*PQ_K): with a small fixture (e.g.
+        # sf0.01's 500 embeddings) copy ids like 518/555 would ENTER the
+        # codebook, changing every encoding — the identity is undefined
+        # there, not violated (review r15)
+        from jena_fuseki_kafka_spark.queries.similarity import PQ_CODE_MOD, PQ_K
+
+        if aux["emb_offset"] < PQ_CODE_MOD * PQ_K:
+            probes = [p for p in probes if p[0] != "s11_pq_adc_topk"]
+            print(
+                f"emb_offset {aux['emb_offset']} < {PQ_CODE_MOD * PQ_K}: "
+                "skipping s11 (k-fold copies would enter the codebook "
+                "predicate; the kx identity is undefined at this fixture "
+                "size — use sf0.1)"
+            )
     bnlj_ok = _bnlj_allowlist()
     leg_dirs: dict[str, str] = {}
     try:
