@@ -473,3 +473,20 @@ class TestIncrementalDedup:
         # the exact scale regression this pin exists to catch
         assert re.search(r"NOT \(\(\w+#\d+L? % 5\) = 0\)", p), p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_q11_pages_stay_bounded_heaps(spark):
+    """All three q11 pages — including the OFFSET-50000 beyond-end page
+    (r15) — must stay per-partition TakeOrderedAndProject heaps.  A
+    global Sort + GlobalLimit materializing for any page means the
+    pagination no longer bounds memory by offset+limit per partition
+    (Spark 4's topKSortFallbackThreshold defaults to ~Int.MaxValue, so
+    no session config is load-bearing here — this pins that it stays
+    true)."""
+    p = plan(spark, "q11_order_offset_pagination")
+    # formatted explain prints each node in the tree AND the detail
+    # section — count the numbered detail headers, one per node
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) == 3, p
+    # the only Sort allowed is the final page/price presentation sort
+    # above the union, never a per-page global sort below it
+    assert "GlobalLimit" not in p, p
