@@ -545,9 +545,18 @@ def q15(spark, sf_dir):
     """ROLLUP grouping sets + GROUPING() level indicator (engine-grade,
     SURVEY §2C).  gid disambiguates a genuine NULL group key from a
     rollup subtotal row — the standard way consumers tell the two apart
-    without string sentinels."""
+    without string sentinels.
+
+    EMPTY-input conformance (r15, closing the last documented empty-
+    corpus divergence): SQL's GROUP BY ROLLUP emits the grand-total row
+    even over zero input rows (the () grouping set aggregates the empty
+    bag: COUNT 0, SUM NULL) — Spark's rollup emits nothing.  The fix-up
+    leg is a 1-row zero-column count aggregate filtered to n == 0, so
+    it contributes the literal grand-total row exactly when the scan is
+    empty and ZERO rows otherwise; no join, and the extra scan reads no
+    columns (ReadSchema struct<>)."""
     li = load(spark, sf_dir, "lineitem")
-    return (
+    rolled = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             _dsumf(F.col("l_extendedprice"), "total"),
@@ -560,8 +569,18 @@ def q15(spark, sf_dir):
             "gid",
             "total",
         )
-        .orderBy("returnflag", "linestatus")
     )
+    empty_grand = (
+        li.agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 0)
+        .select(
+            F.lit("ALL").alias("returnflag"),
+            F.lit("ALL").alias("linestatus"),
+            F.lit(3).cast("long").alias("gid"),
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    return rolled.unionByName(empty_grand).orderBy("returnflag", "linestatus")
 
 
 @query(
@@ -844,9 +863,11 @@ def q24(spark, sf_dir):
 def q25(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
     pass (Spark expands grouping sets before the partial aggregate, so it
-    still map-side combines)."""
+    still map-side combines).  EMPTY-input conformance: the () grouping
+    set must emit its aggregate-over-the-empty-bag row (n = 0, sum NULL)
+    like SQL's CUBE does — same zero-column count fix-up leg as q15."""
     li = load(spark, sf_dir, "lineitem")
-    return (
+    cubed = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), _dsumf(F.col("l_quantity"), "total_qty"))
         .select(
@@ -855,8 +876,18 @@ def q25(spark, sf_dir):
             "n",
             "total_qty",
         )
-        .orderBy("returnflag", "linestatus")
     )
+    empty_grand = (
+        li.agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 0)
+        .select(
+            F.lit("ALL").alias("returnflag"),
+            F.lit("ALL").alias("linestatus"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("total_qty"),
+        )
+    )
+    return cubed.unionByName(empty_grand).orderBy("returnflag", "linestatus")
 
 
 @query(

@@ -135,15 +135,14 @@ def _edge_embeddings():
 # Measured 2026-08-15 (r10).  Shrink as fixes land; fixes for gates
 # outside the current check window wait for their rotation.
 EXPECTED_FAIL_EMPTY: dict[str, str] = {
-    # Spark implements grouping sets via Expand + hash aggregation with
-    # grouping_id as a key, so ROLLUP/CUBE over an EMPTY relation yield 0
-    # rows where ANSI (and DuckDB) emit the grand-total grouping set's
-    # single all-NULL row.  A declarative "fix" would union an ungrouped
-    # aggregate into every rollup plan — a worse plan at scale to cover a
-    # case the engine documents instead (rows 0 vs 1, values otherwise
-    # identical on any non-empty input).
-    "q15_rollup_revenue": "Spark rollup omits the grand-total row on empty input",
-    "q25_cube_aggregation": "Spark cube omits the grand-total row on empty input",
+    # FIXED r15 (was: Spark's Expand-based ROLLUP/CUBE yield 0 rows over
+    # an EMPTY relation where ANSI and DuckDB emit the grand-total
+    # grouping set's single row).  The r13-era note rejected "union an
+    # ungrouped aggregate into every rollup plan" as a worse plan at
+    # scale — the landed fix is cheaper than that strawman: a 1-row
+    # ZERO-COLUMN count aggregate (ReadSchema struct<>) filtered to
+    # n == 0, contributing the literal grand-total row only when the
+    # scan is empty; no join, no second wide scan.
     # Engine is CORRECT here (SPARQL GROUP BY ?g over zero solutions =
     # zero groups); the ORACLE hard-codes one row per expected named
     # graph as UNION ALL of scalar counts, which only matches when the
