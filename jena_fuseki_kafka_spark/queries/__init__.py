@@ -289,14 +289,15 @@ _CHECK_PRIORITY = [
     # ---- r15 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
     # Window math (tools/rotation_planner.py at r15 open, amended
-    # mid-round): 3 new gates + 23 mandatory (the r12-green remainder —
-    # age 3 at this check if skipped) + 2 TOUCHED re-verifications (q11
-    # gained the beyond-end page, s10 the n_null_cands facet — both
-    # oracles changed r15, so their prior green verdicts describe a
-    # different shape and the driver must re-hash them THIS round) + 22
-    # r13-cohort re-verifications = 50 exactly.  The r13 cohort reaches
-    # age 3 at r16: the touched-slot swap displaced s01/m01 below the
-    # boundary, so r16's mandatory floor is the 26 leftovers there.
+    # mid-round twice): 3 new gates + 23 mandatory (the r12-green
+    # remainder — age 3 at this check if skipped) + 4 TOUCHED
+    # re-verifications (q11 gained the beyond-end page, s10 the
+    # n_null_cands facet, q15/q25 the empty-input grand-total leg —
+    # changed gates must re-hash THIS round) + 20 r13-cohort
+    # re-verifications = 50 exactly.  The r13 cohort reaches age 3 at
+    # r16: the touched-slot swaps displaced s01/m01/st01/st02 below the
+    # boundary while pulling q11/q15/q25 up out of it, so r16's
+    # mandatory floor stays at the 26 leftovers there.
     # ---- NEW this round (no prior verdict; sort first regardless) ----
     "s11_pq_adc_topk",
     "t12_classifier_quality_filter",
@@ -347,8 +348,8 @@ _CHECK_PRIORITY = [
     "d06_dedup_clusters",
     "d07_minhash_estimator_fidelity",
     "d10_incremental_corpus_dedup",
-    "st01_streaming_tumbling_window",
-    "st02_streaming_dedup_count",
+    "q15_rollup_revenue",
+    "q25_cube_aggregation",
     "st03_streaming_session_window",
     "st05_streaming_static_enrichment",
     "st06_streaming_late_data_drop",
@@ -358,9 +359,15 @@ _CHECK_PRIORITY = [
     # ---- window boundary here (50 above) ----
     # r13-green remainder: age 3 at the r16 check — these ARE r16's
     # mandatory floor (26) and rotate to the very top next round.
-    # s01/m01 were displaced here by the q11/s10 touched-slot swap.
+    # s01/m01 were displaced here by the q11/s10 touched-slot swap;
+    # st01/st02 by the q15/q25 empty-input-conformance swap (both gates
+    # changed behavior r15, so their r13 verdicts describe the old
+    # shape; the streaming family stays in-window via st03/st05/st06/
+    # st09/st10/st11).
     "s01_ann_bruteforce_topk",
     "m01_image_features",
+    "st01_streaming_tumbling_window",
+    "st02_streaming_dedup_count",
     "m02_audio_features",
     "m05_scene_changes",
     "m06_audio_vad_segments",
@@ -374,11 +381,9 @@ _CHECK_PRIORITY = [
     "q12_subquery_above_avg",
     "q13_values_inline_join",
     "q14_window_top_order_per_cust",
-    "q15_rollup_revenue",
     "q17_string_functions",
     "q19_disjunctive_predicate_join",
     "q24_exact_percentiles",
-    "q25_cube_aggregation",
     "q31_grouping_sets",
     "q36_per_group_outlier_filter",
     "q38_approx_percentile",
