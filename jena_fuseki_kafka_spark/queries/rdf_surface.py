@@ -983,7 +983,7 @@ def r18(spark, sf_dir):
     )
     SELECT g.g AS g, g.named_quads,
            (SELECT COUNT(*) FROM merged) AS default_subjects
-    FROM g ORDER BY g.g
+    FROM g WHERE g.named_quads > 0 ORDER BY g.g
     """,
 )
 def r16(spark, sf_dir):
@@ -995,7 +995,12 @@ def r16(spark, sf_dir):
     both scopes.  Widened per VERDICT r7 item 4: one row PER named graph
     (GRAPH ?g + GROUP BY ?g), so the hash pins which graphs the FROM
     NAMED clause admitted and each graph's exact quad count, not just a
-    single combined total."""
+    single combined total.  Oracle-shape note (r15): the final SELECT
+    filters named_quads > 0 so the oracle emits a row only for graphs
+    that EXIST — mirroring SPARQL's GROUP BY ?g over zero solutions
+    (zero groups) instead of hard-coding two scalar-count rows; this
+    closed the last documented empty-corpus latent (and the
+    nonempty-but-one-graph-missing case with it)."""
     from ..sparql import SparqlEngine
 
     quads = events_to_quads(load(spark, sf_dir, "events"))

@@ -143,11 +143,11 @@ EXPECTED_FAIL_EMPTY: dict[str, str] = {
     # ZERO-COLUMN count aggregate (ReadSchema struct<>) filtered to
     # n == 0, contributing the literal grand-total row only when the
     # scan is empty; no join, no second wide scan.
-    # Engine is CORRECT here (SPARQL GROUP BY ?g over zero solutions =
-    # zero groups); the ORACLE hard-codes one row per expected named
-    # graph as UNION ALL of scalar counts, which only matches when the
-    # graphs exist.  Oracle-shape artifact, not an engine bug.
-    "r16_from_named_dataset": "oracle hard-codes 2 scalar-count rows; engine's 0 rows is spec-correct",
+    # FIXED r15 (was: the oracle hard-coded one row per expected named
+    # graph as UNION ALL of scalar counts where the engine's GROUP BY ?g
+    # over zero solutions is correctly zero groups).  The oracle now
+    # filters named_quads > 0 so it emits rows only for graphs that
+    # EXIST — every corpus is at ZERO latents, no documented exceptions.
 }
 
 EXPECTED_FAIL_EDGE: dict[str, str] = {
