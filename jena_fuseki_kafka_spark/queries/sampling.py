@@ -781,8 +781,16 @@ def p08(spark, sf_dir):
     the planner."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     w = F.expr("try_cast(substring(source, 4) as int) % 4 + 1")
-    counts = d.groupBy("source").agg(
-        F.first(w).alias("w"), F.count("*").alias("n_docs")
+    # lazy checkpoint of the |sources|-row census: every plan leg (tot,
+    # plan, the extra-selection broadcast, the report) derives from it,
+    # and without truncation Catalyst re-expands the aggregate into each
+    # subtree — SEVEN corpus scans at plan time (measured r15).  With it
+    # the corpus is read once for the census and once for the ranking
+    # window, matching the docstring's cost claim (p06's census idiom).
+    counts = (
+        d.groupBy("source")
+        .agg(F.first(w).alias("w"), F.count("*").alias("n_docs"))
+        .transform(stable_checkpoint, eager=False)
     )
     tot = counts.agg(F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w"))
     plan = counts.crossJoin(F.broadcast(tot)).select(
