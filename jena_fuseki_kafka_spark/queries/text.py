@@ -736,10 +736,24 @@ def t11(spark, sf_dir):
     # cost lives in the explode/aggregate and the scoring fold), while
     # at 100 TB it would cost corpus-sized executor storage
     docs = fan_out(d.select("doc_id", norm.alias("t")))
-    positions = F.when(
-        F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(positions, lambda i: F.col("t").substr(i, F.lit(1) + 1))
+    # Split the normalized text into its char array ONCE per row and pair
+    # adjacent chars by array slicing.  The r14 form enumerated positions
+    # and called substr(i, ...) per position — UTF8String.substring walks
+    # bytes from the start, so scoring a doc was O(L^2) in its length
+    # (measured: 5.5s -> 0.45s on 2k-char docs, identical results; ~300
+    # char driver docs see the same shape).  Adjacent-pair slicing is
+    # O(L), and every downstream value is the SAME string/integer, so
+    # both passes are bit-identical to the r14 form and the oracle.
+    chars = F.split(F.col("t"), "")
+    n_pairs = F.greatest(F.size(chars) - 1, F.lit(0))
+    bigrams = F.when(
+        F.length("t") >= 2,
+        F.zip_with(
+            F.slice(chars, 1, n_pairs),
+            F.slice(chars, 2, n_pairs),
+            lambda a, b: F.concat(a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # ---- pass 1: corpus bigram counts (shuffle bounded by 27^2/task)
     counts = {
         r["bg"]: r["c"]
@@ -760,18 +774,23 @@ def t11(spark, sf_dir):
     ]
     lp_arr = F.array(*[F.lit(v) for v in lp])
 
-    # ---- pass 2: row-local scoring against the literal model
+    # ---- pass 2: row-local scoring against the literal model (same
+    # adjacent-pair slicing as pass 1; per-bigram log-probs are exact
+    # integers, so the summation order is immaterial — the fold below
+    # keeps the original order anyway)
     def sym_idx(ch):
         return F.when(ch == " ", F.lit(26)).otherwise(F.ascii(ch) - 97)
 
-    def pos_lp(i):
-        idx = (
-            sym_idx(F.col("t").substr(i, F.lit(1))) * 27
-            + sym_idx(F.col("t").substr(i + 1, F.lit(1)))
-        )
-        return F.element_at(lp_arr, (idx + 1).cast("int")).cast("long")
-
-    lp_sum = F.aggregate(positions, F.lit(0).cast("long"), lambda acc, i: acc + pos_lp(i))
+    idxs = F.transform(chars, sym_idx)
+    pair_lp = F.zip_with(
+        F.slice(idxs, 1, n_pairs),
+        F.slice(idxs, 2, n_pairs),
+        lambda a, b: F.element_at(lp_arr, (a * 27 + b + 1).cast("int")).cast("long"),
+    )
+    lp_sum = F.when(
+        F.length("t") >= 2,
+        F.aggregate(pair_lp, F.lit(0).cast("long"), lambda acc, v: acc + v),
+    ).otherwise(F.lit(0).cast("long"))
     n_big = F.greatest(F.length("t") - 1, F.lit(0)).cast("long")
     return (
         docs.select(
