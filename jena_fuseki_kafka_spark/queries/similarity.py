@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import fan_out, finite_spark, load, query, valid_vector_spark, valid_vector_sql
+from ..checkpointing import stable_checkpoint
 
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id 0..4 are the query set
@@ -367,12 +368,18 @@ def _near_dup(spark, sf_dir, threshold: float):
     )
     sim = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("cv")), F.col("nrm") * F.col("cn")))
     wc = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("sim"), F.asc("cid"))
+    # lazy localCheckpoint (the d-family materialization pattern): blocks
+    # feeds BOTH sides of the pair self-join below, and without it the
+    # corpus x centroid scoring + probe window run TWICE (r15 plan
+    # audit: two full BNLJ-cross + window subtrees in the before-plan);
+    # at 100 TB that is two corpus scoring passes where one suffices
     blocks = (
         e.crossJoin(F.broadcast(c))
         .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
         .withColumn("crk", F.row_number().over(wc))
         .filter(F.col("crk") <= N_PROBE)
         .select("vec_id", "embedding", "nrm", "cid")
+        .transform(stable_checkpoint, eager=False)
     )
     a = blocks.select(
         F.col("vec_id").alias("vec_a"), F.col("cid"),
@@ -854,7 +861,11 @@ def s09(spark, sf_dir):
     c = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    assign = _assign_cells(e, c)
+    # lazy localCheckpoint: assign feeds the pair self-join (both sides)
+    # AND the final verdict join — without it the corpus x centroid
+    # scoring + assignment aggregate run THREE times (r15 plan audit:
+    # three BNLJ-cross + aggregate subtrees in the before-plan)
+    assign = _assign_cells(e, c).transform(stable_checkpoint, eager=False)
     a = assign.select(
         F.col("vec_id").alias("u"), "cid",
         F.col("embedding").alias("eu"), F.col("nrm").alias("nu"),

@@ -47,17 +47,20 @@ BNLJ_ALLOWED = {
     "summary back; broadcast side bounded by split arity",
     "s01_ann_bruteforce_topk": "broadcast side is the collected query "
     "vector set (fixed query batch), fanned out per corpus row",
-    "s03_embedding_near_dup": "IVF-cell candidate pairs: broadcast side is "
-    "the bounded centroid table (n_cells fixed)",
-    "s03b_embedding_near_dup_lowt": "same centroid broadcast as s03",
+    # s03/s03b/s09 carried centroid-cross entries until r15: their
+    # cell-assignment subtrees (bounded centroid BNLJ) are now
+    # materialized ONCE via a lazy stable_checkpoint instead of being
+    # recomputed per consumer, so the cross lives inside the truncated
+    # subtree — the same observability class as the d-family's
+    # checkpointed shingle relations (test_checkpointing pins the
+    # result identity; the boundedness argument is unchanged: the
+    # broadcast side is the fixed-size centroid table).
     "s04_ann_ivf": "broadcast centroid table (n_cells fixed) for cell "
     "assignment; probe join bounded by n_probe × queries",
     "s05_ann_recall_gate": "recall gate joins IVF results against the "
     "brute-force truth for the fixed query batch (both bounded)",
     "s08_prefix_dim_rerank": "coarse top-k candidate ids (k × queries rows) "
     "broadcast back for exact rerank",
-    "s09_semdedup_prune": "broadcast centroid table for cell assignment "
-    "(n_cells fixed); pair join is a cell equi-join",
     "s10_incremental_ann_admission": "broadcast centroid table (n_cells "
     "fixed) scores both the corpus assignment and the batch probes; the "
     "admission join itself is a cell-id equi-join",
