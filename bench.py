@@ -123,12 +123,21 @@ HEADLINE = HEADLINE_BATCH + HEADLINE_STREAMING
 # batch suite's 32 partitions is ~24/25ths empty-state overhead
 # (measured: st07 14.1s -> 4.7s, st08 17.4s -> 5.8s at 8 partitions,
 # identical results — availableNow processes the same files either way).
-# Sizing state partitions to the stream's actual volume is the same
-# first-class knob a production streaming job sets (and at 100 TB you
-# size it UP for the same reason); the batch rows keep the full core
-# count.  Set per query start — Spark reads it when the streaming query
-# starts, so a runtime conf set is sufficient.
-STREAMING_STATE_PARTITIONS = 8
+# r15 re-measured the sweep in one session (medians of 3, same host):
+#   st07  8 -> 6.67s   4 -> 4.95s   2 -> 4.16s
+#   st08  8 -> 6.91s   4 -> 5.25s   2 -> 4.76s
+#   st09  8 -> 2.07s   4 -> 1.85s   2 -> 1.56s
+# and settled on 4: the staged streams' volume (~25k events, ~100 keys)
+# fits ANY partition count, so smaller is strictly less empty-store
+# commit overhead, but 2 would collapse st07's deliberate hot-key-vs-
+# uniform state-distribution shape (one partition would hold ~all
+# state), weakening what the gate exercises.  Sizing state partitions
+# to the stream's actual volume is the same first-class knob a
+# production streaming job sets (and at 100 TB you size it UP for the
+# same reason); the batch rows keep the full core count.  Set per query
+# start — Spark reads it when the streaming query starts, so a runtime
+# conf set is sufficient.
+STREAMING_STATE_PARTITIONS = 4
 
 # Rows measured and recorded in BENCH_full.json but EXCLUDED from the
 # stdout JSON line: the tail-capture budget (<=1900 chars) caps how many
