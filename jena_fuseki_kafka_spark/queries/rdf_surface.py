@@ -116,9 +116,16 @@ def r01(spark, sf_dir):
     type and id quads need (event_id, event_type), the user/value/ts
     quads additionally need their own column."""
     quads = events_to_quads(load(spark, sf_dir, "events"))
-    default_g = quads.filter(F.col("graph") == DEFAULT_GRAPH).select("subject", "predicate", "object_value")
-    named_g = quads.filter(F.col("graph") != DEFAULT_GRAPH).select("subject", "predicate", "object_value")
-    return default_g.unionAll(named_g).agg(F.count("*").alias("C"))
+    # { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } partitions the quad
+    # relation exactly: events_to_quads drops NULL graphs, so every quad
+    # satisfies graph = DEFAULT_GRAPH xor graph != DEFAULT_GRAPH and the
+    # union's count is the relation's count.  The r14 form filtered the
+    # two sides separately, and because the named-graph IRI is
+    # concat('…graph/', event_type) — data-dependent, so neither graph
+    # comparison constant-folds — Catalyst kept 9 of the 10 union-branch
+    # scans alive (r15 plan audit); counting the partition-free relation
+    # prunes that to the 5 structural branches, one scan per quad shape.
+    return quads.agg(F.count("*").alias("C"))
 
 
 @query(
