@@ -837,8 +837,13 @@ def d04(spark, sf_dir):
     meta = d.select("doc_id", "lang", (F.col("n_chars") / 200).cast("long").alias("len_bucket"))
     # block-size guard: the distinct (lang, len_bucket) count table is
     # bounded by langs x max-doc-len/200 (tiny at any SF) -> broadcast
-    # semi-joins prune map-side, no extra shuffle of meta
-    counts = meta.groupBy("lang", "len_bucket").agg(F.count("*").alias("c"))
+    # semi-joins prune map-side, no extra shuffle of meta.  Lazy
+    # checkpoint (r15): small AND big derive from it, so without
+    # materialization the census aggregate ran twice — one corpus
+    # counting pass suffices at any scale
+    counts = meta.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("c")
+    ).transform(stable_checkpoint, eager=False)
     small = counts.filter(F.col("c") <= D04_MAX_BLOCK_DOCS).select("lang", "len_bucket")
     big = counts.filter(F.col("c") > D04_MAX_BLOCK_DOCS).select("lang", "len_bucket")
     bounded = meta.join(F.broadcast(small), ["lang", "len_bucket"], "left_semi")
@@ -858,7 +863,13 @@ def d04(spark, sf_dir):
     # no broadcast hint — AQE decides from runtime sizes.
     over_sh = shingles.join(overc.select("doc_id"), "doc_id", "left_semi")
     hashed = over_sh.select("doc_id", F.col("sh").bitwiseAND(F.lit(1073741823)).alias("h"))
-    minhashes = hashed.groupBy("doc_id").agg(*_minhash_min_cols())
+    # lazy checkpoint (r15): the banded relation is consumed by BOTH
+    # sides of the candidate self-join below, so the semi-join + 16-lane
+    # minhash aggregate ran twice without materialization — the same
+    # one-signature-pass rule _signature_relations applies for d02/d10
+    minhashes = hashed.groupBy("doc_id").agg(*_minhash_min_cols()).transform(
+        stable_checkpoint, eager=False
+    )
     banded = minhashes.select("doc_id", *_band_cols())
     exploded = _band_explode(banded).join(overc, "doc_id")
     la = exploded.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "bi", "bh")
