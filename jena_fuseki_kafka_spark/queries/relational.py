@@ -926,11 +926,20 @@ def q28(spark, sf_dir):
     left-semi/anti join and the ALL forms as per-key count compare —
     both shapes shuffle only the set key, which is what survives a 100x
     scale-up; the five legs are independent plans over the same
-    column-pruned, predicate-pushed scan (a production pipeline sharing
-    legs would materialize r/a once)."""
+    column-pruned, predicate-pushed scan; r15 materializes r/a once
+    (lazy stable_checkpoint — the note below used to say a production
+    pipeline would do this; now this one does too), so the five legs
+    read two materialized key sets instead of re-scanning the fact
+    table twice per leg (10 scans -> 2 at any scale)."""
+    from ..checkpointing import stable_checkpoint
+
     li = load(spark, sf_dir, "lineitem")
-    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey").transform(
+        stable_checkpoint, eager=False
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey").transform(
+        stable_checkpoint, eager=False
+    )
     legs = [
         ("both", r.intersect(a)),
         ("only_r", r.subtract(a)),
