@@ -268,9 +268,16 @@ def q26(spark, sf_dir):
     mis-joined cohort map fails immediately.  The size join is null-safe
     on both engines so a hypothetical all-NULL-ts cohort stays in the
     result rather than silently dropping on one engine."""
+    from ..checkpointing import stable_checkpoint
+
     ev = load(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
-    cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    # lazy checkpoint (r15): the cohort map feeds the size census AND
+    # the activity join — one per-user pass over the event history
+    # instead of two at any scale
+    cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day")).transform(
+        stable_checkpoint, eager=False
+    )
     cohort_sizes = cohorts.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
     ).withColumnRenamed("cohort_day", "cs_day")
