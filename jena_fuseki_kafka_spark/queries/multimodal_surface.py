@@ -479,13 +479,22 @@ def m07(spark, sf_dir):
     banded candidate set is EXHAUSTIVE for the threshold (the oracle's
     all-pairs formulation is the same set by construction, not an
     approximation)."""
+    from ..checkpointing import stable_checkpoint
     from .multimodal import image_ahash
 
     media = fake_image_pairs(load(spark, sf_dir, "documents"))
+    # eager checkpoint (d03's fingerprint rule: a lazy checkpoint is not
+    # shared between two join sides within a single action): hashes
+    # feeds BOTH sides of the band self-join, and without materialization
+    # the whole Python generate->PNG-encode->decode->ahash pipeline ran
+    # TWICE per query (r15 plan audit: 4 Arrow nodes, two full
+    # mapInPandas chains).  The fingerprint table is n x 16 bytes —
+    # the production shape stores it once and joins it many times.
     hashes = (
         image_ahash(media)
         .filter(F.col("error").isNull())
         .select("media_id", "ahash")
+        .transform(stable_checkpoint, eager=True)
     )
     bands = hashes.select(
         "media_id",
