@@ -278,6 +278,42 @@ from . import skew  # noqa: E402,F401
 from . import multimodal_surface  # noqa: E402,F401
 from . import update_gate  # noqa: E402,F401
 
+# Gates whose implementation is changed by the round named in the ROUND
+# marker (r16): the rotation contract — "queries whose implementation
+# changed this round go first" — is linted mechanically by
+# tests/test_registry_contract.py::test_touched_gates_inside_check_window,
+# which asserts this list is a subset of the 50-slot window below.  The
+# r15 slip this guards against: t11/q26/q28/m07 changed in r15 but sat in
+# the tail under a stale "code untouched" comment, so their driver
+# verdicts described the old code (VERDICT r15 item 1).  Maintained by
+# hand as changes land; adding a name here without rotating it into the
+# window turns the suite red.
+ROUND_TOUCHED = [
+    # r15-touched, missed the r15 window — re-verify THIS round
+    "t11_bigram_lm_perplexity",
+    "q26_cohort_retention",
+    "q28_set_operations",
+    "m07_image_phash_neardup",
+    # r16 optimization touches
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r09_values_inline_data",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "r18_negated_property_set",
+    "d02_minhash_lsh",
+    "d06_dedup_clusters",
+    "d10_incremental_corpus_dedup",
+    "s09_semdedup_prune",
+    "u01_update_sequence",
+]
+
 # Explicit registration order.  The correctness driver checks the first 50
 # registered queries per round, so ordering is part of the verification
 # contract: queries without a prior driver verdict, and queries whose
@@ -286,84 +322,17 @@ from . import update_gate  # noqa: E402,F401
 # is by definition brand-new (no verdict at all), so it sorts BEFORE the
 # listed names — inside the check window, never silently dropped past it.
 _CHECK_PRIORITY = [
-    # ---- r15 window (first 50; unlisted queries sort ahead of all of
+    # ---- r16 window (first 50; unlisted queries sort ahead of all of
     # these and take slots off the end of the window).
-    # Window math (tools/rotation_planner.py at r15 open, amended
-    # mid-round twice): 3 new gates + 23 mandatory (the r12-green
-    # remainder — age 3 at this check if skipped) + 4 TOUCHED
-    # re-verifications (q11 gained the beyond-end page, s10 the
-    # n_null_cands facet, q15/q25 the empty-input grand-total leg —
-    # changed gates must re-hash THIS round) + 20 r13-cohort
-    # re-verifications = 50 exactly.  The r13 cohort reaches age 3 at
-    # r16: the touched-slot swaps displaced s01/m01/st01/st02 below the
-    # boundary while pulling q11/q15/q25 up out of it, so r16's
-    # mandatory floor stays at the 26 leftovers there.
-    # ---- NEW this round (no prior verdict; sort first regardless) ----
-    "s11_pq_adc_topk",
-    "t12_classifier_quality_filter",
-    "p08_epoch_mixture_plan",
-    # ---- r12-green, untouched: age 3 at the r15 check if skipped --
+    # Window math (r16, second optimization round): 26 mandatory (the
+    # r13-green remainder — age 3 at this check if skipped) + 4 r15-
+    # touched re-verifications (t11/q26/q28/m07 changed in r15 but
+    # missed the r15 window — VERDICT r15 item 1a) + 17 r16-touched
+    # slots (ROUND_TOUCHED above) + 3 similarity-family spares
+    # (s03/s03b/s06 share checkpointed relations with s09's code, so a
+    # shared-helper edit is covered) = 50 exactly.
+    # ---- r13-green remainder: age 3 at the r16 check if skipped —
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
-    "p01_stratified_sample",
-    "p03_mixture_rebalance",
-    "p06_time_embargo_split",
-    "q05_order_priority_count",
-    "q06_customers_without_orders",
-    "q07_optional_left_join",
-    "q20_tumbling_window_hourly",
-    "r01_sparql_acceptance_count",
-    "r03_graph_quantification",
-    "r06_optional_bind_coalesce",
-    "r07_not_exists_antijoin",
-    "r08_construct_quads",
-    "r09_values_inline_data",
-    "r10_ask",
-    "r11_describe_subject",
-    "r12_group_concat",
-    "r13_subselect",
-    "r14_degree_histogram",
-    "r15_optional_unbound_compat",
-    "r16_from_named_dataset",
-    "r17_minus_compat",
-    "r18_negated_property_set",
-    "t01_language_id",
-    # ---- r13-cohort re-verifications (age 2, legal to skip — spent
-    # here deliberately to bound r16's floor; the complex half: the
-    # full similarity family, the five dedup heavyweights, all eight
-    # batch-twin streaming gates incl. both exactly-once proofs, and
-    # the two heaviest r13 multimodal kernels) ----
-    "q11_order_offset_pagination",
-    "s10_incremental_ann_admission",
-    "s02_ann_lsh_bucketed",
-    "s03_embedding_near_dup",
-    "s03b_embedding_near_dup_lowt",
-    "s04_ann_ivf",
-    "s05_ann_recall_gate",
-    "s06_embedding_dup_clusters",
-    "s07_int8_quantization",
-    "s08_prefix_dim_rerank",
-    "s09_semdedup_prune",
-    "d02_minhash_lsh",
-    "d04_ngram_jaccard_blocked",
-    "d06_dedup_clusters",
-    "d07_minhash_estimator_fidelity",
-    "d10_incremental_corpus_dedup",
-    "q15_rollup_revenue",
-    "q25_cube_aggregation",
-    "st03_streaming_session_window",
-    "st05_streaming_static_enrichment",
-    "st06_streaming_late_data_drop",
-    "st09_streaming_bounded_dedup",
-    "st10_streaming_file_sink_exactly_once",
-    "st11_foreachbatch_merge_exactly_once",
-    # ---- window boundary here (50 above) ----
-    # r13-green remainder: age 3 at the r16 check — these ARE r16's
-    # mandatory floor (26) and rotate to the very top next round.
-    # s01/m01 were displaced here by the q11/s10 touched-slot swap;
-    # st01/st02 by the q15/q25 empty-input-conformance swap (both gates
-    # changed behavior r15, so their r13 verdicts describe the old
-    # shape; the streaming family stays in-window via st03/st05/st06/
-    # st09/st10/st11).
     "s01_ann_bruteforce_topk",
     "m01_image_features",
     "st01_streaming_tumbling_window",
@@ -390,9 +359,71 @@ _CHECK_PRIORITY = [
     "t07_repetition_ratio",
     "t08_pii_scrub",
     "t10_char_entropy",
-    # ---- r14-green, code untouched -> tail (fine until r17) ----
-    # (s10 moved INTO the r15 window by the touched-slot swap — its
-    # n_null_cands widening changed the oracle; no tail entry)
+    # ---- r15-touched re-verifications (VERDICT r15 item 1a) ----
+    "t11_bigram_lm_perplexity",
+    "q26_cohort_retention",
+    "q28_set_operations",
+    "m07_image_phash_neardup",
+    # ---- r16-touched (ROUND_TOUCHED; this round's optimization
+    # commits: the SPARQL aggregate/closure paths, the d-family
+    # materialization points, s09, and the QuadStore commit path) ----
+    "r04_sparql_engine_group_by",
+    "r05_property_path_closure",
+    "r06_optional_bind_coalesce",
+    "r07_not_exists_antijoin",
+    "r09_values_inline_data",
+    "r12_group_concat",
+    "r13_subselect",
+    "r14_degree_histogram",
+    "r15_optional_unbound_compat",
+    "r16_from_named_dataset",
+    "r17_minus_compat",
+    "r18_negated_property_set",
+    "d02_minhash_lsh",
+    "d06_dedup_clusters",
+    "d10_incremental_corpus_dedup",
+    "s09_semdedup_prune",
+    "u01_update_sequence",
+    # ---- similarity-family spares (shared-helper blast radius) ----
+    "s03_embedding_near_dup",
+    "s03b_embedding_near_dup_lowt",
+    "s06_embedding_dup_clusters",
+    # ---- window boundary here (50 above) ----
+    # r15-green, untouched this round (age 1 — safe until r18) ----
+    "d04_ngram_jaccard_blocked",
+    "d07_minhash_estimator_fidelity",
+    "p01_stratified_sample",
+    "p03_mixture_rebalance",
+    "p06_time_embargo_split",
+    "p08_epoch_mixture_plan",
+    "q05_order_priority_count",
+    "q06_customers_without_orders",
+    "q07_optional_left_join",
+    "q11_order_offset_pagination",
+    "q15_rollup_revenue",
+    "q20_tumbling_window_hourly",
+    "q25_cube_aggregation",
+    "r01_sparql_acceptance_count",
+    "r03_graph_quantification",
+    "r08_construct_quads",
+    "r10_ask",
+    "r11_describe_subject",
+    "s02_ann_lsh_bucketed",
+    "s04_ann_ivf",
+    "s05_ann_recall_gate",
+    "s07_int8_quantization",
+    "s08_prefix_dim_rerank",
+    "s10_incremental_ann_admission",
+    "s11_pq_adc_topk",
+    "st03_streaming_session_window",
+    "st05_streaming_static_enrichment",
+    "st06_streaming_late_data_drop",
+    "st09_streaming_bounded_dedup",
+    "st10_streaming_file_sink_exactly_once",
+    "st11_foreachbatch_merge_exactly_once",
+    "t01_language_id",
+    "t12_classifier_quality_filter",
+    # r14-green, untouched since (age 2 — r17's mandatory floor) ----
     "d01_exact_dedup",
     "d03_simhash",
     "d05_decontamination",
@@ -401,7 +432,6 @@ _CHECK_PRIORITY = [
     "d11_fuzzy_decontamination",
     "m03_video_frame_sample",
     "m04_frame_dedup",
-    "m07_image_phash_neardup",
     "m08_image_resize_facets",
     "p02_curation_pipeline",
     "q02_top_revenue_orders",
@@ -412,9 +442,7 @@ _CHECK_PRIORITY = [
     "q21_sessionization",
     "q22_json_props_extract",
     "q23_funnel_signup_to_purchase",
-    "q26_cohort_retention",
     "q27_sliding_window",
-    "q28_set_operations",
     "q29_asof_join",
     "q30_interval_join",
     "q32_approx_distinct",
@@ -429,8 +457,6 @@ _CHECK_PRIORITY = [
     "q43_scd2_validity_intervals",
     "q44_incremental_agg_merge",
     "r02_bgp_join_filter",
-    "r04_sparql_engine_group_by",
-    "r05_property_path_closure",
     "st04_streaming_first_seen",
     "st07_stream_stream_join",
     "st08_stream_stream_outer_join",
@@ -440,8 +466,6 @@ _CHECK_PRIORITY = [
     "t05_feature_hash_embedding",
     "t06_topk_bigrams_per_lang",
     "t09_url_domain_stats",
-    "t11_bigram_lm_perplexity",
-    "u01_update_sequence",
 ]
 
 

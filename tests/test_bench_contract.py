@@ -12,9 +12,11 @@ from jena_fuseki_kafka_spark.queries import QUERIES
 
 def _worst_case_record(exclude):
     names = bench.HEADLINE + ["http_four_ops_roundtrip"]
-    timings = {
-        n: 999.999 for n in names if n not in exclude
-    }  # widest plausible formatting; slim line omits the excluded rows
+    # widest plausible formatting: the line rounds per-row medians to 2
+    # decimals, so a contention-wave row under 100s costs <= 5 digits;
+    # rows beyond 100s mean the bench is broken and the batch-only
+    # fallback path takes over
+    timings = {n: 99.99 for n in names if n not in exclude}
     return {
         "metric": "headline_suite_seconds",
         "value": 99999.999,
@@ -46,31 +48,34 @@ def test_json_line_fits_tail_capture():
     # chars, but the DEFAULT shape should fit with margin: growing the
     # headline past this bound silently degrades the round record, so
     # fail here first and either trim rows or re-shape the record.
-    # Both rotation parities must fit — the excluded half alternates
-    # with the ROUND marker.
-    half = len(bench.SLIM_ROTATION_POOL) // 2
-    for exclude in (
-        set(bench.SLIM_ROTATION_POOL[:half]),
-        set(bench.SLIM_ROTATION_POOL[half:]),
-    ):
-        line = json.dumps(_worst_case_record(exclude))
-        assert len(line) <= 1900, (
-            f"bench JSON line would be {len(line)} chars with "
-            f"{len(bench.HEADLINE) + 1 - len(exclude)} rows — exceeds the "
-            f"consumer's tail capture; trim HEADLINE or move fields to "
-            f"BENCH_full.json"
-        )
+    line = json.dumps(_worst_case_record(bench.SLIM_LINE_EXCLUDE))
+    assert len(line) <= 1900, (
+        f"bench JSON line would be {len(line)} chars with "
+        f"{len(bench.HEADLINE) + 1 - len(bench.SLIM_LINE_EXCLUDE)} rows — "
+        f"exceeds the consumer's tail capture; trim HEADLINE or move "
+        f"fields to BENCH_full.json"
+    )
 
 
-def test_rotation_pool_covers_previous_fixed_drop_list():
-    # the five rows the r9 fixed list dropped must be in the pool (so
-    # they ride the line on alternating rounds) and the pool halves must
-    # be disjoint headline rows
-    assert {
-        "q02_top_revenue_orders", "q04_forecast_revenue",
-        "q20_tumbling_window_hourly", "q21_sessionization",
-        "m05_scene_changes",
-    } <= set(bench.SLIM_ROTATION_POOL)
-    assert len(bench.SLIM_ROTATION_POOL) == len(set(bench.SLIM_ROTATION_POOL))
-    assert set(bench.SLIM_ROTATION_POOL) <= set(bench.HEADLINE)
-    assert bench.SLIM_LINE_EXCLUDE < set(bench.SLIM_ROTATION_POOL)
+def test_line_is_superset_of_r15_line():
+    # VERDICT r15 items 1d + 2: the driver-visible line may never shrink
+    # round-over-round (any drop is a gate regression), and m05/q44 —
+    # dropped by the r15 rotation-pool edit — must be restored.  Pin the
+    # r16 visible set as a strict superset of the r15 BENCH line.
+    import json as _json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_r15.json")) as f:
+        r15_rows = set(_json.load(f)["parsed"]["queries"])
+    visible = {
+        n for n in bench.HEADLINE + ["http_four_ops_roundtrip"]
+        if n not in bench.SLIM_LINE_EXCLUDE
+    }
+    dropped = r15_rows - visible
+    assert not dropped, (
+        f"rows visible on the r15 driver line but excluded now — the "
+        f"drop gate flags these as regressions: {sorted(dropped)}"
+    )
+    assert {"m05_scene_changes", "q44_incremental_agg_merge"} <= visible
+    assert bench.SLIM_LINE_EXCLUDE <= set(bench.HEADLINE)

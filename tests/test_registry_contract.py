@@ -126,6 +126,27 @@ def test_check_window_satisfies_staleness_rule():
     )
 
 
+def test_touched_gates_inside_check_window():
+    """VERDICT r15 item 1c: gates whose implementation changed this round
+    MUST be re-verified by this round's driver oracle pass, i.e. sit in
+    the 50-slot check window.  The r15 slip: t11/q26/q28/m07 were changed
+    but left in the tail under a stale 'code untouched' comment, so their
+    only driver verdicts described the old code.  The builder maintains
+    ROUND_TOUCHED by hand as changes land; this test makes forgetting the
+    rotation (or the declaration going stale against the window) loud."""
+    from jena_fuseki_kafka_spark.queries import ROUND_TOUCHED
+
+    window = set(list(QUERIES)[:50])
+    missing = [n for n in ROUND_TOUCHED if n not in window]
+    assert not missing, (
+        f"ROUND_TOUCHED gates outside the 50-slot check window — their "
+        f"driver verdicts would describe code that no longer exists: "
+        f"{missing}"
+    )
+    ghosts = [n for n in ROUND_TOUCHED if n not in QUERIES]
+    assert not ghosts, f"ROUND_TOUCHED names unknown queries: {ghosts}"
+
+
 def test_round_marker_matches_rotation_comment():
     """VERDICT r14 item 1: the r14 slip was rotating _CHECK_PRIORITY
     without bumping ROUND — the staleness tripwire only catches that one
