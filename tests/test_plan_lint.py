@@ -91,25 +91,49 @@ _SKIP = lambda n: n.startswith("st") or n == "u01_update_sequence" or n in EXPEN
 BATCH_QUERIES = sorted(n for n in QUERIES if not _SKIP(n))
 
 
-# name -> (spark column names, physical plan).  Built once per query and
-# shared by the lint and the column-parity test so the sweep's DataFrame
-# construction cost is paid once, not per-test.
-_INFO: dict[str, tuple[list, str]] = {}
+# Checkpointed SUB-RELATION plans (captured pre-truncation via
+# checkpointing.PLAN_OBSERVER) whose BroadcastNestedLoopJoin is bounded.
+# Same discipline as BNLJ_ALLOWED, but for plans the final-plan lint
+# cannot see because stable_checkpoint replaced them with a Scan
+# ExistingRDD leaf (the ADVICE r15 blind spot).
+SUBTREE_BNLJ_ALLOWED = {
+    "s03_embedding_near_dup": "checkpointed cell-assignment subtree "
+    "crosses the corpus with the broadcast centroid table (n_cells "
+    "fixed by construction)",
+    "s03b_embedding_near_dup_lowt": "same checkpointed centroid cross "
+    "as s03 (threshold-only variant)",
+    "s09_semdedup_prune": "checkpointed single-cell assignment subtree: "
+    "broadcast centroid table, bounded as in s03/s04",
+}
 
 
-def _info(spark, name: str) -> tuple[list, str]:
+# name -> (spark column names, physical plan, checkpointed subtree
+# plans).  Built once per query and shared by the lint, the subtree
+# lint, and the column-parity test so the sweep's DataFrame construction
+# cost is paid once, not per-test.
+_INFO: dict[str, tuple[list, str, list]] = {}
+
+
+def _info(spark, name: str) -> tuple[list, str, list]:
     if name not in _INFO:
-        df = QUERIES[name](spark, SF)
+        from jena_fuseki_kafka_spark import checkpointing
+
+        subtrees: list[str] = []
+        checkpointing.PLAN_OBSERVER = subtrees.append
+        try:
+            df = QUERIES[name](spark, SF)
+        finally:
+            checkpointing.PLAN_OBSERVER = None
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        _INFO[name] = (df.columns, plan)
+        _INFO[name] = (df.columns, plan, subtrees)
     return _INFO[name]
 
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_no_fatal_plan_patterns(spark, name):
-    _, p = _info(spark, name)
+    _, p, _ = _info(spark, name)
     assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
     assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python eval\n{p}"
     if "BroadcastNestedLoopJoin" in p:
@@ -118,6 +142,29 @@ def test_no_fatal_plan_patterns(spark, name):
             f"either bound the broadcast side and document it in "
             f"BNLJ_ALLOWED, or rewrite as an equi-join\n{p}"
         )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_fatal_patterns_inside_checkpointed_subtrees(spark, name):
+    """Checkpoint truncation hides the subtree from the final-plan lint
+    above (ADVICE r15): a CartesianProduct or BatchEvalPython inside a
+    stable_checkpoint'd sub-relation would otherwise escape the
+    registry-wide 100 TB safeguard entirely.  PLAN_OBSERVER captures
+    each subtree's plan at build time; scan them with the same rules."""
+    _, _, subtrees = _info(spark, name)
+    for p in subtrees:
+        assert "CartesianProduct" not in p, (
+            f"{name}: cartesian product inside a checkpointed subtree\n{p}"
+        )
+        assert "BatchEvalPython" not in p, (
+            f"{name}: row-at-a-time Python eval inside a checkpointed "
+            f"subtree\n{p}"
+        )
+        if "BroadcastNestedLoopJoin" in p:
+            assert name in SUBTREE_BNLJ_ALLOWED or name in BNLJ_ALLOWED, (
+                f"{name}: BroadcastNestedLoopJoin inside a checkpointed "
+                f"subtree without a SUBTREE_BNLJ_ALLOWED entry\n{p}"
+            )
 
 
 @pytest.fixture(scope="module")
@@ -146,7 +193,7 @@ def test_oracle_column_names_match_spark(spark, duck, name):
 
     if name not in ORACLES:
         pytest.skip("rows-only gate (no SQL oracle)")
-    spark_cols, _ = _info(spark, name)
+    spark_cols, _, _ = _info(spark, name)
     oracle_cols = [r[0] for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()]
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: Spark columns {sorted(spark_cols)} != oracle columns "
@@ -168,7 +215,7 @@ def test_allowlist_has_no_dead_entries(spark):
             # e.g. p04: EXPENSIVE_ITERATIVE — excluded from the sweep and
             # plan-pinned individually in test_plan_shape.py
             continue
-        _, p = _info(spark, name)
+        _, p, _ = _info(spark, name)
         assert "BroadcastNestedLoopJoin" in p, (
             f"{name}: allowlisted but its plan no longer contains a "
             f"BroadcastNestedLoopJoin — stale exemption; prune the entry"

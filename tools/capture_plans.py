@@ -14,6 +14,12 @@ Usage: python tools/capture_plans.py <tag> <suffix> [query ...]
 Streaming gates (st*) and u01 are skipped by default: their entry
 points run streaming queries / update sequences whose plans are not a
 single DataFrame.
+
+Caveat (ADVICE r15): "without running Spark" refers to the plan files'
+CONSUMER.  Capturing itself builds each query's DataFrame, and for
+queries with EAGER checkpoints (d03, m07, the SPARQL closure gates) the
+build executes the checkpointed subtree — including m07's full Python
+image-decode chain — so a capture sweep runs real jobs for those.
 """
 
 from __future__ import annotations
@@ -28,6 +34,9 @@ from jena_fuseki_kafka_spark.session import build_session  # noqa: E402
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
     tag, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:] or [
         n for n in QUERIES if not n.startswith(("st", "u01"))
