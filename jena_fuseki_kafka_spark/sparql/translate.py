@@ -192,6 +192,16 @@ class Translator:
         # the store (see QuadStore.read(with_bucket=True))
         self.n_buckets = n_buckets if (n_buckets and "bucket" in quads.columns) else None
         self._anon_var = 0
+        # Per-TRANSLATION memo tables for property-path machinery (r16):
+        # a query like r05 evaluates p+, p* and p? of the SAME base path
+        # in one query (three subselects), and before memoization each
+        # evaluation re-ran the edge scan AND the full fixpoint — three
+        # fixpoints where one suffices.  Keyed by the path/graph algebra
+        # repr; the Translator lives for exactly one query() call, so
+        # nothing is ever reused across runs.
+        self._closure_cache: dict = {}   # key -> materialized closure DF
+        self._edges_cache: dict = {}     # key -> materialized edge DF
+        self._nodes_cache: dict = {}     # graph-scope key -> node terms DF
 
     # ------------------------------------------------------------ entry
     def translate(self, query) -> DataFrame:
@@ -864,53 +874,122 @@ class Translator:
             return q.filter(F.col("graph") == graph[1])
         return q.filter(F.col("graph") != DEFAULT_GRAPH)
 
-    def _closure_pattern(self, s, base, o, graph, op) -> DataFrame:
-        """Transitive closure of a path: distributed semi-naive fixpoint.
+    def _ckpt_fresh(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Truncate lineage, then re-alias every column so the checkpointed
+        leaf gets fresh attribute ids — unions of leaves that share ids
+        break Catalyst's constraint rewriting."""
+        df = stable_checkpoint(df, eager=eager)
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
 
-        edges = pairs related by one step of ``base``; closure grows by
-        joining the frontier to edges until no new pairs appear.  Each
-        iteration is a distributed join + anti-join.
-
-        Every iteration's frontier is ``localCheckpoint``-ed (eager): without
-        lineage truncation the logical plan doubles per iteration (closure
-        references frontier references closure...) and the driver OOMs
-        building plan strings long before data size matters.  With it, the
-        closure is a flat union of materialized leaves — plan size is linear
-        in iterations, and the shuffles stay bounded by the frontier size
-        (the semi-naive property).  localCheckpoint trades lineage
-        re-computability for speed — the right default here; under
-        dynamic allocation / preemptible executors set
-        ``spark.graft.reliableCheckpoint=true`` (plus a checkpoint dir)
-        and every truncation site in the repo switches to reliable
-        ``checkpoint()`` (see ``checkpointing.stable_checkpoint``).
-        """
-        sv, ov = ("var", "__closure_s"), ("var", "__closure_o")
-
-        def ckpt(df: DataFrame) -> DataFrame:
-            # truncate lineage, then re-alias every column so the checkpointed
-            # leaf gets fresh attribute ids — unions of leaves that share ids
-            # break Catalyst's constraint rewriting
-            df = stable_checkpoint(df, eager=True)
-            return df.select(*[F.col(c).alias(c) for c in df.columns])
-
-        edges = ckpt(
-            self._triple_pattern(sv, base, ov, graph)
-            .select(F.col("__closure_s").alias("src"), F.col("__closure_o").alias("dst"))
-            .distinct()
-        )
-        closure = edges
-        frontier = edges
-        iteration = 0
-        while True:
-            grown = (
-                frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+    def _path_edges(self, base, graph) -> DataFrame:
+        """Materialized distinct one-step (src, dst) edge relation of a
+        path, memoized per (path, graph) for this translation — p+, p*
+        and p? of one base path share a single edge scan."""
+        key = (repr(base), repr(graph))
+        if key not in self._edges_cache:
+            sv, ov = ("var", "__closure_s"), ("var", "__closure_o")
+            self._edges_cache[key] = self._ckpt_fresh(
+                self._triple_pattern(sv, base, ov, graph)
+                .select(F.col("__closure_s").alias("src"), F.col("__closure_o").alias("dst"))
                 .distinct()
             )
-            new = ckpt(grown.join(closure, on=["src", "dst"], how="left_anti"))
-            if not new.take(1):
-                break  # natural fixpoint: iterations = longest-path depth
+        return self._edges_cache[key]
+
+    def _path_nodes(self, graph) -> DataFrame:
+        """All term nodes of the graph scope (for zero-length path
+        solutions), memoized per scope — p* and p? share one pass."""
+        key = repr(graph)
+        if key not in self._nodes_cache:
+            scope = self._scope_quads(graph)
+            subj_nodes = scope.select(
+                _term_struct(
+                    F.when(F.col("subject").startswith("_:"), "bnode").otherwise("iri"),
+                    F.col("subject"),
+                ).alias("node")
+            )
+            obj_nodes = scope.select(
+                _term_struct(
+                    F.col("object_kind"),
+                    F.col("object_value"),
+                    F.coalesce(F.col("object_datatype"), F.lit("")),
+                    F.coalesce(F.col("object_lang"), F.lit("")),
+                ).alias("node")
+            )
+            self._nodes_cache[key] = subj_nodes.unionByName(obj_nodes).distinct()
+        return self._nodes_cache[key]
+
+    def _zero_length_pairs(self, graph) -> DataFrame:
+        """Zero-length path solutions: every node of the graph scope bound
+        to itself (ARQ semantics for p* / p?)."""
+        nodes = self._path_nodes(graph)
+        return nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+
+    def _path_closure(self, base, graph) -> DataFrame:
+        """Transitive closure of a path: distributed fixpoint with
+        RECURSIVE DOUBLING, memoized per (path, graph) for this
+        translation.
+
+        edges = pairs related by one step of ``base``.  Each round joins
+        the NEW pairs of the previous round (the frontier) to the whole
+        closure-so-far, so the maximum covered path length DOUBLES per
+        round — O(log diameter) rounds instead of the O(diameter) of the
+        classic frontier-to-edges semi-naive loop (any shortest path of
+        length in (L, 2L] splits into a prefix of length exactly L —
+        which is in the frontier, since a shorter prefix would shorten
+        the whole path — and a suffix of length <= L, which is in the
+        closure).  Fewer rounds means fewer jobs, fewer barriers and
+        fewer checkpoints: at 100 TB each round is a full shuffle, so
+        depth-128 chains cost 8 rounds, not 128.
+
+        Every round's new-pair set is lazily ``localCheckpoint``-ed and
+        materialized BY the emptiness-check count, so each round costs
+        exactly ONE job (the eager-checkpoint + take(1) pair it replaces
+        cost two).  Without lineage truncation the logical plan doubles
+        per round (closure references frontier references closure...)
+        and the driver OOMs building plan strings long before data size
+        matters; with it, the closure is a flat union of materialized
+        leaves.  localCheckpoint trades lineage re-computability for
+        speed — the right default here; under dynamic allocation /
+        preemptible executors set ``spark.graft.reliableCheckpoint=true``
+        (plus a checkpoint dir) and every truncation site in the repo
+        switches to reliable ``checkpoint()`` (see
+        ``checkpointing.stable_checkpoint``)."""
+        key = (repr(base), repr(graph))
+        if key in self._closure_cache:
+            return self._closure_cache[key]
+        edges = self._path_edges(base, graph)
+        closure = edges
+        frontier = edges
+        prev_closure = None  # closure as of the PREVIOUS round (no frontier)
+        iteration = 0
+        while True:
+            # frontier ⋈ closure, computed as (frontier ⋈ frontier) ∪
+            # (frontier ⋈ prev_closure): the frontier leaf is a branch OF
+            # the closure union, and joining a relation against a union
+            # containing itself trips Catalyst's attribute dedup ("key
+            # not found" during optimization); splitting keeps each join's
+            # sides structurally disjoint (a plain self-join is fine)
+            # while covering the same pair set.
+
+            def _extend(right: DataFrame) -> DataFrame:
+                return (
+                    frontier.alias("f")
+                    .join(right.alias("c"), F.col("f.dst") == F.col("c.src"))
+                    .select(F.col("f.src").alias("src"), F.col("c.dst").alias("dst"))
+                )
+
+            grown = _extend(frontier)
+            if prev_closure is not None:
+                grown = grown.unionByName(_extend(prev_closure))
+            new = self._ckpt_fresh(
+                grown.distinct().join(closure, on=["src", "dst"], how="left_anti"),
+                eager=False,
+            )
+            # the lazy checkpoint materializes on THIS count's job; the
+            # count doubles as the fixpoint test (VERDICT r15 item 2)
+            if new.count() == 0:
+                break  # natural fixpoint
+            prev_closure = closure
             closure = closure.unionByName(new)
             frontier = new
             iteration += 1
@@ -927,30 +1006,29 @@ class Translator:
                     stacklevel=2,
                 )
                 break
-        result = closure
+        self._closure_cache[key] = closure
+        return closure
 
-        if op in ("star", "opt"):
-            scope = self._scope_quads(graph)
-            subj_nodes = scope.select(
-                _term_struct(
-                    F.when(F.col("subject").startswith("_:"), "bnode").otherwise("iri"),
-                    F.col("subject"),
-                ).alias("node")
+    def _closure_pattern(self, s, base, o, graph, op) -> DataFrame:
+        """p+ / p* / p? over a path: the closure fixpoint lives in
+        ``_path_closure`` (memoized, recursive doubling); p? skips the
+        fixpoint entirely — its solutions are one-step edges plus the
+        zero-length bindings (before r16 the full fixpoint ran and its
+        result was discarded for op == "opt")."""
+        if op == "opt":
+            result = (
+                self._path_edges(base, graph)
+                .unionByName(self._zero_length_pairs(graph))
+                .distinct()
             )
-            obj_nodes = scope.select(
-                _term_struct(
-                    F.col("object_kind"),
-                    F.col("object_value"),
-                    F.coalesce(F.col("object_datatype"), F.lit("")),
-                    F.coalesce(F.col("object_lang"), F.lit("")),
-                ).alias("node")
+        elif op == "star":
+            result = (
+                self._path_closure(base, graph)
+                .unionByName(self._zero_length_pairs(graph))
+                .distinct()
             )
-            nodes = subj_nodes.unionByName(obj_nodes).distinct()
-            zero = nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-            if op == "opt":
-                result = edges.unionByName(zero).distinct()
-            else:
-                result = closure.unionByName(zero).distinct()
+        else:
+            result = self._path_closure(base, graph)
 
         # map (src, dst) onto the s/o terms of the pattern
         out = result
@@ -1875,6 +1953,31 @@ class Translator:
         post_select = []
         post_exprs: list[tuple[int, str, object]] = []  # slot, name, expr
         need_row_count = False
+        # Facet-argument pre-projection (r16, guide §2.3 "don't compute it
+        # three times"): each Call-aggregate's argument expression — for
+        # the SPARQL gates a deep tree of struct extraction, try_casts and
+        # CASE promotion — is projected ONCE as a hidden column below the
+        # aggregate, and every lane of the aggregate (SUM's double sum +
+        # integer-lexical vote + long sum) references the shared column.
+        # Identical values by construction; the plan shrinks from
+        # O(facets x lanes x tree) to O(facets x tree) expression nodes.
+        pre_cols: list[Column] = []
+
+        def _pre_project(pidx: int, expr) -> Column | None:
+            """Project a Call-aggregate's argument once; return the shared
+            column (or None when there is nothing worth sharing)."""
+            if not (
+                isinstance(expr, Call)
+                and expr.name in AGG_NAMES
+                and expr.args
+            ):
+                return None
+            if expr.name == "count" and self._var_struct(expr.args[0], df) is not None:
+                return None  # term-struct count: a bare column ref already
+            src = f"__aggsrc_{pidx}"
+            pre_cols.append(self._expr_value(expr.args[0], df, None).alias(src))
+            return F.col(src)
+
         for pidx, (name, expr) in enumerate(q.projection):
             # internal agg aliases must NOT derive from the projection
             # name alone: Spark resolves case-insensitively, so ?m and
@@ -1907,7 +2010,8 @@ class Translator:
                 agg_exprs.append(term_agg.alias(tag))
                 post_select.append(F.col(tag).alias(name))
                 continue
-            agg = self._agg_expr(expr, df)
+            shared = _pre_project(pidx, expr)
+            agg = self._agg_expr(expr, df, inner=shared)
             if (
                 isinstance(expr, Call)
                 and expr.name in ("sum", "avg")
@@ -1918,7 +2022,10 @@ class Translator:
                 # is "n"^^xsd:integer (ARQ), AVG lands in xsd:decimal; a
                 # group with any non-integer lexical stays the double lane.
                 # The integer lane also keeps >2^53 sums exact.
-                v = self._expr_value(expr.args[0], df, None).cast("string")
+                v = (
+                    shared if shared is not None
+                    else self._expr_value(expr.args[0], df, None)
+                ).cast("string")
                 lng = v.try_cast("long")
                 int_ok = F.bool_and(lng.isNotNull() | v.isNull())
                 sum_l = F.sum(lng)
@@ -1973,6 +2080,8 @@ class Translator:
                 agg_exprs.append(self._agg_expr(expr, df).alias(f"__ord_{i}"))
                 post_select.append(F.col(f"__ord_{i}"))
 
+        if pre_cols:
+            df = df.select("*", *pre_cols)
         grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
         if not agg_exprs:
             # all projections are group-key expressions — aggregate still
@@ -2053,7 +2162,17 @@ class Translator:
             s.isNotNull(), _term_struct(F.lit("literal"), s, dt if dt is not None else F.lit(""))
         )
 
-    def _agg_expr(self, expr, df: DataFrame, boolean: bool = False) -> Column:
+    def _agg_expr(
+        self, expr, df: DataFrame, boolean: bool = False, inner: Column | None = None
+    ) -> Column:
+        """``inner`` (optional) is a pre-resolved column holding the
+        aggregate argument's per-row value — _aggregate_select projects
+        each facet's argument expression ONCE below the aggregate and
+        passes the projected column here, so a SUM's three lanes (double
+        sum, integer-lexical vote, long sum) reference one shared column
+        instead of three copies of the full term-extraction tree (r16:
+        plan size and per-row work both shrink; values are identical
+        because the projected expression IS the argument expression)."""
         if isinstance(expr, Call) and expr.name in AGG_NAMES:
             if expr.name == "count":
                 if not expr.args:
@@ -2064,9 +2183,11 @@ class Translator:
                 term = self._var_struct(expr.args[0], df)
                 if term is not None:
                     return F.countDistinct(term) if expr.distinct else F.count(term)
-                inner = self._expr_value(expr.args[0], df, None)
+                if inner is None:
+                    inner = self._expr_value(expr.args[0], df, None)
                 return F.countDistinct(inner) if expr.distinct else F.count(inner)
-            inner = self._expr_value(expr.args[0], df, None)
+            if inner is None:
+                inner = self._expr_value(expr.args[0], df, None)
             if expr.name == "sum":
                 c = inner.try_cast("double")
                 return F.sum_distinct(c) if expr.distinct else F.sum(c)
