@@ -153,6 +153,21 @@ class QuadStore:
     # write parallelism and file sizing hold at scale.
     SMALL_COMMIT_ROWS = 200_000
 
+    # commits at or below THIS row count (with every affected bucket leaf
+    # under SMALL_COMMIT_ROWS total) run entirely on the DRIVER: payload
+    # rows are collected (request payloads are LocalRelation-backed, so
+    # the collect launches no job), set-semantics dedup and the delete
+    # rewrite are computed in Python over pyarrow-read leaves, and the new
+    # leaf is written with pyarrow — ZERO Spark jobs per commit (r16;
+    # guide §5's "the driver should do almost no data work" cuts the
+    # other way for control-plane-sized mutations: three Spark job
+    # launches to insert one quad IS the data work).  Buckets stay
+    # bit-compatible via the pure-Python xxh64 twin (store/xxh64.py,
+    # parity-pinned by test).  Production sizing: request/interactive
+    # mutations are ≤ thousands of rows; anything bigger arrives via the
+    # ingest stream, which keeps the distributed writer.
+    DRIVER_COMMIT_ROWS = 20_000
+
     def _write_partitioned(self, df: DataFrame, small: bool = False) -> list[str]:
         """Write df bucket-partitioned under a fresh uuid dir; return the
         manifest entries (one per non-empty bucket leaf)."""
@@ -334,6 +349,18 @@ class QuadStore:
             and self._small_store(current_files)
         )
 
+        if (
+            hinted_small
+            and (n_adds_hint or 0) <= self.DRIVER_COMMIT_ROWS
+            and (n_deletes_hint or 0) <= self.DRIVER_COMMIT_ROWS
+        ):
+            version = self._driver_commit(
+                manifest, adds, deletes, txn_id, assume_unique
+            )
+            if version is not None:
+                return version
+            # fall through to the Spark path on any ineligibility
+
         del_buckets: set[int] = set()
         if deletes is not None:
             # no dropDuplicates: the anti-join is duplicate-insensitive, so
@@ -412,6 +439,149 @@ class QuadStore:
             new_files.extend(
                 self._write_partitioned(adds, small=n_adds <= self.SMALL_COMMIT_ROWS)
             )
+
+        manifest["version"] += 1
+        manifest["files"] = current_files + new_files
+        if txn_id is not None:
+            manifest["txns"] = (manifest["txns"] + [txn_id])[-1000:]
+        self._retire(manifest, drop_files)
+        self._write_manifest(manifest)
+        return manifest["version"]
+
+    # -- driver-side small-commit fast path -------------------------------
+    def _driver_commit(
+        self,
+        manifest: dict,
+        adds: DataFrame | None,
+        deletes: DataFrame | None,
+        txn_id: str | None,
+        assume_unique: bool,
+    ) -> int | None:
+        """Apply a request-sized commit entirely on the driver: collect the
+        payload rows (LocalRelation-backed for every hinted caller, so no
+        job launches), read the affected bucket leaves with pyarrow,
+        compute the delete rewrite and the set-semantics dedup as plain
+        Python set operations (tuple equality is null-safe, matching the
+        Spark path's eqNullSafe joins), and write the new leaf with
+        pyarrow in the exact layout the Spark writer produces
+        (files/<uuid>/bucket=N/, bucket directory-encoded, QUAD_COLS
+        inside).  Returns the new version, or None to fall back to the
+        distributed writer (oversized leaf reads / missing pyarrow).
+
+        Commit semantics are byte-for-byte those of the Spark path:
+        deletes first (rewrite affected buckets, carry the rest), then
+        adds deduped against the post-delete snapshot, one manifest swap.
+        Bucket assignment uses the pure-Python xxh64 twin — bit-parity
+        with Spark's xxhash64 is pinned by test, so bucket pruning keeps
+        finding every row either writer placed."""
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        from .xxh64 import spark_bucket
+
+        scol = QUAD_COLS.index("subject")
+        add_rows = (
+            [tuple(r) for r in adds.select(*QUAD_COLS).collect()]
+            if adds is not None
+            else []
+        )
+        del_rows = (
+            [tuple(r) for r in deletes.select(*QUAD_COLS).collect()]
+            if deletes is not None
+            else []
+        )
+        if not assume_unique:
+            add_rows = list(dict.fromkeys(add_rows))
+
+        current_files = list(manifest["files"])
+        del_buckets = {spark_bucket(r[scol], self.n_buckets) for r in del_rows}
+        add_buckets = {spark_bucket(r[scol], self.n_buckets) for r in add_rows}
+
+        def _affected(files: list[str], buckets: set[int]) -> list[str]:
+            return [
+                f
+                for f in files
+                if self._bucket_of(f) is None or self._bucket_of(f) in buckets
+            ]
+
+        need = set()
+        if del_rows:
+            need |= set(_affected(current_files, del_buckets))
+        if add_rows:
+            need |= set(_affected(current_files, add_buckets))
+        try:
+            if sum(self._entry_row_count(f) for f in need) > self.SMALL_COMMIT_ROWS:
+                return None
+        except OSError:
+            return None
+
+        # one pyarrow read per needed leaf -> rows as tuples, bucket known
+        leaf_rows: dict[str, list[tuple]] = {}
+        for entry in need:
+            leaf = os.path.join(self.files_dir, entry)
+            rows: list[tuple] = []
+            for fname in sorted(os.listdir(leaf)):
+                if fname.endswith(".parquet"):
+                    t = pq.read_table(
+                        os.path.join(leaf, fname), columns=list(QUAD_COLS)
+                    )
+                    cols = [t.column(c).to_pylist() for c in QUAD_COLS]
+                    rows.extend(zip(*cols) if cols and t.num_rows else [])
+            leaf_rows[entry] = rows
+
+        def _bucket_of_row(entry: str, row: tuple) -> int:
+            b = self._bucket_of(entry)
+            return b if b is not None else spark_bucket(row[scol], self.n_buckets)
+
+        schema = pa.schema([pa.field(c, pa.string()) for c in QUAD_COLS])
+
+        def _write_leaf(rows_by_bucket: dict[int, list[tuple]]) -> list[str]:
+            name = uuid.uuid4().hex
+            entries = []
+            for b in sorted(rows_by_bucket):
+                rows = rows_by_bucket[b]
+                if not rows:
+                    continue
+                leaf = os.path.join(self.files_dir, name, f"bucket={b}")
+                os.makedirs(leaf, exist_ok=True)
+                table = pa.table(
+                    {c: [r[i] for r in rows] for i, c in enumerate(QUAD_COLS)},
+                    schema=schema,
+                )
+                pq.write_table(table, os.path.join(leaf, "part-00000.parquet"))
+                entries.append(f"{name}/bucket={b}")
+            return entries
+
+        drop_files: list[str] = []
+        if del_rows:
+            affected = _affected(current_files, del_buckets)
+            del_set = set(del_rows)
+            survivors: dict[int, list[tuple]] = {}
+            for entry in affected:
+                for row in leaf_rows[entry]:
+                    if row not in del_set:
+                        survivors.setdefault(_bucket_of_row(entry, row), []).append(row)
+            survivor_entries = _write_leaf(survivors)
+            drop_files = affected
+            untouched = [f for f in current_files if f not in set(affected)]
+            current_files = untouched + survivor_entries
+            # keep the in-memory view consistent for the dedup below
+            for entry in survivor_entries:
+                b = self._bucket_of(entry)
+                leaf_rows[entry] = survivors.get(b, [])
+
+        new_files: list[str] = []
+        if add_rows:
+            existing: set[tuple] = set()
+            for entry in _affected(current_files, add_buckets):
+                existing.update(leaf_rows.get(entry, ()))
+            fresh: dict[int, list[tuple]] = {}
+            for row in add_rows:
+                if row not in existing:
+                    fresh.setdefault(spark_bucket(row[scol], self.n_buckets), []).append(row)
+            new_files = _write_leaf(fresh)
 
         manifest["version"] += 1
         manifest["files"] = current_files + new_files
