@@ -337,7 +337,9 @@ def _verify_exact_jaccard(cands, shingles, sizes, left: str, right: str):
     )
 
 
-def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
+def _minhash_pairs(
+    spark, sf_dir, with_signatures: bool = False, ordered: bool = True
+):
     """Verified MinHash near-dup pairs — the shared core of d02 (pair
     listing), d06 (cluster assignment) and d07 (estimator fidelity).
 
@@ -345,7 +347,14 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
     ``minhashes`` is the already-materialized (doc_id, n, m0..m15) signature
     relation — so d07 joins the signatures this computation materialized
     instead of re-deriving shingles and re-running the 16-lane aggregate
-    (a second full shingle scan + shuffle at scale)."""
+    (a second full shingle scan + shuffle at scale).
+
+    ``ordered=False`` (r16) drops the final global ORDER BY for consumers
+    that feed the pairs into an order-insensitive computation: d06's
+    connected-components EAGERLY materializes the symmetrized edge list,
+    so the sort — a full range-partitioning exchange of the pair relation
+    — would execute inside that checkpoint, where Catalyst's
+    EliminateSorts can no longer see that no one depends on it."""
     shingles, minhashes, exploded = _signature_relations(spark, sf_dir)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bi", "bh")
     bb = exploded.select(F.col("doc_id").alias("doc_b"), "bi", "bh")
@@ -357,9 +366,9 @@ def _minhash_pairs(spark, sf_dir, with_signatures: bool = False):
         .transform(stable_checkpoint, eager=False)
     )
     sizes = minhashes.select("doc_id", "n")
-    out = _verify_exact_jaccard(cands, shingles, sizes, "doc_a", "doc_b").orderBy(
-        "doc_a", "doc_b"
-    )
+    out = _verify_exact_jaccard(cands, shingles, sizes, "doc_a", "doc_b")
+    if ordered:
+        out = out.orderBy("doc_a", "doc_b")
     if with_signatures:
         return out, minhashes
     return out
@@ -412,7 +421,7 @@ def d06(spark, sf_dir):
     iteration lineage exactly like the property-path fixpoint
     (translate.py:_closure_pattern).  Docs in no pair are singletons and
     are excluded (their cluster is trivially themselves)."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(spark, sf_dir, ordered=False).select("doc_a", "doc_b")
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), F.col("comp").alias("cluster")
     ).orderBy("doc_id")
@@ -600,8 +609,12 @@ def d03(spark, sf_dir):
     # whole tokenize+md5+aggregate pipeline (measured 2.4s -> 1.6s at
     # sf0.1).  At scale this is the production shape too — simhash
     # fingerprints are n rows x 16 bytes, stored once, joined many times.
-    # eager: a lazy checkpoint is not shared between the two join sides
-    # within a single action, so the pipeline would still run twice
+    # eager: LAZY sharing between two join sides within a single action
+    # is cache-timing dependent (concurrent shuffle-map stages can race
+    # the MEMORY_AND_DISK cache and partially recompute — see
+    # checkpointing.py's documented-weaknesses list); the full
+    # tokenize+md5+aggregate pipeline is expensive enough that the
+    # guaranteed single run is worth the materialization barrier
     sims = sums.select("doc_id", simhash.cast("long").alias("simhash")).transform(stable_checkpoint, eager=True)
 
     # rotation-table keys as JOIN COLUMNS (an expression condition would
@@ -866,7 +879,11 @@ def d04(spark, sf_dir):
     # lazy checkpoint (r15): the banded relation is consumed by BOTH
     # sides of the candidate self-join below, so the semi-join + 16-lane
     # minhash aggregate ran twice without materialization — the same
-    # one-signature-pass rule _signature_relations applies for d02/d10
+    # one-signature-pass rule _signature_relations applies for d02/d10.
+    # Lazy (not eager, unlike d03's fingerprint table): sharing within
+    # one action is cache-timing dependent (checkpointing.py documented
+    # weaknesses), but a partial recompute of hash columns here is cheap
+    # next to an always-on materialization barrier
     minhashes = hashed.groupBy("doc_id").agg(*_minhash_min_cols()).transform(
         stable_checkpoint, eager=False
     )

@@ -351,7 +351,7 @@ def _near_dup_oracle(threshold: float) -> str:
     """
 
 
-def _near_dup(spark, sf_dir, threshold: float):
+def _near_dup(spark, sf_dir, threshold: float, ordered: bool = True):
     """Embedding-cosine near-duplicate pairs, blocked by the SAME coarse
     quantizer s04's IVF index uses: every vector lands in its N_PROBE
     nearest cells (multi-probe catches pairs straddling one boundary),
@@ -390,7 +390,7 @@ def _near_dup(spark, sf_dir, threshold: float):
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
     cos = _nan_to_null(F.try_divide(_dot_spark(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")))
-    return (
+    out = (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
         # a pair sharing BOTH probed cells appears twice -> dedup on ids
@@ -398,8 +398,14 @@ def _near_dup(spark, sf_dir, threshold: float):
         .dropDuplicates(["vec_a", "vec_b"])
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
     )
+    # ordered=False (r16): s06 feeds the pairs into connected components,
+    # which EAGERLY materializes the symmetrized edge list — the global
+    # sort would execute inside that checkpoint as a pure-waste range
+    # exchange (same rationale as dedup._minhash_pairs)
+    if ordered:
+        out = out.orderBy("vec_a", "vec_b")
+    return out
 
 
 @query("s03_embedding_near_dup", oracle=_near_dup_oracle(NEAR_DUP_COSINE))
@@ -451,7 +457,7 @@ def s06(spark, sf_dir):
     |edges|-bounded shuffle, no all-pairs path anywhere."""
     from .dedup import connected_components
 
-    pairs = _near_dup(spark, sf_dir, LOW_T_COSINE).select(
+    pairs = _near_dup(spark, sf_dir, LOW_T_COSINE, ordered=False).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return connected_components(pairs).select(
@@ -875,27 +881,33 @@ def s09(spark, sf_dir):
         F.col("embedding").alias("ev"), F.col("nrm").alias("nv"),
     )
     pair_cos = _nan_to_null(F.try_divide(_dot_spark(F.col("eu"), F.col("ev")), F.col("nu") * F.col("nv")))
+    # cover_cos rides the SAME aggregate as covered_by (r16, guide §2.4):
+    # min_by(pair_cos, u) carries the minimal-u pair's cosine out of the
+    # pair join, which is bit-identical to re-deriving cos(v, covered_by)
+    # downstream — same _dot_spark over the same two vectors (element
+    # products commute; zip_with/aggregate sums in index order either
+    # way) — and eliminates the embeddings re-scan + equi-join back to
+    # the corpus that the re-derivation needed (one fewer corpus pass at
+    # scale, one fewer join + 64-dim dot per row here).
     cover = (
         a.join(b, "cid")
         .filter((F.col("u") < F.col("v")) & (pair_cos >= SEMDEDUP_T))
+        .select("u", "v", pair_cos.alias("pc"))
         .groupBy("v")
-        .agg(F.min("u").alias("covered_by"))
+        .agg(
+            F.min("u").alias("covered_by"),
+            F.min_by("pc", "u").alias("cover_pc"),
+        )
     )
-    reps = e.select(
-        F.col("vec_id").alias("covered_by"),
-        F.col("embedding").alias("ru"), F.col("nrm").alias("rn"),
-    )
-    cover_cos = _nan_to_null(F.try_divide(_dot_spark(F.col("embedding"), F.col("ru")), F.col("nrm") * F.col("rn")))
     return (
         assign.join(cover, assign.vec_id == cover.v, "left")
-        .join(reps, "covered_by", "left")
         .select(
             "vec_id",
             "cid",
             F.when(F.col("covered_by").isNull(), 1).otherwise(0).alias("kept"),
             "covered_by",
             F.when(F.col("covered_by").isNull(), F.lit(None).cast("double"))
-            .otherwise(F.round(cover_cos, 4))
+            .otherwise(F.round(F.col("cover_pc"), 4))
             .alias("cover_cos"),
         )
         .orderBy("vec_id")
