@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -243,6 +243,44 @@ def grams_expr(n: int, body: str) -> str:
         f"transform(sequence(1, size(w) - {n - 1}), i -> {body}) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+
+
+def _sql_scalar_lit(v) -> str:
+    """Render one int/float as a Spark SQL literal token (exact: repr of
+    a Python float is the shortest round-trip form, and Spark's parser
+    round-trips it to the same IEEE double; the D suffix pins DoubleType
+    — a bare ``1.0`` would parse as DECIMAL(2,1))."""
+    if isinstance(v, bool) or v is None:
+        raise TypeError(f"unsupported literal {v!r}")
+    if isinstance(v, int):
+        return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+    if isinstance(v, float):
+        return repr(v) + "D"
+    raise TypeError(f"unsupported literal {v!r}")
+
+
+def const_array(vals: list) -> Column:
+    """Literal array column (ints/doubles, one level of nesting) built by
+    PARSING one SQL string instead of one py4j call per element.
+
+    ``F.array(*[F.lit(v) ...])`` and even ``F.lit(list)`` cost ~0.7ms of
+    driver/py4j work PER ELEMENT, so a 729-slot model table costs ~0.5s
+    of pure plan-construction time on every query build (measured; the
+    bench and the HTTP path build fresh plans per request, so this is a
+    per-invocation toll, constant in data size but dominant at bench
+    scale).  One F.expr parse is ~1ms regardless of width, resolves to
+    the same CreateArray tree, and Catalyst constant-folds it to the
+    identical Literal the old forms produced (value- and type-checked in
+    tests).  Element types follow SQL literal rules: int32-range ints ->
+    INT, wider -> L-suffixed BIGINT, floats -> D-suffixed DOUBLE."""
+    from pyspark.sql import functions as F
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(render(e) for e in x) + ")"
+        return _sql_scalar_lit(x)
+
+    return F.expr(render(list(vals)))
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -18,7 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fan_out, finite_spark, load, query, valid_vector_spark, valid_vector_sql
+from . import (
+    const_array,
+    fan_out,
+    finite_spark,
+    load,
+    query,
+    valid_vector_spark,
+    valid_vector_sql,
+)
 from ..checkpointing import stable_checkpoint
 
 TOP_K = 10
@@ -201,7 +209,10 @@ def _bucket_spark(vec):
     row, and the 64x8 sign matrix is a single Literal node instead of 512
     expression nodes (measured: bucket stage 0.87s -> 0.64s at sf0.1,
     identical buckets on every row)."""
-    signs_by_dim = F.lit(
+    # const_array, not F.lit(list): the 64x8 nested-list lit costs ~0.7s
+    # of py4j conversion per query build (one call per element); the
+    # one-parse form is ~1ms and folds to the identical Literal
+    signs_by_dim = const_array(
         [[_plane_signs(p)[d] for p in range(N_PLANES)] for d in range(DIM)]
     )
     dots = F.aggregate(
@@ -210,7 +221,7 @@ def _bucket_spark(vec):
             signs_by_dim,
             lambda x, srow: F.transform(srow, lambda s: x.cast("double") * s),
         ),
-        F.lit([0.0] * N_PLANES),
+        const_array([0.0] * N_PLANES),
         lambda acc, contrib: F.zip_with(acc, contrib, lambda a, b: a + b),
     )
     bucket = None

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from . import (
     canon_text_spark,
     canon_text_sql,
+    const_array,
     fan_out,
     grams_expr,
     load,
@@ -772,7 +773,10 @@ def t11(spark, sf_dir):
         for c1 in syms
         for c2 in syms
     ]
-    lp_arr = F.array(*[F.lit(v) for v in lp])
+    # one-parse literal table: the 729 per-element F.lit calls this
+    # replaces cost ~0.5s of py4j/plan-construction per query build
+    # (bench samples and HTTP requests each build fresh plans)
+    lp_arr = const_array(lp)
 
     # ---- pass 2: row-local scoring against the literal model (same
     # adjacent-pair slicing as pass 1; per-bigram log-probs are exact
@@ -891,7 +895,7 @@ def t12(spark, sf_dir):
     summation-order pin (impossible under a commutative hash aggregate),
     integer sums commute exactly."""
     d = load(spark, sf_dir, "documents")
-    w_arr = F.array(*[F.lit(v) for v in _t12_weights()])
+    w_arr = const_array(_t12_weights())  # one parse, not 64 py4j lits
     tokens = fan_out(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(ws_words_spark(lower_markstrip_spark(F.col("text")))).alias("w"),
