@@ -360,20 +360,26 @@ def _binding_json(term) -> dict:
     return b
 
 
-def _select_rows(df):
+def _select_rows(df, bounded: bool = False):
     """Row iterator for a SELECT result: ``toLocalIterator`` fetches one
     partition at a time, so driver memory is bounded by a partition, not
-    the result."""
-    return df.toLocalIterator()
+    the result.  ``bounded=True`` (the caller proved the result row count
+    is small from the QUERY SHAPE — an ungrouped aggregate projection or
+    a small LIMIT, see server._bounded_result) switches to ``collect()``:
+    one job instead of toLocalIterator's socket-server + per-partition
+    job machinery, measured ~0.2s faster per request on count-shaped
+    queries, with driver memory still bounded — by the query, not by
+    trust."""
+    return iter(df.collect()) if bounded else df.toLocalIterator()
 
 
-def iter_select_json(df):
+def iter_select_json(df, bounded: bool = False):
     """SELECT result DataFrame (one term-struct column per var) ->
     SPARQL 1.1 Query Results JSON, one binding-object chunk per row."""
     vars_ = list(df.columns)
     yield '{"head": {"vars": ' + _json.dumps(vars_) + '}, "results": {"bindings": ['
     first = True
-    for row in _select_rows(df):
+    for row in _select_rows(df, bounded):
         b = {}
         for v in vars_:
             term = row[v]
@@ -400,7 +406,7 @@ def _xml_escape(s: str) -> str:
     )
 
 
-def iter_select_xml(df):
+def iter_select_xml(df, bounded: bool = False):
     """SELECT result -> SPARQL Query Results XML (W3C REC, Fuseki's
     application/sparql-results+xml), one <result> chunk per row."""
     vars_ = list(df.columns)
@@ -415,7 +421,7 @@ def iter_select_xml(df):
             "",
         ]
     )
-    for row in _select_rows(df):
+    for row in _select_rows(df, bounded):
         out = ["    <result>"]
         for v in vars_:
             term = row[v]
@@ -460,12 +466,12 @@ def _csv_field(s: str) -> str:
     return s
 
 
-def iter_select_csv(df):
+def iter_select_csv(df, bounded: bool = False):
     """SPARQL 1.1 CSV results: header without '?', plain lexical forms
     (IRIs bare, bnodes _:label), RFC4180 quoting, CRLF rows."""
     vars_ = list(df.columns)
     yield ",".join(_csv_field(v) for v in vars_) + "\r\n"
-    for row in _select_rows(df):
+    for row in _select_rows(df, bounded):
         fields = []
         for v in vars_:
             term = row[v]
@@ -483,12 +489,12 @@ def select_to_csv(df) -> str:
     return "".join(iter_select_csv(df))
 
 
-def iter_select_tsv(df):
+def iter_select_tsv(df, bounded: bool = False):
     """SPARQL 1.1 TSV results: header keeps '?', terms in SPARQL syntax
     (IRIs <>, literals quoted with lang/datatype tags)."""
     vars_ = list(df.columns)
     yield "\t".join(f"?{v}" for v in vars_) + "\n"
-    for row in _select_rows(df):
+    for row in _select_rows(df, bounded):
         fields = []
         for v in vars_:
             term = row[v]

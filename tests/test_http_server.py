@@ -543,3 +543,50 @@ class TestStreamingServe:
             accept="text/csv;q=0.1, application/sparql-results+xml;q=0.9",
         )
         assert code == 200 and ct.startswith("application/sparql-results+xml")
+
+
+# ---------------------------------------------------- bounded-collect path
+def test_bounded_result_classifier():
+    """The collect-vs-stream decision is made from the QUERY SHAPE alone:
+    only provably-small results (ungrouped all-aggregate projection, or an
+    explicit LIMIT at or under the bound) may take the collect path."""
+    from jena_fuseki_kafka_spark.server import BOUNDED_COLLECT_ROWS, _bounded_result
+    from jena_fuseki_kafka_spark.sparql.parser import parse_sparql
+
+    bounded = [
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+        "SELECT (COUNT(*) AS ?n) (MAX(?o) AS ?m) WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o } LIMIT 10",
+        f"SELECT ?s WHERE {{ ?s ?p ?o }} LIMIT {BOUNDED_COLLECT_ROWS}",
+    ]
+    unbounded = [
+        "SELECT ?s WHERE { ?s ?p ?o }",
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        f"SELECT ?s WHERE {{ ?s ?p ?o }} LIMIT {BOUNDED_COLLECT_ROWS + 1}",
+        "ASK { ?s ?p ?o }",
+    ]
+    for q in bounded:
+        assert _bounded_result(parse_sparql(q)), q
+    for q in unbounded:
+        assert not _bounded_result(parse_sparql(q)), q
+
+
+def test_bounded_and_streamed_serializations_identical(server):
+    """The bounded collect path must serialize byte-identically to the
+    toLocalIterator streaming path for the same result."""
+    # seed a couple of rows through the public surface
+    req(
+        f"{server}/update",
+        "POST",
+        f'INSERT DATA {{ <{EX}bs1> <{EX}bp> "bv1" . <{EX}bs2> <{EX}bp> "bv2" }}'.encode(),
+        "application/sparql-update",
+    )
+    q = f"SELECT ?s ?o WHERE {{ ?s <{EX}bp> ?o }} ORDER BY ?s"
+    status, ct, body = req(f"{server}/query?query=" + quote(q, safe=""))
+    assert status == 200
+    streamed = json.loads(body)  # LIMIT-less: streaming path
+    status, ct, body = req(f"{server}/query?query=" + quote(q + " LIMIT 10", safe=""))
+    assert status == 200
+    collected = json.loads(body)  # LIMIT 10: bounded collect path
+    assert streamed["results"]["bindings"] == collected["results"]["bindings"]
+    assert len(streamed["results"]["bindings"]) == 2
