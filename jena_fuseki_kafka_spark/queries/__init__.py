@@ -350,6 +350,12 @@ ROUND_TOUCHED = [
     "d10_incremental_corpus_dedup",
     "s09_semdedup_prune",
     "u01_update_sequence",
+    # r16 session 2: s06 consumes _near_dup(ordered=False) (its body
+    # changed, not just a shared helper); t11/t12/s02 moved their model
+    # tables to const_array (t11 already listed above via the r15 miss)
+    "s06_embedding_dup_clusters",
+    "t12_classifier_quality_filter",
+    "s02_ann_lsh_bucketed",
 ]
 
 # Explicit registration order.  The correctness driver checks the first 50
@@ -365,10 +371,14 @@ _CHECK_PRIORITY = [
     # Window math (r16, second optimization round): 26 mandatory (the
     # r13-green remainder — age 3 at this check if skipped) + 4 r15-
     # touched re-verifications (t11/q26/q28/m07 changed in r15 but
-    # missed the r15 window — VERDICT r15 item 1a) + 17 r16-touched
-    # slots (ROUND_TOUCHED above) + 3 similarity-family spares
-    # (s03/s03b/s06 share checkpointed relations with s09's code, so a
-    # shared-helper edit is covered) = 50 exactly.
+    # missed the r15 window — VERDICT r15 item 1a) + 20 r16-touched
+    # slots (ROUND_TOUCHED above: the SPARQL aggregate/closure paths,
+    # the d-family materialization points, s06/s09, u01, and the
+    # const_array model-table gates t12/s02) = 50 exactly.  The
+    # s03/s03b blast-radius spares of the first window cut were
+    # displaced by the actually-touched t12/s02 (both spares are
+    # r15-window-green and their code paths default to the old
+    # behavior; age 1, safe until r18).
     # ---- r13-green remainder: age 3 at the r16 check if skipped —
     # MUST lead (staleness rule; rotation_planner's mandatory set) ----
     "s01_ann_bruteforce_topk",
@@ -422,12 +432,20 @@ _CHECK_PRIORITY = [
     "d10_incremental_corpus_dedup",
     "s09_semdedup_prune",
     "u01_update_sequence",
-    # ---- similarity-family spares (shared-helper blast radius) ----
-    "s03_embedding_near_dup",
-    "s03b_embedding_near_dup_lowt",
+    # ---- r16 session-2 touches: s06's body consumes the new
+    # ordered=False pair relation; t12/s02 moved their literal model
+    # tables to const_array.  These displaced the s03/s03b spares
+    # (r15-window-green, code paths behaviorally untouched — the
+    # ordered parameter defaults to the old behavior for them; age 1,
+    # safe until r18), because actually-touched gates outrank
+    # blast-radius spares for window slots. ----
     "s06_embedding_dup_clusters",
+    "t12_classifier_quality_filter",
+    "s02_ann_lsh_bucketed",
     # ---- window boundary here (50 above) ----
     # r15-green, untouched this round (age 1 — safe until r18) ----
+    "s03_embedding_near_dup",
+    "s03b_embedding_near_dup_lowt",
     "d04_ngram_jaccard_blocked",
     "d07_minhash_estimator_fidelity",
     "p01_stratified_sample",
@@ -446,7 +464,6 @@ _CHECK_PRIORITY = [
     "r08_construct_quads",
     "r10_ask",
     "r11_describe_subject",
-    "s02_ann_lsh_bucketed",
     "s04_ann_ivf",
     "s05_ann_recall_gate",
     "s07_int8_quantization",
@@ -460,7 +477,6 @@ _CHECK_PRIORITY = [
     "st10_streaming_file_sink_exactly_once",
     "st11_foreachbatch_merge_exactly_once",
     "t01_language_id",
-    "t12_classifier_quality_filter",
     # r14-green, untouched since (age 2 — r17's mandatory floor) ----
     "d01_exact_dedup",
     "d03_simhash",
