@@ -356,6 +356,11 @@ ROUND_TOUCHED = [
     "s06_embedding_dup_clusters",
     "t12_classifier_quality_filter",
     "s02_ann_lsh_bucketed",
+    # r16 session 3: connected_components gained the bounded-size driver
+    # union-find fast path — its three consumers are touched gates.
+    # d06/s06 already listed above; p04 sits in the window's mandatory
+    # r13-remainder block.
+    "p04_leakage_safe_split",
 ]
 
 # Explicit registration order.  The correctness driver checks the first 50

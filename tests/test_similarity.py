@@ -94,8 +94,16 @@ class TestConnectedComponents:
             touched = {v for e in edges for v in e}
             expect = {v: find(v) for v in touched}
             pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            # both execution paths must produce the identical labels:
+            # the default (driver union-find under CC_DRIVER_MAX_EDGES)
+            # and the forced distributed fixpoint
             got = {r.v: r.comp for r in connected_components(pairs).collect()}
-            assert got == expect, (n, m)
+            assert got == expect, ("driver", n, m)
+            got_dist = {
+                r.v: r.comp
+                for r in connected_components(pairs, driver_max_edges=0).collect()
+            }
+            assert got_dist == expect, ("distributed", n, m)
 
     def test_200_hop_chain_converges_within_budget(self, spark):
         # the VERDICT r8 item 7 gate: a >50-hop path graph exceeded the
@@ -107,7 +115,10 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
         )
-        out = connected_components(pairs, max_rounds=50).collect()
+        # driver_max_edges=0: the O(log diameter) convergence budget is a
+        # distributed-loop property; the default path would solve this on
+        # the driver without exercising pointer jumping at all
+        out = connected_components(pairs, max_rounds=50, driver_max_edges=0).collect()
         assert len(out) == 201
         assert {r.comp for r in out} == {0}
 
@@ -120,6 +131,35 @@ class TestConnectedComponents:
         got = {r.v: r.comp for r in connected_components(pairs).collect()}
         assert got == {"a": "a", "b": "a", "c": "a"}
 
+    def test_driver_fast_path_routing_by_edge_count(self, spark, monkeypatch):
+        # the size-adaptive dispatch: at or under the bound the labels
+        # come from the driver union-find (LocalTableScan-backed — no
+        # fixpoint jobs); one over the bound routes to the distributed
+        # loop.  The symmetrized edge list has 2x the pair count.
+        from jena_fuseki_kafka_spark.queries import dedup
+
+        calls = []
+        real = dedup._driver_components
+        monkeypatch.setattr(
+            dedup,
+            "_driver_components",
+            lambda e, rows: calls.append(1) or real(e, rows),
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+        )  # 6 symmetrized edges
+        expect = {1: 1, 2: 1, 3: 3, 4: 3, 5: 3}
+        got = {
+            r.v: r.comp
+            for r in dedup.connected_components(pairs, driver_max_edges=6).collect()
+        }
+        assert got == expect and calls == [1]
+        got = {
+            r.v: r.comp
+            for r in dedup.connected_components(pairs, driver_max_edges=5).collect()
+        }
+        assert got == expect and calls == [1]  # distributed: no 2nd call
+
     def test_zero_round_budget_raises_diagnostic_not_nameerror(self, spark):
         # ADVICE r9: with max_rounds <= 0 the loop body never runs; the
         # guard must still raise the intended RuntimeError, not NameError
@@ -129,8 +169,10 @@ class TestConnectedComponents:
         from jena_fuseki_kafka_spark.queries.dedup import connected_components
 
         pairs = spark.createDataFrame([("a", "b")], ["doc_a", "doc_b"])
+        # driver_max_edges=0: the zero-budget guard is a property of the
+        # distributed round loop (the driver fast path needs no rounds)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_rounds=0)
+            connected_components(pairs, max_rounds=0, driver_max_edges=0)
 
 
 def _write_embeddings_parquet(path, ids, vectors, labels=None):

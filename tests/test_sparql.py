@@ -1731,8 +1731,10 @@ class TestConnectedComponentsGuard:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
         )
+        # driver_max_edges=0 forces the distributed fixpoint: the guard
+        # under test lives in the round loop, not the driver fast path
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_rounds=2)
+            connected_components(pairs, max_rounds=2, driver_max_edges=0)
 
     def test_path_graph_converges_to_single_component(self, spark):
         from jena_fuseki_kafka_spark.queries.dedup import connected_components
