@@ -324,7 +324,11 @@ def p04(spark, sf_dir):
     label-propagation rounds, all bounded by the (tiny) near-dup relation;
     the split itself stays a stateless per-row hash — reproducible across
     runs and cluster sizes, no RNG state."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ordered=False: d02's declared output ORDER BY would otherwise
+    # execute (a full range-partitioning exchange) inside the eager edge
+    # checkpoint, and the clustering consumers ignore row order entirely
+    # (same dead-sort removal as d06/s06, r16 session 2)
+    pairs = _minhash_pairs(spark, sf_dir, ordered=False).select("doc_a", "doc_b")
     comps = connected_components(pairs)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     unit = docs.join(comps, docs.doc_id == comps.v, "left").select(
